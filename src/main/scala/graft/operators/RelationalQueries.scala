@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -13,17 +14,33 @@ import graft.Tables
   *    (IEEE double summation is order-dependent; decimal is not), then
   *    cast back to double for a stable schema;
   *  - AVG = exact decimal sum cast to double, divided by count;
-  *  - every result carries a total ORDER BY so row order is identical.
+  *  - every result carries a total ORDER BY so row order is identical;
+  *  - Spark ASC sorts default NULLS FIRST while DuckDB defaults NULLS
+  *    LAST — nullable sort keys are coalesced away or explicitly
+  *    NULLS FIRST in the oracle;
+  *  - DuckDB SUM(BIGINT)→HUGEINT and year()→BIGINT are cast back to
+  *    Spark's types in the oracle.
+  *
+  * Scale notes (100 TB): every query below is a pure declarative plan —
+  * filters/projections reach the parquet scan (PushedFilters), dimension
+  * joins are explicitly `broadcast()`, aggregates are partial+final
+  * hash aggregates under whole-stage codegen, and no driver-side
+  * collection happens anywhere.
   */
 object RelationalQueries {
 
   /** Exact-sum helper: deterministic across engines and partitionings. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** Exact-avg helper: decimal sum → double, divided by count. */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType) / count(c)
+
+  // ---------------------------------------------------------------------
   // q1_agg — TPC-H Q1 shape: multi-aggregate groupBy over lineitem.
-  // Mirrors the reference's record-count metadata aggregation collapsed to
-  // one pass (SURVEY §4.2; reference recomputes counts per rule,
-  // /root/reference/src/price_zone/transform_spark_job.py:90-94).
+  // The reference recomputes counts with separate scans
+  // (/root/reference/src/price_zone/transform_spark_job.py:90-94); our
+  // engine's convention is one aggregation pass (SURVEY §4.2, A2).
   def q1(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -40,13 +57,330 @@ object RelationalQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q2_filter_project — predicate + projection; both push to the scan
+  // (P1/P2 + F-family shape: SURVEY §2.2, §2.3).
+  def q2(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-07-01")) &&
+        col("l_discount") > lit(0.05) && col("l_quantity") < lit(10.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_discount > 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q3_join_broadcast — star join: fact × three broadcast dimensions
+  // (J1's semantics at scale: broadcast equi-join, SURVEY §2.6).
+  def q3(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q3Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q4_semi_join — EXISTS as left_semi (J2: membership, SURVEY §2.6).
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= lit(45.0)).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q5_anti_join — NOT EXISTS as left_anti (J3/F8: set difference —
+  // the reference's remove_records_of_given_opcos generalized;
+  // /root/reference/src/price_zone/validator.py:28-32).
+  def q5(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === lit("P")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val q5Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q6_distinct — distinct group keys (A1/F9: get_opco_list generalized;
+  // /root/reference/src/price_zone/validator.py:24-25).
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val q6Sql =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q7_topk — global top-k: ORDER BY ... LIMIT compiles to TakeOrderedAndProject
+  // (no full sort at scale; per-partition heaps + driver merge of k rows).
+  def q7(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val q7Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q8_window — ranking + windowed exact sum per partition (§2.7; the
+  // reference's FIFO-rank control-plane logic as row_number,
+  // /root/reference/src/AnalyzeEtlWaitStatusLambda/index.py:99-139).
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(ws).cast(DoubleType))
+      .filter(col("rn") <= lit(2))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q8Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) t
+      |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q9_setops — UNION (distinct) then EXCEPT (§2.7: invalid-opco list
+  // union, failed = cluster − successful;
+  // /root/reference/src/TakeBackupDecisionLambda/index.py:110).
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === lit("BUILDING")).select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === lit("MACHINERY")).select(col("c_custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(machinery).distinct()
+      .except(bigSpenders)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q9Sql =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10_rollup — hierarchical totals; NULL subtotal keys are coalesced
+  // to 'ALL' so null-ordering semantics never enter the compare.
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val q10Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11_case_bucket — CASE WHEN bucketing + conditional aggregation
+  // (X10/X11 cast semantics, SURVEY §2.4).
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("l_quantity") < 10, lit("small"))
+      .when(col("l_quantity") < 30, lit("medium"))
+      .otherwise(lit("large"))
+    Tables.lineitem(spark, dir)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(when(col("l_returnflag") === lit("R"), col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("returned_value"),
+        sum(when(col("l_tax") > lit(0.05), lit(1L)).otherwise(lit(0L))).as("high_tax_n"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q11Sql =
+    """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+      |            WHEN l_quantity < 30 THEN 'medium' ELSE 'large' END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS returned_value,
+      |  CAST(SUM(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_tax_n
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12_agg_join — aggregate subquery joined back (customers above their
+  // nation's average balance). The per-nation aggregate is tiny →
+  // broadcast; the fact side never shuffles.
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(davg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+      |FROM customer JOIN (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS nation_avg
+      |  FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
+      |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13_dates — date_trunc / year extraction (X6–X8, SURVEY §2.4).
+  // Timestamps are rendered as ISO strings in the output: parquet µs vs
+  // DuckDB/pandas ns dtypes would otherwise diverge in the hash compare.
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("qtr"))
+
+  private val q13Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14_json — JSON field extraction from the events.props payload
+  // (semi-structured column handling; events table, TESTDATA.md).
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q14Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15_strings — string function battery (X1/X3/X13, SURVEY §2.4):
+  // substring key decode (the reference's composite-key split,
+  // /root/reference/src/pa/pa_etl_script.py:256-257), concat, upper,
+  // length, LIKE prefix.
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").startsWith("B") || col("c_mktsegment").like("%WARE%"))
+      .select(
+        col("c_custkey"),
+        expr("CAST(substring(c_name, 10) AS BIGINT)").as("name_num"),
+        concat(lower(col("c_mktsegment")), lit(":"),
+          length(col("c_name")).cast(StringType)).as("tag"),
+        upper(substring(col("c_name"), 1, 4)).as("prefix"))
+      .orderBy(col("c_custkey"))
+
+  private val q15Sql =
+    """SELECT c_custkey,
+      |  CAST(substring(c_name, 10) AS BIGINT) AS name_num,
+      |  lower(c_mktsegment) || ':' || CAST(length(c_name) AS VARCHAR) AS tag,
+      |  upper(substring(c_name, 1, 4)) AS prefix
+      |FROM customer
+      |WHERE c_mktsegment LIKE 'B%' OR c_mktsegment LIKE '%WARE%'
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, d) => q1(s, d)))
+    "q1_agg" -> (q1 _),
+    "q2_filter_project" -> (q2 _),
+    "q3_join_broadcast" -> (q3 _),
+    "q4_semi_join" -> (q4 _),
+    "q5_anti_join" -> (q5 _),
+    "q6_distinct" -> (q6 _),
+    "q7_topk" -> (q7 _),
+    "q8_window" -> (q8 _),
+    "q9_setops" -> (q9 _),
+    "q10_rollup" -> (q10 _),
+    "q11_case_bucket" -> (q11 _),
+    "q12_agg_join" -> (q12 _),
+    "q13_dates" -> (q13 _),
+    "q14_json" -> (q14 _),
+    "q15_strings" -> (q15 _))
 
   val oracleSql: Map[String, String] = Map(
-    "q1_agg" -> q1Sql)
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_broadcast" -> q3Sql,
+    "q4_semi_join" -> q4Sql,
+    "q5_anti_join" -> q5Sql,
+    "q6_distinct" -> q6Sql,
+    "q7_topk" -> q7Sql,
+    "q8_window" -> q8Sql,
+    "q9_setops" -> q9Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_case_bucket" -> q11Sql,
+    "q12_agg_join" -> q12Sql,
+    "q13_dates" -> q13Sql,
+    "q14_json" -> q14Sql,
+    "q15_strings" -> q15Sql)
 }
