@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.Tables
+import graft.transform.PriceZoneTransform
+import graft.validate.{Rules, Validator}
+
+/** The validation library (SURVEY.md §2.3 F1–F9) wired into the driver's
+  * correctness gate. Input is a deterministic "price zone file" synthesized
+  * from lineitem — same expressions on the Spark and DuckDB side — then the
+  * REAL library (`graft.validate`) runs on top and the oracle re-states the
+  * rule predicates in SQL.
+  *
+  * Corruption pattern (all mod-based, so identical in both engines). Each
+  * corruption targets ONE opco (s = l_suppkey % 12) so that group-level
+  * attribution is observable: opcos 000–005 each fail a different rule,
+  * 006/007 survive, 008–011 are inactive:
+  *   - s=0, l_orderkey % 97 == 0 → non-numeric customer_id ("X…")
+  *   - s=1, l_orderkey % 89 == 0 → 15-char customer_id (over limit)
+  *   - s=2, l_partkey  % 83 == 0 → empty supc
+  *   - s=3, l_partkey  % 79 == 0 → non-numeric price_zone
+  *   - s=4, l_orderkey % 59 == 0 → price_zone 9, out of [1,5]
+  *   - s=5, l_partkey  % 53 == 0 → calendar-invalid datetime (regex passes)
+  *   - s=0, l_partkey  % 41 == 0 → wrong date format (regex fails)
+  *   - s ∈ {8..11}               → inactive opco
+  */
+object ValidationQueries {
+
+  val activeOpcos: Seq[String] = (0 to 7).map(i => f"$i%03d")
+
+  /** Synthesized raw price-zone frame (all-string, like the CSV contract). */
+  def synth(spark: SparkSession, dir: String): DataFrame = {
+    val s = col("l_suppkey") % 12
+    Tables.lineitem(spark, dir).select(
+      lpad(s.cast(StringType), 3, "0").as("opco_id"),
+      when(s === 0 && col("l_orderkey") % 97 === 0,
+        concat(lit("X"), col("l_orderkey").cast(StringType)))
+        .when(s === 1 && col("l_orderkey") % 89 === 0, lit("999999999999999"))
+        .otherwise(col("l_orderkey").cast(StringType)).as("customer_id"),
+      when(s === 2 && col("l_partkey") % 83 === 0, lit(""))
+        .otherwise(col("l_partkey").cast(StringType)).as("supc"),
+      when(s === 3 && col("l_partkey") % 79 === 0, lit("z"))
+        .when(s === 4 && col("l_orderkey") % 59 === 0, lit("9"))
+        .otherwise(((col("l_linenumber") - 1) % 5 + 1).cast(StringType)).as("price_zone"),
+      when(s === 5 && col("l_partkey") % 53 === 0, lit("2020-02-30 10:00:00"))
+        .when(s === 0 && col("l_partkey") % 41 === 0, lit("2020/08/06 00:00:00"))
+        .when(col("l_orderkey") % 3 === 0, lit("2020-08-06 00:00:00.123456"))
+        .otherwise(lit("2020-08-06 00:00:00")).as("eff_from_dttm"))
+  }
+
+  private val synthSql =
+    """SELECT
+      |  lpad(CAST(l_suppkey % 12 AS VARCHAR), 3, '0') AS opco_id,
+      |  CASE WHEN l_suppkey % 12 = 0 AND l_orderkey % 97 = 0 THEN 'X' || CAST(l_orderkey AS VARCHAR)
+      |       WHEN l_suppkey % 12 = 1 AND l_orderkey % 89 = 0 THEN '999999999999999'
+      |       ELSE CAST(l_orderkey AS VARCHAR) END AS customer_id,
+      |  CASE WHEN l_suppkey % 12 = 2 AND l_partkey % 83 = 0 THEN '' ELSE CAST(l_partkey AS VARCHAR) END AS supc,
+      |  CASE WHEN l_suppkey % 12 = 3 AND l_partkey % 79 = 0 THEN 'z'
+      |       WHEN l_suppkey % 12 = 4 AND l_orderkey % 59 = 0 THEN '9'
+      |       ELSE CAST((l_linenumber - 1) % 5 + 1 AS VARCHAR) END AS price_zone,
+      |  CASE WHEN l_suppkey % 12 = 5 AND l_partkey % 53 = 0 THEN '2020-02-30 10:00:00'
+      |       WHEN l_suppkey % 12 = 0 AND l_partkey % 41 = 0 THEN '2020/08/06 00:00:00'
+      |       WHEN l_orderkey % 3 = 0 THEN '2020-08-06 00:00:00.123456'
+      |       ELSE '2020-08-06 00:00:00' END AS eff_from_dttm
+      |FROM lineitem""".stripMargin
+
+  /** The nine rule predicates re-stated in DuckDB SQL, aligned with
+    * PriceZoneTransform.rules ordering. */
+  private val activeList = activeOpcos.map(o => s"'$o'").mkString(", ")
+  private val dateRegexSql = Rules.DateFormatRegex // no quotes inside — safe to inline
+  private val flagsSql =
+    s"""SELECT *,
+       |  (customer_id IS NULL OR customer_id = '' OR regexp_matches(customer_id, '[^0-9]')) AS f_cust_num,
+       |  (supc IS NULL OR supc = '' OR regexp_matches(supc, '[^0-9]')) AS f_supc_num,
+       |  (price_zone IS NULL OR price_zone = '' OR regexp_matches(price_zone, '[^0-9]')) AS f_pz_num,
+       |  (eff_from_dttm IS NULL OR NOT regexp_matches(eff_from_dttm, '$dateRegexSql')) AS f_date_fmt,
+       |  COALESCE(length(customer_id) > 14, FALSE) AS f_cust_len,
+       |  COALESCE(length(supc) > 9, FALSE) AS f_supc_len,
+       |  (opco_id IS NULL OR opco_id NOT IN ($activeList)) AS f_member,
+       |  COALESCE(TRY_CAST(price_zone AS INTEGER) < 1 OR TRY_CAST(price_zone AS INTEGER) > 5, FALSE) AS f_range,
+       |  (try_strptime(split_part(eff_from_dttm, '.', 1), '%Y-%m-%d %H:%M:%S') IS NULL) AS f_parse
+       |FROM input""".stripMargin
+
+  private val anyFlagSql =
+    "(f_cust_num OR f_supc_num OR f_pz_num OR f_date_fmt OR f_cust_len OR f_supc_len OR f_member OR f_range OR f_parse)"
+
+  private def rules = PriceZoneTransform.rules(activeOpcos)
+
+  // ---------------------------------------------------------------------
+  // v1_rule_flags — per-rule violation totals in ONE pass (the redesign of
+  // the reference's 14-scan pattern; SURVEY §4.1/§4.2).
+  def v1(spark: SparkSession, dir: String): DataFrame = {
+    val rs = rules
+    val names = Seq("f_cust_num", "f_supc_num", "f_pz_num", "f_date_fmt",
+      "f_cust_len", "f_supc_len", "f_member", "f_range", "f_parse")
+    val aggs = rs.zip(names).map { case (r, n) =>
+      sum(col(r.flagName).cast("long")).as(n)
+    }
+    Validator.flagged(synth(spark, dir), rs)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val v1Sql =
+    s"""WITH input AS ($synthSql), flags AS ($flagsSql)
+       |SELECT
+       |  CAST(SUM(CASE WHEN f_cust_num THEN 1 ELSE 0 END) AS BIGINT) AS f_cust_num,
+       |  CAST(SUM(CASE WHEN f_supc_num THEN 1 ELSE 0 END) AS BIGINT) AS f_supc_num,
+       |  CAST(SUM(CASE WHEN f_pz_num THEN 1 ELSE 0 END) AS BIGINT) AS f_pz_num,
+       |  CAST(SUM(CASE WHEN f_date_fmt THEN 1 ELSE 0 END) AS BIGINT) AS f_date_fmt,
+       |  CAST(SUM(CASE WHEN f_cust_len THEN 1 ELSE 0 END) AS BIGINT) AS f_cust_len,
+       |  CAST(SUM(CASE WHEN f_supc_len THEN 1 ELSE 0 END) AS BIGINT) AS f_supc_len,
+       |  CAST(SUM(CASE WHEN f_member THEN 1 ELSE 0 END) AS BIGINT) AS f_member,
+       |  CAST(SUM(CASE WHEN f_range THEN 1 ELSE 0 END) AS BIGINT) AS f_range,
+       |  CAST(SUM(CASE WHEN f_parse THEN 1 ELSE 0 END) AS BIGINT) AS f_parse
+       |FROM flags""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v2_failed_groups — F9: distinct offending groups across all rules.
+  def v2(spark: SparkSession, dir: String): DataFrame = {
+    val rs = rules
+    Validator.failedGroups(Validator.flagged(synth(spark, dir), rs), rs, "opco_id")
+      .orderBy(col("opco_id"))
+  }
+
+  private val v2Sql =
+    s"""WITH input AS ($synthSql), flags AS ($flagsSql)
+       |SELECT DISTINCT opco_id FROM flags WHERE $anyFlagSql ORDER BY opco_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v3_valid_by_opco — F8 group removal, then survivor stats per group.
+  def v3(spark: SparkSession, dir: String): DataFrame =
+    Validator.validRows(synth(spark, dir), rules, "opco_id")
+      .groupBy(col("opco_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("customer_id")).as("n_customers"))
+      .orderBy(col("opco_id"))
+
+  private val v3Sql =
+    s"""WITH input AS ($synthSql), flags AS ($flagsSql),
+       |failed AS (SELECT DISTINCT opco_id FROM flags WHERE $anyFlagSql)
+       |SELECT i.opco_id, COUNT(*) AS n, COUNT(DISTINCT customer_id) AS n_customers
+       |FROM input i WHERE i.opco_id NOT IN (SELECT opco_id FROM failed)
+       |GROUP BY i.opco_id ORDER BY i.opco_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v4_final_records — the full §7.2 slice: validate → remove → finalize
+  // (typed price_zone, effective_date derived, source column dropped).
+  def v4(spark: SparkSession, dir: String): DataFrame =
+    PriceZoneTransform.finalize(
+      Validator.validRows(synth(spark, dir), rules, "opco_id"))
+      .orderBy(col("opco_id"), col("supc"), col("customer_id"),
+        col("price_zone"), col("effective_date"))
+
+  private val v4Sql =
+    s"""WITH input AS ($synthSql), flags AS ($flagsSql),
+       |failed AS (SELECT DISTINCT opco_id FROM flags WHERE $anyFlagSql)
+       |SELECT opco_id, supc, TRY_CAST(price_zone AS INTEGER) AS price_zone, customer_id,
+       |  strftime(try_strptime(split_part(eff_from_dttm, '.', 1), '%Y-%m-%d %H:%M:%S'),
+       |           '%Y-%m-%d %H:%M:%S') AS effective_date
+       |FROM input WHERE opco_id NOT IN (SELECT opco_id FROM failed)
+       |ORDER BY opco_id, supc, customer_id, price_zone, effective_date""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v5_pa_route — the PA pipeline shape (X9 composite-key split + J1
+  // broadcast cluster routing) on synthesized input.
+  def v5(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir).select(
+      col("l_partkey").cast(StringType).as("supc"),
+      concat(lpad((col("l_suppkey") % 12).cast(StringType), 3, "0"),
+        lit("-"), col("l_linenumber").cast(StringType)).as("PRICE_ZONE_ID"))
+      .select(
+        col("supc"),
+        split(col("PRICE_ZONE_ID"), "-").getItem(0).as("opco_id"),
+        split(col("PRICE_ZONE_ID"), "-").getItem(1).as("price_zone_id"))
+    // dimension: opco NNN → cluster 01/02 by parity (deterministic inline)
+    val mapping = spark.range(12).select(
+      lpad(col("id").cast(StringType), 3, "0").as("m_opco"),
+      when(col("id") % 2 === 0, lit("01")).otherwise(lit("02")).as("cluster_id"))
+    pa.join(broadcast(mapping), col("opco_id") === col("m_opco"))
+      .filter(col("opco_id").isin(activeOpcos: _*))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("opco_id")).as("n_opcos"),
+        countDistinct(col("supc")).as("n_supcs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val v5Sql =
+    s"""WITH pa AS (
+       |  SELECT CAST(l_partkey AS VARCHAR) AS supc,
+       |    split_part(lpad(CAST(l_suppkey % 12 AS VARCHAR), 3, '0') || '-' || CAST(l_linenumber AS VARCHAR), '-', 1) AS opco_id,
+       |    split_part(lpad(CAST(l_suppkey % 12 AS VARCHAR), 3, '0') || '-' || CAST(l_linenumber AS VARCHAR), '-', 2) AS price_zone_id
+       |  FROM lineitem),
+       |mapping AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 3, '0') AS m_opco,
+       |    CASE WHEN i % 2 = 0 THEN '01' ELSE '02' END AS cluster_id
+       |  FROM range(12) t(i))
+       |SELECT cluster_id, COUNT(*) AS n_records,
+       |  COUNT(DISTINCT opco_id) AS n_opcos, COUNT(DISTINCT supc) AS n_supcs
+       |FROM pa JOIN mapping ON opco_id = m_opco
+       |WHERE opco_id IN ($activeList)
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_rule_flags" -> (v1 _),
+    "v2_failed_groups" -> (v2 _),
+    "v3_valid_by_opco" -> (v3 _),
+    "v4_final_records" -> (v4 _),
+    "v5_pa_route" -> (v5 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "v1_rule_flags" -> v1Sql,
+    "v2_failed_groups" -> v2Sql,
+    "v3_valid_by_opco" -> v3Sql,
+    "v4_final_records" -> v4Sql,
+    "v5_pa_route" -> v5Sql)
+}
