@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting,
+  * shingling. All are pure `Column` expressions built from codegen'd
+  * built-ins — no UDFs — so they fuse into whole-stage codegen and run
+  * map-side at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents are single-space separated; empty
+    * string yields one empty token, matching SQL split semantics —
+    * callers on untrusted text should trim first). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish subword proxy: alphabetic runs, single digits, and single
+    * punctuation marks each count as one token (a public
+    * regex-pretokenizer approximation — the standard GPT-2-style
+    * pretokenizer split classes). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern)).cast(LongType)
+
+  /** Distinct-token ratio — low values indicate repetitive/spammy text. */
+  def uniqueTokenRatio(c: Column): Column =
+    size(array_distinct(tokens(c))).cast(DoubleType) /
+      greatest(size(tokens(c)), lit(1)).cast(DoubleType)
+
+  /** Punctuation character count / ratio. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,!?;:]")).cast(LongType)
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast(DoubleType) / greatest(length(c), lit(1)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: length credit (saturates at 100
+    * tokens), lexical diversity, and punctuation sanity. Deterministic
+    * per-row double arithmetic — no aggregation involved. */
+  def qualityScore(c: Column): Column = {
+    val lengthCredit = least(tokenCount(c).cast(DoubleType) / lit(100.0), lit(1.0))
+    val diversity = uniqueTokenRatio(c)
+    val punctSanity = lit(1.0) - least(punctRatio(c) * lit(10.0), lit(1.0))
+    lengthCredit * lit(0.4) + diversity * lit(0.4) + punctSanity * lit(0.2)
+  }
+
+  /** Stopword-hit language scores (classic n-gram/stopword heuristic).
+    * A language scores one point per marker word present. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " in "),
+    "de" -> Seq(" der ", " und ", " die ", " nicht ", " ist "),
+    "es" -> Seq(" el ", " que ", " los ", " una ", " por "),
+    "fr" -> Seq(" le ", " et ", " les ", " des ", " une "))
+
+  private def langScore(c: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    words.map(w => when(padded.contains(w), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** Language ID: CJK presence wins immediately; otherwise argmax of
+    * stopword scores with fixed tie order en > de > es > fr; 'und' when
+    * nothing matches. */
+  def languageId(c: Column): Column = {
+    val zh = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > lit(0)
+    val s = markers.map { case (l, ws) => l -> langScore(c, ws) }.toMap
+    when(zh, lit("zh"))
+      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr") && s("en") > 0, lit("en"))
+      .when(s("de") >= s("es") && s("de") >= s("fr") && s("de") > 0, lit("de"))
+      .when(s("es") >= s("fr") && s("es") > 0, lit("es"))
+      .when(s("fr") > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical in any engine with md5 — the cross-engine-stable stand-in
+    * for a rolling hash. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Prefix fingerprint over the first n tokens — cheap blocking key for
+    * near-dup candidate generation. */
+  def prefixFingerprint(c: Column, n: Int): Column =
+    md5(array_join(slice(tokens(c), 1, n), " "))
+
+  /** Character k-shingles (distinct), 1-based positions — the unit set
+    * for Jaccard/MinHash dedup. Built with sequence+transform HOFs, no
+    * UDF. */
+  def shingles(c: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
+        i => c.substr(i, lit(k))))
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table (the training-data
+  * pipeline surface): token stats, quality buckets, language-ID
+  * confusion, fingerprint dup-groups. Every expression is a codegen'd
+  * built-in — these run map-side + one partial aggregate at any scale.
+  */
+object TextQueries {
+
+  // ---------------------------------------------------------------------
+  // t1_token_stats — token counting (whitespace + BPE-ish regex proxy).
+  def t1(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("sum_tokens"),
+        sum(bpeishTokenCount(col("text"))).as("sum_bpeish"),
+        max(tokenCount(col("text"))).as("max_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  private val t1Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpeish,
+      |  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t2_quality_buckets — composite quality score histogram. Per-row
+  // double arithmetic is engine-deterministic; only min/max aggregates
+  // (order-free) touch the doubles.
+  def t2(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("q", qualityScore(col("text")))
+      .groupBy(floor(col("q") * 10).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .orderBy(col("bucket"))
+
+  private val t2Sql =
+    """WITH scored AS (
+      |  SELECT
+      |    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |    + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |       / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE)) * 0.4
+      |    + (1.0 - least((CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+      |                    / CAST(greatest(length(text),1) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS q
+      |  FROM documents)
+      |SELECT CAST(floor(q * 10) AS INTEGER) AS bucket, COUNT(*) AS n,
+      |  MIN(q) AS min_q, MAX(q) AS max_q
+      |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t3_langid_confusion — stopword/CJK language-ID vs the labeled lang.
+  def t3(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pred", languageId(col("text")))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  private def scoreSql(words: Seq[String]): String =
+    words.map(w => s"(CASE WHEN contains(' ' || text || ' ', '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  private val t3Sql = {
+    val en = scoreSql(Seq(" the ", " and ", " of ", " to ", " in "))
+    val de = scoreSql(Seq(" der ", " und ", " die ", " nicht ", " ist "))
+    val es = scoreSql(Seq(" el ", " que ", " los ", " una ", " por "))
+    val fr = scoreSql(Seq(" le ", " et ", " les ", " des ", " une "))
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS zh,
+       |    $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN zh THEN 'zh'
+       |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |         WHEN s_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS pred
+       |  FROM s)
+       |SELECT lang, pred, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t4_fingerprint_groups — md5 content fingerprint + 8-token prefix
+  // blocking key; emits prefix groups with >1 member (near-dup
+  // candidates) — the blocking pass of a dedup pipeline.
+  def t4(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixFingerprint(col("text"), 8).as("pfp"))
+      .groupBy(col("pfp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n") > 1)
+      .orderBy(col("pfp"))
+
+  private val t4Sql =
+    """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS pfp,
+      |  COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY pfp""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (t1 _),
+    "t2_quality_buckets" -> (t2 _),
+    "t3_langid_confusion" -> (t3 _),
+    "t4_fingerprint_groups" -> (t4 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" -> t1Sql,
+    "t2_quality_buckets" -> t2Sql,
+    "t3_langid_confusion" -> t3Sql,
+    "t4_fingerprint_groups" -> t4Sql)
+}
