@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.RelationalQueries.queries ++
       graft.operators.ValidationQueries.queries ++
-      graft.operators.TextQueries.queries
+      graft.operators.TextQueries.queries ++
+      graft.operators.DedupQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.RelationalQueries.oracleSql ++
       graft.operators.ValidationQueries.oracleSql ++
-      graft.operators.TextQueries.oracleSql
+      graft.operators.TextQueries.oracleSql ++
+      graft.operators.DedupQueries.oracleSql
 }

@@ -1,0 +1,99 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import graft.functions.TextFunctions
+
+/** Deduplication primitives for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Hash choice: md5 (cross-engine stable, oracle-checkable). For a pure
+  * production Spark deployment, swapping md5 for xxhash64 in
+  * `minhashSignature` is a one-line change and ~5× faster; the plan
+  * shapes below are hash-agnostic.
+  *
+  * Scale design:
+  *  - signatures/bitstrings are computed per-row with HOFs — map-side
+  *    only, no shuffle, no UDFs;
+  *  - LSH banding explodes only `bands` rows per doc (not shingles), so
+  *    the candidate join shuffles |docs|×bands small rows;
+  *  - exact Jaccard runs only on blocked candidate pairs, never all
+  *    pairs.
+  */
+object Dedup {
+
+  /** Distinct word n-grams from a token array. */
+  def wordShingles(tokensCol: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(tokensCol) - lit(n - 1), lit(0))),
+        i => array_join(slice(tokensCol, i, lit(n)), " ")))
+
+  /** MinHash signature: k md5-min values over the shingle set.
+    * `min(md5(j || ':' || shingle))` is a k-way independent-ish family
+    * that any engine reproduces byte-for-byte. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(
+        transform(shinglesCol, s => md5(concat(j.cast(StringType), lit(":"), s)))))
+
+  /** LSH band keys: signature sliced into `bands` rows-per-band groups,
+    * each hashed with its band index. Docs sharing ANY key are
+    * candidates. */
+  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast(StringType), lit("|"),
+        array_join(slice(sigCol, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), "|"))))
+
+  /** Candidate near-dup pairs (idA < idB) via MinHash LSH. One explode of
+    * `bands` keys per doc, one self-equi-join on the band key. */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignature(
+      wordShingles(TextFunctions.tokens(col(textCol)), shingleN), k)
+    val keyed = df.select(col(idCol),
+      explode(lshBandKeys(sig, bands, rows)).as("band_key"))
+    val a = keyed.select(col(idCol).as("doc_a"), col("band_key"))
+    val b = keyed.select(col(idCol).as("doc_b"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** 16-bit SimHash rendered as a bitstring ('1'/'0' ×16, bit 1 first).
+    * Bit j votes +1 when hex digit j of md5(token) has its high bit set
+    * (digit >= '8') — a hex-digit-wise simhash that never needs
+    * hex→int conversion, so it is expressible in any SQL engine.
+    * Entirely per-row (nested HOFs): zero shuffle. */
+  def simhashBits(tokensCol: Column): Column =
+    array_join(
+      transform(
+        sequence(lit(1), lit(16)),
+        j => when(
+          aggregate(tokensCol, lit(0),
+            (acc, t) => acc + when(md5(t).substr(j, lit(1)) >= lit("8"), lit(1)).otherwise(lit(-1))
+          ) > lit(0), lit("1")).otherwise(lit("0"))),
+      "")
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Exact dedup: first (min id) row per normalized-content fingerprint.
+    * groupBy on the fingerprint = one hash-partial + final aggregate;
+    * survivors join back by id (broadcast when survivors are small,
+    * sort-merge otherwise — Catalyst decides). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val survivors = df.select(col(idCol), fp.as("_fp"))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup operators over the documents table, each hash-checked against a
+  * DuckDB restatement (md5-based hashing keeps signatures byte-identical
+  * across engines).
+  */
+object DedupQueries {
+
+  // ---------------------------------------------------------------------
+  // d1_exact_dedup — exact dedup stats per source (fingerprint groupBy).
+  def d1(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_unique"))
+      .join(kept, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  private val d1Sql =
+    """WITH fp AS (
+      |  SELECT source, doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |survivors AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      |kept AS (
+      |  SELECT source, COUNT(*) AS n_kept FROM fp
+      |  WHERE doc_id IN (SELECT doc_id FROM survivors) GROUP BY source)
+      |SELECT fp.source, COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique, ANY_VALUE(n_kept) AS n_kept
+      |FROM fp JOIN kept ON fp.source = kept.source
+      |GROUP BY fp.source ORDER BY fp.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d2_minhash_pairs — MinHash(12) + LSH(4 bands × 3) candidate pairs.
+  def d2(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 12, bands = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d2Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS shingles
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12),
+      |      j -> list_min(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS s
+      |  FROM sh),
+      |keys AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |    b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(list_slice(s, b*3 + 1, b*3 + 3), '|')))) AS band_key
+      |  FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d3_simhash — 16-bit hex-digit SimHash; collision groups (candidates).
+  def d3(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhashBits(TextFunctions.tokens(col("text"))).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n") > 1)
+      .orderBy(col("simhash"))
+
+  private val d3Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(1, 17), j ->
+      |      CASE WHEN list_aggregate(list_transform(string_split(text, ' '),
+      |             t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END), 'sum') > 0
+      |           THEN '1' ELSE '0' END), '') AS simhash
+      |  FROM documents)
+      |SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM s GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d4_jaccard_pairs — exact word-3-gram Jaccard on prefix-blocked
+  // candidate pairs (blocking key: md5 of first 8 tokens).
+  def d4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.prefixFingerprint(col("text"), 8).as("pfp"),
+      Dedup.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("pfp"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("pfp"), col("sh").as("sh_b"))
+    a.join(b, Seq("pfp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val d4Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')) AS pfp,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+      |FROM d a JOIN d b ON a.pfp = b.pfp AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1 _),
+    "d2_minhash_pairs" -> (d2 _),
+    "d3_simhash" -> (d3 _),
+    "d4_jaccard_pairs" -> (d4 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_pairs" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_jaccard_pairs" -> d4Sql)
+}
