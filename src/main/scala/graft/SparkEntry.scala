@@ -10,12 +10,14 @@ object SparkEntry {
     graft.operators.RelationalQueries.queries ++
       graft.operators.ValidationQueries.queries ++
       graft.operators.TextQueries.queries ++
-      graft.operators.DedupQueries.queries
+      graft.operators.DedupQueries.queries ++
+      graft.operators.SimilarityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.RelationalQueries.oracleSql ++
       graft.operators.ValidationQueries.oracleSql ++
       graft.operators.TextQueries.oracleSql ++
-      graft.operators.DedupQueries.oracleSql
+      graft.operators.DedupQueries.oracleSql ++
+      graft.operators.SimilarityQueries.oracleSql
 }

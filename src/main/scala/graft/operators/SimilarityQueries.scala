@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Similarity
+
+/** Similarity-search operators over the embeddings table. Gate queries
+  * use the exact integer-scaled path (see [[Similarity]]) so DuckDB can
+  * hash-match; the codegen float path is exercised by specs + bench.
+  */
+object SimilarityQueries {
+
+  private def scaledCte =
+    """v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv,
+      |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, sv, bucket,
+      |        list_aggregate(list_transform(sv, x -> x * x), 'sum') AS nrm
+      |      FROM v)""".stripMargin
+
+  private val dotSql =
+    "list_aggregate(list_transform(range(1, len(a.sv) + 1), i -> a.sv[i] * b.sv[i]), 'sum')"
+  private def cosSql(dot: String, na: String, nb: String) =
+    s"round(CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))), 6)"
+
+  // ---------------------------------------------------------------------
+  // s1_topk_brute — brute-force cosine top-10 for query vectors vec_id<5.
+  def s1(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.topKBrute(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val s1Sql =
+    s"""WITH $scaledCte,
+       |pairs AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, cand_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos FROM r
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s2_topk_bucketed — sign-LSH(3 bits) pruned top-10, same query set:
+  // the IVF-style scale path (probes ~1/8 of candidates).
+  def s2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.topKBucketed(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, bits = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val s2Sql =
+    s"""WITH $scaledCte,
+       |pairs AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON b.vec_id < 5 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, cand_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos FROM r
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s3_neardup_pairs — embedding-cosine near-dup detection with sign-LSH
+  // blocking (the d5 of the dedup family): same-bucket pairs, cos >= 0.4.
+  def s3(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"),
+      Similarity.scaled(col("embedding")).as("sv"),
+      Similarity.signBucket(col("embedding"), 3).as("bucket"))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(Similarity.cosineExact(col("sa"), col("sb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val s3Sql =
+    s"""WITH $scaledCte,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s4_label_stats — per-label vector stats in exact long arithmetic.
+  def s4(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("label"),
+      Similarity.dotScaled(Similarity.scaled(col("embedding")), Similarity.scaled(col("embedding"))).as("nrm"),
+      Similarity.signBucket(col("embedding"), 3).as("bucket"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nrm")).as("sum_nrm"),
+        min(col("nrm")).as("min_nrm"),
+        max(col("nrm")).as("max_nrm"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .orderBy(col("label"))
+  }
+
+  private val s4Sql =
+    s"""WITH $scaledCte
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(nrm) AS BIGINT) AS sum_nrm,
+       |  CAST(MIN(nrm) AS BIGINT) AS min_nrm,
+       |  CAST(MAX(nrm) AS BIGINT) AS max_nrm,
+       |  COUNT(DISTINCT bucket) AS n_buckets
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_topk_brute" -> (s1 _),
+    "s2_topk_bucketed" -> (s2 _),
+    "s3_neardup_pairs" -> (s3 _),
+    "s4_label_stats" -> (s4 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_topk_brute" -> s1Sql,
+    "s2_topk_bucketed" -> s2Sql,
+    "s3_neardup_pairs" -> s3Sql,
+    "s4_label_stats" -> s4Sql)
+}

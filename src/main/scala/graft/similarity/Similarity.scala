@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import graft.functions.expressions.FloatDotProduct
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two arithmetic paths:
+  *  - `cosineF` — the production path: custom codegen expression
+  *    ([[FloatDotProduct]]), single fused loop, no allocation. Used by
+  *    the bench harness and any real workload.
+  *  - `scaled`/`dotScaled`/`cosineExact` — the oracle path: elements are
+  *    floor-scaled to 1e-6-resolution longs, so dot products are EXACT
+  *    integer arithmetic and every engine agrees bit-for-bit. Float
+  *    summation order is engine-specific; exact longs are not. Gate
+  *    queries use this so DuckDB can hash-match.
+  *
+  * Scale design: queries are broadcast (a query set is small by
+  * definition); candidates stream. Brute force is one map-side pass +
+  * top-k per query (TakeOrdered-style window on rank<=k). The bucketed
+  * variant (sign-LSH) prunes candidates ~2^bits-fold with zero extra
+  * shuffle — bucket ids are computed per-row on both sides and become
+  * part of the join key.
+  */
+object Similarity {
+
+  /** SQL registration of the codegen dot product: `float_dot(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+
+  /** Production dot / cosine via the codegen expression. */
+  def dotF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      FloatDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+
+  /** Oracle path: exact integer-scaled vectors (floor(x * 1e6)). */
+  def scaled(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType))
+
+  /** Exact long dot product of two pre-scaled vectors. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine from scaled vectors (long dots, double sqrt). */
+  def cosineExact(a: Column, b: Column): Column =
+    dotScaled(a, b).cast(DoubleType) /
+      (sqrt(dotScaled(a, a).cast(DoubleType)) * sqrt(dotScaled(b, b).cast(DoubleType)))
+
+  /** Sign-LSH bucket over the first `bits` components: a static
+    * hyperplane family that needs no fitting and prunes ~2^bits-fold. */
+  def signBucket(c: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(c, i + 1) > lit(0.0f), lit(1 << (bits - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _).cast(IntegerType)
+
+  /** Brute-force top-k: every query (broadcast) against every candidate.
+    * `df` must carry (idCol, vecCol). Output: query_id, rank, id, cos. */
+  def topKBrute(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val cand = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"))
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.crossJoin(q)
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineExact(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
+  /** Bucketed (sign-LSH) top-k: candidates restricted to the query's
+    * bucket — the IVF-style scale path (probe 1/2^bits of the data). */
+  def topKBucketed(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, bits: Int = 3): DataFrame = {
+    val cand = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"),
+      signBucket(col(qVecCol), bits).as("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.join(q, Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineExact(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+}
