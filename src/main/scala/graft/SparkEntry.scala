@@ -11,7 +11,9 @@ object SparkEntry {
       graft.operators.ValidationQueries.queries ++
       graft.operators.TextQueries.queries ++
       graft.operators.DedupQueries.queries ++
-      graft.operators.SimilarityQueries.queries
+      graft.operators.SimilarityQueries.queries ++
+      graft.operators.MultimodalQueries.queries ++
+      graft.operators.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +21,7 @@ object SparkEntry {
       graft.operators.ValidationQueries.oracleSql ++
       graft.operators.TextQueries.oracleSql ++
       graft.operators.DedupQueries.oracleSql ++
-      graft.operators.SimilarityQueries.oracleSql
+      graft.operators.SimilarityQueries.oracleSql ++
+      graft.operators.MultimodalQueries.oracleSql ++
+      graft.operators.StreamingQueries.oracleSql
 }

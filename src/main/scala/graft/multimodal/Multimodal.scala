@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The container has no media codecs, so [[FakeCodec]] is a
+  * clearly-marked deterministic STUB — but everything Spark-side is
+  * real and tested: the schema (binary + metadata struct), the typed
+  * Dataset plumbing, the `mapPartitions` batch shape (iterator-in /
+  * iterator-out with per-partition setup, exactly how a JNI codec or
+  * Arrow batch UDF would be mounted), and the partitioning strategy.
+  *
+  * Scale notes: blobs are the widest column by far — every stage
+  * projects metadata-only columns where possible so parquet column
+  * pruning keeps blob IO off non-decode paths; decode is map-side only
+  * (no shuffle touches bytes); feature rows (small) are what flow into
+  * downstream joins/aggregations.
+  */
+object Multimodal {
+
+  /** One media object: opaque bytes + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features (small, shuffle-friendly). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      byte_histogram: Array[Long], frames_sampled: Int, mean_level: Double)
+
+  /** STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg/etc.
+    * A real deployment replaces the body of `decode` (and only it) with
+    * the native codec call; the pipeline shape does not change. */
+  object FakeCodec {
+    val HistogramBins = 16
+    val FrameSize = 256
+
+    /** "Decode" = interpret raw bytes as one channel of samples. */
+    def decode(content: Array[Byte]): Array[Byte] = content // STUB: identity
+
+    /** Resize/downsample by stride — byte-level stand-in for image
+      * resize / audio resample. */
+    def resize(samples: Array[Byte], stride: Int): Array[Byte] = {
+      val out = new Array[Byte]((samples.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = samples(i * stride); i += 1 }
+      out
+    }
+
+    /** Frame sampling: one FrameSize-byte frame every `everyN` frames. */
+    def sampleFrames(samples: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      samples.grouped(FrameSize).zipWithIndex
+        .collect { case (frame, idx) if idx % everyN == 0 => frame }
+        .toSeq
+  }
+
+  /** Deterministic media synthesis from the documents table: text bytes
+    * become the blob (a stand-in for real image/audio payloads), with
+    * kind + metadata derived from stable columns. */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("n_chars") % 3 === 0, lit("image"))
+        .when(col("n_chars") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      (col("n_chars") % 640 + 16).cast(IntegerType).as("width"),
+      (col("n_chars") % 480 + 16).cast(IntegerType).as("height"),
+      when(col("n_chars") % 2 === 0, lit(16000)).otherwise(lit(44100)).as("sample_rate"))
+
+  /** Feature extraction over partitions of media records — the batch
+    * shape of a codec UDF: per-partition setup (scratch buffers, codec
+    * init) once, then iterator-in/iterator-out streaming. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition setup: allocate scratch once (codec context here)
+      val hist = new Array[Long](FakeCodec.HistogramBins)
+      records.map { r =>
+        java.util.Arrays.fill(hist, 0L)
+        val samples = FakeCodec.decode(r.content)
+        var checksum = 0L
+        var sum = 0L
+        var i = 0
+        while (i < samples.length) {
+          val b = samples(i) & 0xff
+          hist(b / (256 / FakeCodec.HistogramBins)) += 1
+          checksum = checksum * 31 + b
+          sum += b
+          i += 1
+        }
+        val frames = FakeCodec.sampleFrames(samples, everyN = 2)
+        MediaFeatures(
+          r.media_id, r.kind, samples.length.toLong, checksum,
+          hist.clone(), frames.length,
+          if (samples.isEmpty) 0.0 else sum.toDouble / samples.length)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media blobs → typed decode → features. */
+  def featuresFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(synthesizeMedia(docs).as[MediaRecord])
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streaming
+
+/** Streaming + event-time operators over the events table. st1 executes
+  * a REAL Structured Streaming query (file source, event-time window,
+  * watermark, AvailableNow trigger, memory sink) whose result must
+  * hash-match the batch SQL oracle — the strongest possible check that
+  * micro-batch execution and batch semantics agree.
+  */
+object StreamingQueries {
+
+  // ---------------------------------------------------------------------
+  // st1_stream_hourly — streaming tumbling-window agg == batch GROUP BY.
+  def st1(spark: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyEventCounts(spark, dir)
+      .orderBy(col("hour"), col("event_type"))
+
+  private val st1Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // st2_sessions — gap-based sessionization (30 min) via window
+  // functions; the stateful streaming twin (mapGroupsWithState) is
+  // spec-verified to produce identical session counts.
+  def st2(spark: SparkSession, dir: String): DataFrame =
+    Streaming.sessionize(Tables.events(spark, dir), gapMinutes = 30)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_seq")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  private val st2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    CASE WHEN prev IS NULL OR tsu - prev > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e)
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_hourly" -> (st1 _),
+    "st2_sessions" -> (st2 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "st1_stream_hourly" -> st1Sql,
+    "st2_sessions" -> st2Sql)
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Streaming semantics (SURVEY.md §2.9). The reference emulates
+  * streaming with S3-event → Step Function micro-batches
+  * (`/root/reference/src/price_zone/s3_trigger_lambda.py:45-164`); the
+  * Spark-native equivalent is a file-source Structured Streaming query
+  * with `Trigger.AvailableNow` — arriving files become micro-batches,
+  * bookkeeping (offsets, exactly-once, backpressure) comes from the
+  * engine instead of hand-rolled DB semaphores.
+  *
+  * events.ts arrives as epoch-nanos long (TIMESTAMP(NANOS) parquet read
+  * with nanosAsLong); both engines truncate identically at micros, so
+  * event-time arithmetic uses `floor(ts/1000)` micros everywhere.
+  */
+object Streaming {
+
+  private val queryCounter = new AtomicInteger(0)
+
+  /** Micros-precision event timestamp from the nanos long. */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c / lit(1000L)).cast(LongType)
+
+  /** Hourly windowed aggregation, executed as a REAL streaming query:
+    * readStream over the parquet dir → event-time tumbling window →
+    * complete-mode memory sink; AvailableNow drains and terminates.
+    * Deterministic exact sums (value scaled to 1e-4 longs). */
+  def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_hourly_${queryCounter.incrementAndGet()}"
+    // glob form: the file streaming source requires a directory/glob, not
+    // a bare file path
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast(LongType)).as("sum_value_scaled"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value_scaled"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Batch sessionization: a new session starts after a >gap silence.
+    * Pure window functions — the same plan a warehouse would run. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
+  final case class SessionEvent(user_id: Long, event_id: Long, tsu: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  private final case class SessState(lastTs: Long, sessions: Long, events: Long)
+
+  /** Stateful streaming sessionization via mapGroupsWithState — the
+    * custom-state path (KeyValueGroupedDataset) for when built-in
+    * session_window semantics don't fit. Emits per-user session counts;
+    * state carries (lastTs, counts) across micro-batches. */
+  def sessionizeStreaming(
+      events: Dataset[SessionEvent], gapMinutes: Int): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[SessState]) =>
+          val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val isNew = s.lastTs == Long.MinValue || e.tsu - s.lastTs > gapMicros
+            s = SessState(e.tsu, s.sessions + (if (isNew) 1 else 0), s.events + 1)
+          }
+          state.update(s)
+          UserSessions(uid, s.sessions, s.events)
+      }
+  }
+}

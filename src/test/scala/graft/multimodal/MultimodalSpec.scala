@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthesizeMedia produces binary content + typed metadata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.synthesizeMedia(docs)
+    val schema = media.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("content") === "binary")
+    assert(schema("kind") === "string" && schema("width") === "int")
+    assert(media.count() === docs.count())
+    // blob round-trips: decode(content) == text bytes
+    val row = media.join(docs, col("media_id") === col("doc_id"))
+      .select(col("content"), col("text")).head()
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") === row.getString(1))
+  }
+
+  test("extractFeatures: histogram sums to byte count, frames sampled every 2nd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val feats = Multimodal.featuresFromDocuments(spark, docs).collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.byte_histogram.length === Multimodal.FakeCodec.HistogramBins)
+      assert(f.byte_histogram.sum === f.n_bytes)
+      val nFrames = (f.n_bytes + Multimodal.FakeCodec.FrameSize - 1) / Multimodal.FakeCodec.FrameSize
+      assert(f.frames_sampled === (nFrames + 1) / 2) // every 2nd frame
+      assert(f.mean_level > 0.0 && f.mean_level < 256.0)
+    }
+  }
+
+  test("resize downsamples by stride; frame sampling respects frame size") {
+    val bytes = (0 until 1000).map(_.toByte).toArray
+    val resized = Multimodal.FakeCodec.resize(bytes, 4)
+    assert(resized.length === 250 && resized(1) === bytes(4))
+    val frames = Multimodal.FakeCodec.sampleFrames(bytes, 2)
+    assert(frames.length === 2) // frames 0 and 2 of ceil(1000/256)=4
+    assert(frames.head.length === 256)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stateful streaming sessionization equals the batch window plan") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Streaming.sessionize(events, 30)
+      .groupBy($"user_id")
+      .agg(max($"session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val typed = events.select(
+      $"user_id", $"event_id", Streaming.tsMicros($"ts").as("tsu"))
+      .as[Streaming.SessionEvent]
+    val streaming = Streaming.sessionizeStreaming(typed, 30)
+      .collect().map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
+
+    assert(streaming === batch)
+  }
+
+  test("hourly streaming agg is non-empty and keyed correctly") {
+    val out = Streaming.hourlyEventCounts(spark, dir)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq === Seq("hour", "event_type", "n", "sum_value_scaled"))
+    // total events preserved across windows
+    val total = out.agg(sum($"n")).head().getLong(0)
+    assert(total === spark.read.parquet(s"$dir/events.parquet").count())
+  }
+}
