@@ -48,16 +48,37 @@ object Dedup {
       b => md5(concat(b.cast(StringType), lit("|"),
         array_join(slice(sigCol, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), "|"))))
 
+  /** MinHash signatures via explode + k min-aggregates.
+    *
+    * Why not [[minhashSignature]] here: Catalyst's CollapseProject
+    * re-inlines any intermediate projection into the k lambda bodies, so
+    * the shingle-construction expression is recomputed k times per row
+    * and the resulting expression tree blows codegen out (measured 60×
+    * slower at sf0.1). Exploding shingles and taking k `min` aggregates
+    * is the scalable plan: md5s are computed once per (doc, shingle, j),
+    * partial aggregation combines map-side, and the shuffle carries only
+    * |docs| × k min values. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(wordShingles(TextFunctions.tokens(col(textCol)), shingleN)).as("_s"))
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("_s")))).as(s"_m$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"_m$j")): _*).as("_sig"))
+  }
+
   /** Candidate near-dup pairs (idA < idB) via MinHash LSH. One explode of
     * `bands` keys per doc, one self-equi-join on the band key. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignature(
-      wordShingles(TextFunctions.tokens(col(textCol)), shingleN), k)
-    val keyed = df.select(col(idCol),
-      explode(lshBandKeys(sig, bands, rows)).as("band_key"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val keyed = sig.select(col(idCol),
+      explode(lshBandKeys(col("_sig"), bands, rows)).as("band_key"))
     val a = keyed.select(col(idCol).as("doc_a"), col("band_key"))
     val b = keyed.select(col(idCol).as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))

@@ -83,11 +83,13 @@ object SimilarityQueries {
     val v = e.select(col("vec_id"),
       Similarity.scaled(col("embedding")).as("sv"),
       Similarity.signBucket(col("embedding"), 3).as("bucket"))
-    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("bucket"))
-    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("bucket"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(Similarity.cosineExact(col("sa"), col("sb")), 6))
+      .withColumn("cos", round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -54,6 +54,12 @@ object Similarity {
     dotScaled(a, b).cast(DoubleType) /
       (sqrt(dotScaled(a, a).cast(DoubleType)) * sqrt(dotScaled(b, b).cast(DoubleType)))
 
+  /** Cosine with PRE-COMPUTED squared norms — the join-side form. Norms
+    * are per-vector (O(n·dim)); computing them inside the pair predicate
+    * would be O(pairs·dim), which dominates at scale. */
+  def cosineWithNorms(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast(DoubleType) / (sqrt(normA.cast(DoubleType)) * sqrt(normB.cast(DoubleType)))
+
   /** Sign-LSH bucket over the first `bits` components: a static
     * hyperplane family that needs no fitting and prunes ~2^bits-fold. */
   def signBucket(c: Column, bits: Int): Column =
@@ -68,12 +74,16 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
     val cand = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"))
-    val q = broadcast(queries.select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv")))
+      .withColumn("cn", dotScaled(col("cv"), col("cv")))
+    val q = broadcast(queries
+      .select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"))
+      .withColumn("qn", dotScaled(col("qv"), col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     cand.crossJoin(q)
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineExact(col("cv"), col("qv")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(dotScaled(col("cv"), col("qv")), col("cn"), col("qn")), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
@@ -87,13 +97,17 @@ object Similarity {
       k: Int, bits: Int = 3): DataFrame = {
     val cand = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val q = broadcast(queries.select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"),
-      signBucket(col(qVecCol), bits).as("bucket")))
+      .withColumn("cn", dotScaled(col("cv"), col("cv")))
+    val q = broadcast(queries
+      .select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"),
+        signBucket(col(qVecCol), bits).as("bucket"))
+      .withColumn("qn", dotScaled(col("qv"), col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     cand.join(q, Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineExact(col("cv"), col("qv")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(dotScaled(col("cv"), col("qv")), col("cn"), col("qn")), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))

