@@ -66,14 +66,24 @@ object DedupQueries {
 
   // ---------------------------------------------------------------------
   // d3_simhash — 16-bit hex-digit SimHash; collision groups (candidates).
-  def d3(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  // Explode-based plan (md5 once per token, 16 sums map-side-combined)
+  // rather than the per-row nested-HOF form, which re-hashes every token
+  // 16 times (same CollapseProject recompute trap as MinHash).
+  def d3(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+    val bitSums = (1 to 16).map { j =>
+      sum(when(substring(col("_h"), j, 1) >= lit("8"), lit(1)).otherwise(lit(-1))).as(s"_b$j")
+    }
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        Dedup.simhashBits(TextFunctions.tokens(col("text"))).as("simhash"))
+        concat((1 to 16).map(j => when(col(s"_b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n") > 1)
       .orderBy(col("simhash"))
+  }
 
   private val d3Sql =
     """WITH s AS (

@@ -349,6 +349,38 @@ object RelationalQueries {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q16_sql — the SQL entry surface: the same engine semantics through
+  // spark.sql over registered views (TPC-H Q3 shape adapted to the
+  // testdata schema). Everything else in this library is DataFrame API;
+  // a user of the reference could equally drive graft with plain SQL.
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, 2
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+  }
+
+  private val q16Sql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderkey, 2
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
@@ -365,7 +397,8 @@ object RelationalQueries {
     "q12_agg_join" -> (q12 _),
     "q13_dates" -> (q13 _),
     "q14_json" -> (q14 _),
-    "q15_strings" -> (q15 _))
+    "q15_strings" -> (q15 _),
+    "q16_sql" -> (q16 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -382,5 +415,6 @@ object RelationalQueries {
     "q12_agg_join" -> q12Sql,
     "q13_dates" -> q13Sql,
     "q14_json" -> q14Sql,
-    "q15_strings" -> q15Sql)
+    "q15_strings" -> q15Sql,
+    "q16_sql" -> q16Sql)
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join for hot keys (100 TB survival kit, SURVEY.md
+  * §7.4/6). When one join key holds a disproportionate share of the fact
+  * side (one giant opco, one viral document), a plain shuffle join puts
+  * that key's entire volume on a single reducer. Salting splits each hot
+  * key into `salts` sub-keys: the fact side gets a deterministic salt
+  * from a stable hash of a tiebreak column; the dimension side is
+  * replicated `salts` times (explode of a literal range — dimension-sized,
+  * cheap).
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) covers sort-merge cases at runtime; explicit salting remains
+  * the tool for aggregate-into-join pipelines and for engines/settings
+  * where AQE can't split (e.g. bucketed tables, broadcast-ineligible
+  * dimensions).
+  */
+object SkewJoin {
+
+  /** Deterministic salt in [0, salts) from a stable tiebreak column
+    * (xxhash64 — engine-internal only, never crosses the oracle). */
+  def salt(tiebreak: Column, salts: Int): Column =
+    pmod(xxhash64(tiebreak), lit(salts.toLong)).cast("int")
+
+  /** Inner equi-join of `fact` (big, possibly skewed on `key`) with
+    * `dim` (small-ish but not broadcastable) — salted `salts` ways.
+    * `tiebreak` must be a fact column with per-row variety (any unique
+    * or near-unique id). */
+  def saltedInnerJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      tiebreak: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("_salt", salt(col(tiebreak), salts))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

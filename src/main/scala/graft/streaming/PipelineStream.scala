@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.transform.PriceZoneTransform
+import graft.validate.{ValidationReport, Validator}
+
+/** The price-zone pipeline as an ARRIVING-FILES stream (SURVEY.md §2.9).
+  *
+  * The reference wires S3 `ObjectCreated` → Lambda → Step Function →
+  * Glue job per file
+  * (`/root/reference/src/price_zone/s3_trigger_lambda.py:45-164`); the
+  * Spark-native equivalent is a file-source streaming query where each
+  * discovered file batch runs the same validate→remove→finalize plan and
+  * lands in the same partitioned layout. Offsets/exactly-once come from
+  * the checkpoint; the trigger lambda's dedup/uuid bookkeeping
+  * disappears.
+  *
+  * `Trigger.AvailableNow` drains everything present and stops — the
+  * batch-parity mode; swap for `ProcessingTime` in continuous
+  * deployments.
+  */
+object PipelineStream {
+
+  /** Raw price-zone CSV contract (S1: header, all string). */
+  val rawSchema: StructType = StructType(
+    Seq("co_nbr", "supc", "prc_zone", "cust_nbr", "eff_from_dttm")
+      .map(StructField(_, StringType, nullable = true)))
+
+  private val counter = new AtomicInteger(0)
+
+  /** Per-batch reports keyed by (queryName, batchId) — the metadata the
+    * reference pushes to its lambda mid-job (O4). */
+  final case class BatchReport(batchId: Long, report: ValidationReport)
+
+  /** Start (and drain, when AvailableNow) the streaming pipeline:
+    * csv files in `inputDir` → validated, finalized, partitioned csv
+    * under `outputDir`. Returns per-batch validation reports. */
+  def runPriceZoneStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      activeOpcos: Seq[String]): Seq[BatchReport] = {
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[BatchReport]()
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("header", "true")
+      .csv(inputDir)
+    val q = raw.writeStream
+      .queryName(s"graft_pz_stream_${counter.incrementAndGet()}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mapped = PriceZoneTransform.applyMapping(batch)
+        val rules = PriceZoneTransform.rules(activeOpcos)
+        val (valid, report) = Validator.run(mapped, rules, "opco_id")
+        // empty batches are legal in streams — the batch-mode empty-guard
+        // (F13) becomes a per-batch no-op instead of a job failure
+        if (report.valid > 0L) {
+          PriceZoneTransform.finalize(valid).write
+            .partitionBy("opco_id")
+            .option("header", "true")
+            .mode("append")
+            .csv(outputDir)
+        }
+        reports.add(BatchReport(batchId, report))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    reports.asScala.toSeq.sortBy(_.batchId)
+  }
+}
