@@ -55,16 +55,21 @@ object Dedup {
     * the shingle-construction expression is recomputed k times per row
     * and the resulting expression tree blows codegen out (measured 60×
     * slower at sf0.1). Exploding shingles and taking k `min` aggregates
-    * is the scalable plan: md5s are computed once per (doc, shingle, j),
-    * partial aggregation combines map-side, and the shuffle carries only
-    * |docs| × k min values. */
+    * is the scalable plan: partial aggregation combines map-side and the
+    * shuffle carries only |docs| × k min values.
+    *
+    * Hash family: ONE md5 per shingle, sliced into k ≤ 8 disjoint 4-hex
+    * substrings — k independent-enough 16-bit min-hash functions at 1/k
+    * of the hashing cost (any engine reproduces substr(md5) exactly). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
+    require(k <= 8, "k <= 8: signature slices one 32-hex md5 into 4-hex functions")
     val sh = df.select(col(idCol),
       explode(wordShingles(TextFunctions.tokens(col(textCol)), shingleN)).as("_s"))
+      .withColumn("_h", md5(col("_s")))
     val aggs = (0 until k).map { j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("_s")))).as(s"_m$j")
+      min(substring(col("_h"), j * 4 + 1, 4)).as(s"_m$j")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"_m$j")): _*).as("_sig"))
@@ -74,7 +79,7 @@ object Dedup {
     * `bands` keys per doc, one self-equi-join on the band key. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
     val keyed = sig.select(col(idCol),

@@ -38,27 +38,29 @@ object DedupQueries {
       |GROUP BY fp.source ORDER BY fp.source""".stripMargin
 
   // ---------------------------------------------------------------------
-  // d2_minhash_pairs — MinHash(12) + LSH(4 bands × 3) candidate pairs.
+  // d2_minhash_pairs — MinHash(8: one md5 per shingle sliced into 4-hex
+  // functions) + LSH(4 bands × 2) candidate pairs.
   def d2(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(
-      Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 12, bands = 4)
+      Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val d2Sql =
     """WITH sh AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(
+      |    unnest(list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
-      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS shingles
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))) AS s
       |  FROM documents),
+      |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |    list_transform(range(0, 12),
-      |      j -> list_min(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS s
-      |  FROM sh),
+      |    [min(substr(h, 1, 4)), min(substr(h, 5, 4)), min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+      |     min(substr(h, 17, 4)), min(substr(h, 21, 4)), min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+      |  FROM hx GROUP BY doc_id),
       |keys AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4),
-      |    b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(list_slice(s, b*3 + 1, b*3 + 3), '|')))) AS band_key
+      |    b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(list_slice(s, b*2 + 1, b*2 + 2), '|')))) AS band_key
       |  FROM sig)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id

@@ -1,0 +1,27 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed-table sink for co-located joins (SURVEY.md §4.2 partitioning
+  * row; the 100 TB path for repeated large-×-large equi-joins).
+  *
+  * Writing both sides bucketed by the join key with the same bucket
+  * count pre-shuffles the data ONCE at write time; every subsequent join
+  * or aggregation on that key runs with zero Exchange — at 100 TB the
+  * difference between an hourly pipeline re-shuffling terabytes per run
+  * and one that only scans. Requires a catalog table (`saveAsTable`);
+  * plain path-based writes cannot carry bucket metadata.
+  */
+object BucketedSink {
+
+  def write(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int,
+      sortCol: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).format("parquet").saveAsTable(table)
+  }
+}
