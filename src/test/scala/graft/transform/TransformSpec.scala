@@ -76,6 +76,35 @@ class TransformSpec extends SparkSpec {
     assert(PaTransform.invalidPriceCount(df) === 1L)         // F10: -1.5
   }
 
+  test("pa end-to-end: pipe csv → route → per-cluster partitioned csv + counts") {
+    import scala.jdk.CollectionConverters._
+    val in = tmpDir("pa_e2e_in")
+    val outBase = tmpDir("pa_e2e_out")
+    val csv =
+      """ITEM_ID|LOCAL_REFERENCE_PRICE|CURRENT_PRICE|REASON|NEW_PRICE|ITEM_ATTR_5_NM|EFFECTIVE_DATE|EXPORT_DATE|PRICE_ZONE_ID
+        |9002908|22.68|1|r|2|N|2020-08-06 00:00:00|2020-08-05 12:30:45|018-5
+        |9002909|-1.5|1|r|2|Y|2020-08-07 10:00:00|2020-08-05 12:30:45|019-3
+        |9002910|10.00|1|r|2|N|2020-08-07 10:00:00|2020-08-05 12:30:45|022-2
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(in, "pa.csv"), csv)
+    val mapping = spark.createDataFrame(
+      Seq(Row("018", "01"), Row("019", "02")).asJava,
+      StructType(Seq(StructField("opco_id", StringType, true), StructField("cluster_id", StringType, true))))
+
+    val (total, badPrice) = PaTransform.runFile(
+      spark, s"$in/pa.csv", cid => s"$outBase/cluster_$cid",
+      mapping, activeOpcos = Seq("018", "019"))
+
+    assert(total === 3 && badPrice === 1)
+    val c1 = new java.io.File(s"$outBase/cluster_01").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(c1.toSeq === Seq("opco_id=018"))
+    val back = spark.read.option("header", "true").csv(s"$outBase/cluster_01/opco_id=018")
+    // fixed column order minus the elided partition column (P6/S5)
+    assert(back.columns.toSeq ===
+      Seq("supc", "effective_date", "price", "export_date", "catch_weight_indicator", "price_zone_id"))
+    assert(back.count() === 1)
+  }
+
   test("pa routing: cluster split + invalid-or-inactive bucket (J1)") {
     import scala.jdk.CollectionConverters._
     val mapping = spark.createDataFrame(
