@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 import graft.transform.PriceZoneTransform
 import graft.validate.{ValidationReport, Validator}
 
@@ -25,9 +25,7 @@ import graft.validate.{ValidationReport, Validator}
 object PipelineStream {
 
   /** Raw price-zone CSV contract (S1: header, all string). */
-  val rawSchema: StructType = StructType(
-    Seq("co_nbr", "supc", "prc_zone", "cust_nbr", "eff_from_dttm")
-      .map(StructField(_, StringType, nullable = true)))
+  val rawSchema: StructType = graft.schema.Schemas.priceZoneRaw
 
   private val counter = new AtomicInteger(0)
 
