@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan regression audit: the properties that make these plans
+  * survive a 100 TB scale-up, asserted so a refactor can't silently
+  * lose them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+
+  test("q2: filters and projection reach the parquet scan") {
+    val plan = executed("q2_filter_project")
+    // (the toString elides long pushed-filter lists — prefix + the
+    // scan-level DataFilters entry are the stable evidence)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains("DataFilters: [isnotnull(l_shipdate"), plan)
+    // pruned read schema — no columns beyond the 6 needed
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_returnflag") && !read.contains("l_tax"), read)
+  }
+
+  test("q3: all three dimension joins broadcast; fact side never shuffles for the join") {
+    val plan = executed("q3_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan)
+    // the only Exchanges are broadcasts + the final aggregation/sort
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q7: global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val plan = executed("q7_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q4/q5: semi and anti joins stay semi/anti (no materialized subquery)") {
+    assert(executed("q4_semi_join").contains("LeftSemi"), executed("q4_semi_join"))
+    assert(executed("q5_anti_join").contains("LeftAnti"), executed("q5_anti_join"))
+  }
+
+  test("v3: group removal is a broadcast anti-join over the failed-group aggregate") {
+    val plan = executed("v3_valid_by_opco")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("s1: query set is broadcast; candidates stream map-side") {
+    val plan = executed("s1_topk_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("similarity codegen expression stays fused (no CodegenFallback in hot path)") {
+    val plan = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(graft.similarity.Similarity.dotF(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("float_dot") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("d2: minhash aggregates map-side (partial_min) before the shuffle") {
+    val plan = executed("d2_minhash_pairs")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+    // band-key join is an equi-join, never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
