@@ -101,6 +101,13 @@ object DedupQueries {
   // ---------------------------------------------------------------------
   // d4_jaccard_pairs — exact word-3-gram Jaccard on prefix-blocked
   // candidate pairs (blocking key: md5 of first 8 tokens).
+  //
+  // Plan shape: blocked groups are SMALL (shared 8-token prefix), so
+  // carrying the two shingle arrays through the join and intersecting
+  // per pair beats the explode-and-count-matches alternative (measured
+  // 3.1s vs 5.8s at sf0.1 — the exploded (block, shingle) self-join
+  // shuffles ~60× more rows). If a blocking key ever produced large
+  // groups, the explode+count shape becomes the right one.
   def d4(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
