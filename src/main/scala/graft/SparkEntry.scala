@@ -13,7 +13,8 @@ object SparkEntry {
       graft.operators.DedupQueries.queries ++
       graft.operators.SimilarityQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
-      graft.operators.StreamingQueries.queries
+      graft.operators.StreamingQueries.queries ++
+      graft.operators.CrossQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.operators.DedupQueries.oracleSql ++
       graft.operators.SimilarityQueries.oracleSql ++
       graft.operators.MultimodalQueries.oracleSql ++
-      graft.operators.StreamingQueries.oracleSql
+      graft.operators.StreamingQueries.oracleSql ++
+      graft.operators.CrossQueries.oracleSql
 }

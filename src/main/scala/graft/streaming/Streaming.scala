@@ -22,9 +22,18 @@ object Streaming {
 
   private val queryCounter = new AtomicInteger(0)
 
-  /** Micros-precision event timestamp from the nanos long. */
-  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c / lit(1000L)).cast(LongType)
+  /** Micros-precision event timestamp from the nanos long.
+    *
+    * INTEGRAL division: `floor(ts / 1000)` would route through double
+    * division, which at epoch-nano magnitude (~1.7e18 > 2^53) carries
+    * ~0.25 µs of error — enough to disagree with an exact engine on ~half
+    * of all values. `div` keeps it in exact long arithmetic. */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(c), Literal(1000L))).cast(LongType)
+  }
 
   /** Hourly windowed aggregation, executed as a REAL streaming query:
     * readStream over the parquet dir → event-time tumbling window →
