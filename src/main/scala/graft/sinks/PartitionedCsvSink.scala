@@ -23,8 +23,17 @@ object PartitionedCsvSink {
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 5000000L): Unit =
-    df.write
+      maxRecordsPerFile: Long = 5000000L,
+      /** One shuffle keyed on the partition columns before the write:
+        * yields one file per group (the reference's S5 one-CSV-per-opco
+        * contract) instead of files-per-task-per-group; leave false for
+        * maximum write parallelism. */
+      singleFilePerGroup: Boolean = false): Unit = {
+    val out =
+      if (singleFilePerGroup)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    out.write
       .partitionBy(partitionCols: _*)
       .option("header", "true")
       // emptyValue "" keeps empty strings distinguishable from the quote
@@ -34,4 +43,5 @@ object PartitionedCsvSink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .csv(path)
+  }
 }

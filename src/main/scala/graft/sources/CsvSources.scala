@@ -39,4 +39,24 @@ object CsvSources {
     * `n` out. No-op when the source already parallelized. */
   def repartitionAfterRead(df: DataFrame, n: Int): DataFrame =
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+
+  /** S1 variant with malformed-line capture: PERMISSIVE parse keeps bad
+    * physical lines in `_corrupt_record` instead of failing the job —
+    * the ingestion-side complement to the row-level validation rules
+    * (the reference assumes clean CSV; at 100 TB that assumption always
+    * breaks somewhere). Requires an explicit schema (all-string contract
+    * plus the capture column). */
+  def commaWithCorruptCapture(
+      spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val schema = StructType(
+      columns.map(StructField(_, StringType, nullable = true)) :+
+        StructField("_corrupt_record", StringType, nullable = true))
+    spark.read.format("csv")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .load(path)
+  }
 }

@@ -36,6 +36,33 @@ class CsvSourcesSpec extends SparkSpec {
     assert(df.count() === 100)
   }
 
+  test("corrupt-record capture keeps malformed lines instead of failing") {
+    val dir = Files.createTempDirectory("corrupt")
+    val p = Paths.get(dir.toString, "in.csv")
+    Files.writeString(p,
+      "co_nbr,supc,prc_zone\n019,123,5\n\"unterminated,quote,5\n020,456,4\n")
+    val df = CsvSources.commaWithCorruptCapture(
+      spark, p.toString, Seq("co_nbr", "supc", "prc_zone")).cache()
+    val bad = df.filter(df("_corrupt_record").isNotNull)
+    val good = df.filter(df("_corrupt_record").isNull)
+    assert(bad.count() === 1)
+    assert(good.count() === 2)
+    assert(bad.head().getAs[String]("_corrupt_record").contains("unterminated"))
+    df.unpersist()
+  }
+
+  test("singleFilePerGroup write yields exactly one csv per partition dir") {
+    import spark.implicits._
+    val df = Seq(("019", "a"), ("019", "b"), ("020", "c"))
+      .toDF("opco_id", "v").repartition(4)
+    val out = Files.createTempDirectory("onefile").toString
+    graft.sinks.PartitionedCsvSink.write(df, out, Seq("opco_id"), singleFilePerGroup = true)
+    Seq("opco_id=019", "opco_id=020").foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles().filter(_.getName.endsWith(".csv"))
+      assert(files.length === 1, d)
+    }
+  }
+
   test("pipe csv honors separator and header (S3)") {
     val dir = Files.createTempDirectory("pipesrc")
     val p = Paths.get(dir.toString, "pa.csv")
