@@ -14,6 +14,12 @@ import graft.validate.ValidationReport
   */
 object RunReport {
 
+  /** X14 — collision-safe run id for concurrent arrivals (the
+    * reference's uuid-suffixed output paths,
+    * `/root/reference/src/price_zone/s3_trigger_lambda.py:93-94`). */
+  def newRunId(prefix: String = "etl_output"): String =
+    s"${prefix}_${System.currentTimeMillis() / 1000}_${java.util.UUID.randomUUID()}"
+
   final case class Entry(runId: String, stage: String, fields: Map[String, String])
 
   private def esc(s: String): String = s.flatMap {

@@ -65,8 +65,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
     require(k <= 8, "k <= 8: signature slices one 32-hex md5 into 4-hex functions")
-    val sh = df.select(col(idCol),
-      explode(wordShingles(TextFunctions.tokens(col(textCol)), shingleN)).as("_s"))
+    // no array_distinct here: min() is duplicate-insensitive, so raw
+    // shingles give the identical signature without the per-row dedup
+    val tokens = TextFunctions.tokens(col(textCol))
+    val rawShingles = transform(
+      sequence(lit(1), greatest(size(tokens) - lit(shingleN - 1), lit(0))),
+      i => array_join(slice(tokens, i, lit(shingleN)), " "))
+    val sh = df.select(col(idCol), explode(rawShingles).as("_s"))
       .withColumn("_h", md5(col("_s")))
     val aggs = (0 until k).map { j =>
       min(substring(col("_h"), j * 4 + 1, 4)).as(s"_m$j")
