@@ -78,6 +78,20 @@ object Streaming {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each content
+    * fingerprint within the watermark horizon — the streaming twin of
+    * batch `Dedup.exactDedup`, with state bounded by the watermark
+    * (unbounded keys never accumulate; the tradeoff is that a duplicate
+    * arriving later than `horizon` is admitted, which is the standard
+    * cost of bounded-state streaming dedup). */
+  def streamingDedup(
+      docs: DataFrame, tsCol: String, textCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   final case class SessionEvent(user_id: Long, event_id: Long, tsu: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   private final case class SessState(lastTs: Long, sessions: Long, events: Long)
