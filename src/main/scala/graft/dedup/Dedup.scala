@@ -23,12 +23,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Distinct word n-grams from a token array. */
+  /** Distinct word n-grams from a token array. Guarded: fewer than n
+    * tokens yields an EMPTY array — `sequence(1, size-n+1)` would count
+    * DOWN for short inputs (Spark's sequence steps -1 when start >
+    * stop) and feed `slice` an illegal 0 start. */
   def wordShingles(tokensCol: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(tokensCol) - lit(n - 1), lit(0))),
-        i => array_join(slice(tokensCol, i, lit(n)), " ")))
+    when(size(tokensCol) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(tokensCol) - lit(n - 1)),
+          i => array_join(slice(tokensCol, i, lit(n)), " "))))
+      .otherwise(array())
 
   /** MinHash signature: k md5-min values over the shingle set.
     * `min(md5(j || ':' || shingle))` is a k-way independent-ish family
@@ -78,6 +83,28 @@ object Dedup {
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"_m$j")): _*).as("_sig"))
+  }
+
+  /** Raw (non-distinct) word shingles — min() downstream is
+    * duplicate-insensitive. Same short-input guard as [[wordShingles]]. */
+  def rawWordShingles(textCol: Column, n: Int): Column = {
+    val tokens = TextFunctions.tokens(textCol)
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** Per-row signature via the [[graft.functions.expressions.MinHashSig]]
+    * codegen expression — same hash family as [[minhashSignatures]],
+    * zero shuffle, and shingling happens inside the kernel so the plan
+    * has no higher-order function (HOFs break whole-stage codegen).
+    * The streaming/map-only form. */
+  def minhashSigExpr(textCol: Column, shingleN: Int = 3, k: Int = 8): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
+      GraftColumnBridge.expression(TextFunctions.tokens(textCol)), shingleN, k))
   }
 
   /** Candidate near-dup pairs (idA < idB) via MinHash LSH. One explode of
