@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.FloatDotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions.{FloatDotProduct, MinHashSig}
 
 /** Library entry point for Catalyst registration:
   *
@@ -27,5 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "float_dot(a, b) - dot product of two array<float> vectors (codegen)",
         ""),
       (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getName, null, "minhash_sig",
+        "minhash_sig(tokens, shingleN, k) - per-row MinHash signature over word shingles",
+        ""),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: $name must be an integer literal, got $other")
+        }
+        MinHashSig(children.head,
+          intArg(children(1), "shingleN"), intArg(children(2), "k"))
+      }))
   }
 }

@@ -35,15 +35,6 @@ object Dedup {
           i => array_join(slice(tokensCol, i, lit(n)), " "))))
       .otherwise(array())
 
-  /** MinHash signature: k md5-min values over the shingle set.
-    * `min(md5(j || ':' || shingle))` is a k-way independent-ish family
-    * that any engine reproduces byte-for-byte. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(
-        transform(shinglesCol, s => md5(concat(j.cast(StringType), lit(":"), s)))))
-
   /** LSH band keys: signature sliced into `bands` rows-per-band groups,
     * each hashed with its band index. Docs sharing ANY key are
     * candidates. */

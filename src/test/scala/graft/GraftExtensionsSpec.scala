@@ -27,6 +27,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // registered with documentation
       val desc = spark.sql("DESCRIBE FUNCTION float_dot").collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("float_dot"))
+      val sig = spark.sql(
+        "SELECT minhash_sig(split('a b c d', ' '), 3, 8) AS s")
+        .head().getSeq[String](0)
+      assert(sig.length === 8 && sig.forall(_.length == 4))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -27,13 +27,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: identical docs share full signature; near dups share some") {
-    val sig = docs.select(col("doc_id"),
-      Dedup.minhashSignature(
-        Dedup.wordShingles(TextFunctions.tokens(col("text")), 3), 12).as("s"))
+    val sig = docs.select(col("doc_id"), Dedup.minhashSigExpr(col("text"), 3, 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(sig(1L) === sig(2L))
     val shared13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
-    assert(shared13 > 0 && shared13 < 12) // similar but not identical
+    assert(shared13 > 0 && shared13 < 8) // similar but not identical
     val shared14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
     assert(shared14 === 0) // disjoint shingles
   }
