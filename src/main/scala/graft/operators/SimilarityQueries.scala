@@ -130,16 +130,43 @@ object SimilarityQueries {
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s5_centroids — the IVF training step: per-partition (label) centroid
+  // components in exact integer arithmetic. posexplode → per-(label,dim)
+  // partial sums: the standard distributed centroid plan (shuffle
+  // carries |labels|×dims partial sums, not vectors). With computed
+  // centroids, `topKBucketed` upgrades from static sign-planes to true
+  // nearest-centroid IVF.
+  def s5(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(Similarity.scaled(col("embedding"))).as(Seq("pos", "v")))
+      .filter(col("pos") < 8) // first 8 components keep the gate result compact
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_scaled"))
+      .orderBy(col("label"), col("dim"))
+
+  private val s5Sql =
+    """WITH v AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+      |  FROM embeddings)
+      |SELECT label, CAST(i AS INTEGER) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(sv[i]) AS BIGINT) AS sum_scaled
+      |FROM v, range(1, 9) t(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
     "s3_neardup_pairs" -> (s3 _),
-    "s4_label_stats" -> (s4 _))
+    "s4_label_stats" -> (s4 _),
+    "s5_centroids" -> (s5 _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_topk_brute" -> s1Sql,
     "s2_topk_bucketed" -> s2Sql,
     "s3_neardup_pairs" -> s3Sql,
-    "s4_label_stats" -> s4Sql)
+    "s4_label_stats" -> s4Sql,
+    "s5_centroids" -> s5Sql)
 }
