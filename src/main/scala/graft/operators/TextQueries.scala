@@ -113,16 +113,79 @@ object TextQueries {
       |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY pfp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // t5_curation — the composed curation pipeline in one plan: quality
+  // gate + language gate + exact-dedup survivor gate, reporting
+  // kept/dropped per source with drop reasons. This is the query a
+  // training-data curation run actually executes; everything fuses into
+  // one scan + one aggregate (dedup adds its survivor semi-join).
+  def t5(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = fingerprint(col("text"))
+    val firstOwner = docs
+      .select(col("doc_id"), fp.as("_fp"))
+      .groupBy(col("_fp")).agg(min(col("doc_id")).as("_first"))
+    val scored = docs
+      .withColumn("_fp", fp)
+      .join(firstOwner, Seq("_fp"))
+      .withColumn("q", qualityScore(col("text")))
+      .withColumn("pred", languageId(col("text")))
+      .withColumn("is_dup", col("doc_id") =!= col("_first"))
+      .withColumn("low_quality", col("q") < 0.5)
+      .withColumn("lang_mismatch", col("pred") =!= col("lang"))
+    scored.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_dup") && !col("low_quality") && !col("lang_mismatch"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(col("is_dup").cast("long")).as("n_dups"),
+        sum(col("low_quality").cast("long")).as("n_low_quality"),
+        sum(col("lang_mismatch").cast("long")).as("n_lang_mismatch"))
+      .orderBy(col("source"))
+  }
+
+  private val t5Sql = {
+    val en = scoreSql(Seq(" the ", " and ", " of ", " to ", " in "))
+    val de = scoreSql(Seq(" der ", " und ", " die ", " nicht ", " ist "))
+    val es = scoreSql(Seq(" el ", " que ", " los ", " una ", " por "))
+    val fr = scoreSql(Seq(" le ", " et ", " les ", " des ", " une "))
+    s"""WITH fp AS (
+       |  SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f FROM documents),
+       |first_owner AS (SELECT f, min(doc_id) AS first_id FROM fp GROUP BY f),
+       |scored AS (
+       |  SELECT fp.source,
+       |    (fp.doc_id <> fo.first_id) AS is_dup,
+       |    (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |     + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |        / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE)) * 0.4
+       |     + (1.0 - least((CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+       |                     / CAST(greatest(length(text),1) AS DOUBLE)) * 10.0, 1.0)) * 0.2) < 0.5 AS low_quality,
+       |    (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |          WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+       |          WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
+       |          WHEN $es >= $fr AND $es > 0 THEN 'es'
+       |          WHEN $fr > 0 THEN 'fr' ELSE 'und' END) <> fp.lang AS lang_mismatch
+       |  FROM fp JOIN first_owner fo ON fp.f = fo.f)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT is_dup AND NOT low_quality AND NOT lang_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  CAST(SUM(CASE WHEN low_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       |  CAST(SUM(CASE WHEN lang_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
     "t3_langid_confusion" -> (t3 _),
-    "t4_fingerprint_groups" -> (t4 _))
+    "t4_fingerprint_groups" -> (t4 _),
+    "t5_curation" -> (t5 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
     "t2_quality_buckets" -> t2Sql,
     "t3_langid_confusion" -> t3Sql,
-    "t4_fingerprint_groups" -> t4Sql)
+    "t4_fingerprint_groups" -> t4Sql,
+    "t5_curation" -> t5Sql)
 }
