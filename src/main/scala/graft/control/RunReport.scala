@@ -1,7 +1,7 @@
 package graft.control
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, StandardOpenOption}
 import graft.validate.ValidationReport
 
 /** O4 — run-report metadata (SURVEY.md §2.10). The reference aggregates

@@ -2,7 +2,6 @@ package graft.transform
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** The PA (Price Advisor) pipeline
   * (`/root/reference/src/pa/pa_etl_script.py:224-317`), rebuilt as a

@@ -2,7 +2,6 @@ package graft.validate
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 /** A named validation rule: `invalid` is TRUE for rows that violate it.
   *
