@@ -103,14 +103,43 @@ object CrossQueries {
       |ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x4_skyline — Pareto-optimal customers on (total spend, order count):
+  // the skyline operator over an aggregated (dimension-sized) input, so
+  // the anti-join form is the right plan. Exact decimal spend keeps the
+  // dominance comparisons engine-identical.
+  def x4(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(RelationalQueries.dsum(col("o_totalprice")).as("spend"),
+        count(lit(1)).cast("double").as("n_orders"))
+    Skyline.antiJoin(stats, Seq("spend", "n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val x4Sql =
+    """WITH stats AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT * FROM stats x
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM stats y
+      |  WHERE y.spend >= x.spend AND y.n_orders >= x.n_orders
+      |    AND (y.spend > x.spend OR y.n_orders > x.n_orders))
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_docs_embeddings" -> (x1 _),
     "x2_funnel" -> (x2 _),
-    "x3_intersect" -> (x3 _))
+    "x3_intersect" -> (x3 _),
+    "x4_skyline" -> (x4 _))
 
   val oracleSql: Map[String, String] = Map(
     "x1_docs_embeddings" -> x1Sql,
     "x2_funnel" -> x2Sql,
-    "x3_intersect" -> x3Sql)
+    "x3_intersect" -> x3Sql,
+    "x4_skyline" -> x4Sql)
 }
