@@ -130,16 +130,57 @@ object CrossQueries {
       |ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x5_asof_attribution — AS-OF semantics composed from ordered windows
+  // (no custom operator needed when both sides share a partition key):
+  // each purchase attributes to the user's most recent PRECEDING view;
+  // output is the attribution-gap histogram in minutes. A running max
+  // over the event-time-ordered window is the single-pass as-of form —
+  // no self-join, no range join, one sort per user partition.
+  def x5(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("tsu"))).over(w))
+    e.filter(col("event_type") === "purchase")
+      .withColumn("gap_min",
+        when(col("last_view").isNull, lit(-1L))
+          .otherwise(least(floor((col("tsu") - col("last_view")) / 60000000L).cast("long"), lit(60L))))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("gap_min"))
+  }
+
+  private val x5Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+      |  FROM events)
+      |SELECT CASE WHEN last_view IS NULL THEN -1
+      |            ELSE least(CAST(floor((tsu - last_view) / 60000000) AS BIGINT), 60) END AS gap_min,
+      |  COUNT(*) AS n
+      |FROM e WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY gap_min""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_docs_embeddings" -> (x1 _),
     "x2_funnel" -> (x2 _),
     "x3_intersect" -> (x3 _),
-    "x4_skyline" -> (x4 _))
+    "x4_skyline" -> (x4 _),
+    "x5_asof_attribution" -> (x5 _))
 
   val oracleSql: Map[String, String] = Map(
     "x1_docs_embeddings" -> x1Sql,
     "x2_funnel" -> x2Sql,
     "x3_intersect" -> x3Sql,
-    "x4_skyline" -> x4Sql)
+    "x4_skyline" -> x4Sql,
+    "x5_asof_attribution" -> x5Sql)
 }
