@@ -50,12 +50,32 @@ object StreamingQueries {
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st3_stream_join — stream–static broadcast join + event-time window,
+  // executed as a real streaming query; oracle is the batch equivalent
+  // with the same inline dimension.
+  def st3(spark: SparkSession, dir: String): DataFrame =
+    Streaming.enrichedDailyCounts(spark, dir)
+      .orderBy(col("day"), col("severity"))
+
+  private val st3Sql =
+    """WITH dim(event_type, severity) AS (VALUES
+      |  ('view', 'low'), ('click', 'low'), ('signup', 'medium'),
+      |  ('purchase', 'high'), ('error', 'critical'))
+      |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, severity,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY 1, 2 ORDER BY day, severity""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> (st1 _),
-    "st2_sessions" -> (st2 _))
+    "st2_sessions" -> (st2 _),
+    "st3_stream_join" -> (st3 _))
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_hourly" -> st1Sql,
-    "st2_sessions" -> st2Sql)
+    "st2_sessions" -> st2Sql,
+    "st3_stream_join" -> st3Sql)
 }

@@ -78,6 +78,37 @@ object Streaming {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
 
+  /** Stream–static join + windowed aggregation as a real streaming
+    * query: the arriving event stream joins a broadcast static dimension
+    * (event_type → severity class) before the event-time window — the
+    * enrichment-then-aggregate shape of a production stream. */
+  def enrichedDailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_enriched_${queryCounter.incrementAndGet()}"
+    // static dimension (deterministic literal table)
+    val dim = Seq(
+      ("view", "low"), ("click", "low"), ("signup", "medium"),
+      ("purchase", "high"), ("error", "critical")).toDF("event_type", "severity")
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .join(broadcast(dim), Seq("event_type"))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 day"), col("severity"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast(LongType)).as("sum_value_scaled"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("severity"), col("n"), col("sum_value_scaled"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each content
     * fingerprint within the watermark horizon — the streaming twin of
     * batch `Dedup.exactDedup`, with state bounded by the watermark
