@@ -349,6 +349,27 @@ object RelationalQueries {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q17_cube — full grouping-sets lattice (completes rollup coverage);
+  // NULL subtotal keys coalesced away as in q10.
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q17Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q16_sql — the SQL entry surface: the same engine semantics through
   // spark.sql over registered views (TPC-H Q3 shape adapted to the
   // testdata schema). Everything else in this library is DataFrame API;
@@ -398,7 +419,8 @@ object RelationalQueries {
     "q13_dates" -> (q13 _),
     "q14_json" -> (q14 _),
     "q15_strings" -> (q15 _),
-    "q16_sql" -> (q16 _))
+    "q16_sql" -> (q16 _),
+    "q17_cube" -> (q17 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -416,5 +438,6 @@ object RelationalQueries {
     "q13_dates" -> q13Sql,
     "q14_json" -> q14Sql,
     "q15_strings" -> q15Sql,
-    "q16_sql" -> q16Sql)
+    "q16_sql" -> q16Sql,
+    "q17_cube" -> q17Sql)
 }
