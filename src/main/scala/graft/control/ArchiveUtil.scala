@@ -29,18 +29,26 @@ object ArchiveUtil {
 
   /** Copy a prefix tree and validate the destination file count matches
     * the source (the reference's copy-validation contract,
-    * `move_s3_objects.py:33-58`). Throws on mismatch. */
+    * `move_s3_objects.py:33-58`). Throws on mismatch. Counts only the
+    * copied subtree — Hadoop's `FileUtil.copy` lands the tree at
+    * `dst/<srcName>` when `dst` already exists as a directory, and at
+    * `dst` otherwise — so pre-existing destination files can never mask
+    * a partial copy. */
   def archive(srcDir: String, dstDir: String, conf: Configuration = new Configuration()): Long = {
     val src = new Path(srcDir)
     val dst = new Path(dstDir)
     val sfs = fs(src, conf)
     val dfs = fs(dst, conf)
     val expected = countFiles(srcDir, conf)
+    val copyRoot =
+      if (dfs.exists(dst) && dfs.getFileStatus(dst).isDirectory && sfs.getFileStatus(src).isDirectory)
+        new Path(dst, src.getName)
+      else dst
     FileUtil.copy(sfs, src, dfs, dst, false, true, conf)
-    val copied = countFiles(dstDir, conf)
+    val copied = countFiles(copyRoot.toString, conf)
     if (copied < expected)
       throw new IllegalStateException(
-        s"archive validation failed: copied $copied of $expected files from $srcDir to $dstDir")
+        s"archive validation failed: copied $copied of $expected files from $srcDir to $copyRoot")
     copied
   }
 

@@ -98,13 +98,22 @@ object Dedup {
       GraftColumnBridge.expression(TextFunctions.tokens(textCol)), shingleN, k))
   }
 
-  /** Candidate near-dup pairs (idA < idB) via MinHash LSH. One explode of
-    * `bands` keys per doc, one self-equi-join on the band key. */
+  /** Candidate near-dup pairs (idA < idB) via MinHash LSH. Signatures
+    * come from the [[minhashSigExpr]] codegen kernel — map-side only,
+    * byte-identical to the explode+aggregate plan (MinHashSigSpec) but
+    * with no shuffle and no per-shingle row overhead. Docs too short to
+    * shingle get a null signature → null band keys → dropped by the
+    * equi-join, exactly as the aggregate plan drops them (explode of
+    * zero shingles emits no rows). Then one explode of `bands` keys per
+    * doc and one self-equi-join on the band key. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must divide evenly into bands ($bands): integer division " +
+        "would silently drop the trailing signature elements and weaken LSH recall")
     val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val sig = df.select(col(idCol), minhashSigExpr(col(textCol), shingleN, k).as("_sig"))
     val keyed = sig.select(col(idCol),
       explode(lshBandKeys(col("_sig"), bands, rows)).as("band_key"))
     val a = keyed.select(col(idCol).as("doc_a"), col("band_key"))

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocation — and stays inside the WholeStageCodegen span.
   *
   * Accumulates in double (float32 products), summed in index order.
+  *
+  * Malformed embeddings fail fast instead of yielding quietly wrong
+  * similarity scores: mismatched vector lengths and null elements both
+  * raise (a corrupt embedding column is a data bug the pipeline must
+  * surface, not average away).
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,10 +42,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) FloatDotProduct.lengthMismatch(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) FloatDotProduct.nullElement(i)
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -52,10 +59,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val cls = FloatDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) $cls.lengthMismatch($n, $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) $cls.nullElement($i);
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;
@@ -65,4 +75,15 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatDotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object FloatDotProduct {
+  /** Codegen-callable error paths (branches are never-taken in healthy
+    * data, so the in-loop checks cost ~nothing under branch prediction). */
+  def lengthMismatch(nx: Int, ny: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"float_dot: vector length mismatch ($nx vs $ny) — malformed embedding")
+  def nullElement(i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"float_dot: null element at index $i — malformed embedding")
 }

@@ -18,8 +18,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * retries).
   *
   * Scale design: one connection per partition (not per row), batches of
-  * `batchSize`, single commit per partition (or per batch for huge
-  * partitions). `repartition(groupCols…)` upstream gives per-target
+  * `batchSize`, one commit per partition — REPLACE idempotency makes a
+  * retried partition safe, so there is no need for mid-partition
+  * commits. `repartition(groupCols…)` upstream gives per-target
   * parallel streams — the distributed replacement for the reference's
   * one-thread file queue (`load_job.py:114`).
   */
@@ -32,12 +33,26 @@ object JdbcReplaceSink {
       auditColumns: Seq[(String, String)] = Seq.empty,
       batchSize: Int = 1000)
 
+  /** Valid unquoted SQL identifier or dotted pair (`db.table`). Config
+    * identifiers come from pipeline code, not user data, but validating
+    * here keeps a misconfigured table/column name from turning into
+    * arbitrary SQL. */
+  private val identRe = "[A-Za-z_][A-Za-z0-9_$]*".r
+  private def quoteIdent(name: String): String = {
+    val parts = name.split('.')
+    require(
+      parts.nonEmpty && parts.forall(identRe.matches),
+      s"invalid SQL identifier: '$name'")
+    parts.map(p => s"`$p`").mkString(".")
+  }
+
   /** The parameterized statement: data columns bound per row, audit
-    * columns bound once. */
+    * columns bound once. Identifiers are validated and backtick-quoted
+    * (MySQL dialect). */
   def replaceSql(cfg: Config): String = {
-    val cols = cfg.columns ++ cfg.auditColumns.map(_._1)
+    val cols = (cfg.columns ++ cfg.auditColumns.map(_._1)).map(quoteIdent)
     val marks = Seq.fill(cols.size)("?")
-    s"REPLACE INTO ${cfg.table} (${cols.mkString(", ")}) VALUES (${marks.mkString(", ")})"
+    s"REPLACE INTO ${quoteIdent(cfg.table)} (${cols.mkString(", ")}) VALUES (${marks.mkString(", ")})"
   }
 
   /** Load one partition's rows through one connection. Returns rows

@@ -14,9 +14,12 @@ import graft.validate.{ValidationReport, Validator}
   * (`/root/reference/src/price_zone/s3_trigger_lambda.py:45-164`); the
   * Spark-native equivalent is a file-source streaming query where each
   * discovered file batch runs the same validate→remove→finalize plan and
-  * lands in the same partitioned layout. Offsets/exactly-once come from
-  * the checkpoint; the trigger lambda's dedup/uuid bookkeeping
-  * disappears.
+  * lands in the same partitioned layout. Source offsets come from the
+  * checkpoint; `foreachBatch` itself is at-least-once, so each batch
+  * writes to a `batch_id=<id>`-scoped directory with overwrite mode — a
+  * replayed batch overwrites its own output instead of appending
+  * duplicates, making the sink idempotent (effectively-once end to
+  * end). The trigger lambda's dedup/uuid bookkeeping disappears.
   *
   * `Trigger.AvailableNow` drains everything present and stops — the
   * batch-parity mode; swap for `ProcessingTime` in continuous
@@ -58,11 +61,14 @@ object PipelineStream {
         // empty batches are legal in streams — the batch-mode empty-guard
         // (F13) becomes a per-batch no-op instead of a job failure
         if (report.valid > 0L) {
+          // batchId-scoped path + overwrite: a batch replayed after a
+          // failure between write and checkpoint commit lands in the
+          // same directory, replacing (not duplicating) its output
           PriceZoneTransform.finalize(valid).write
             .partitionBy("opco_id")
             .option("header", "true")
-            .mode("append")
-            .csv(outputDir)
+            .mode("overwrite")
+            .csv(s"$outputDir/batch_id=$batchId")
         }
         reports.add(BatchReport(batchId, report))
         ()

@@ -63,4 +63,17 @@ class FileOpsSpec extends AnyFunSuite {
     assert(!Files.exists(src))
     assert(ArchiveUtil.countFiles(dst.toString) === 2)
   }
+
+  test("archive counts only the copied subtree when destination pre-exists") {
+    val src = Files.createTempDirectory("arch_src2")
+    val dst = Files.createTempDirectory("arch_dst2") // exists, non-empty
+    Files.writeString(src.resolve("a.csv"), "1")
+    Files.writeString(dst.resolve("old1.csv"), "x")
+    Files.writeString(dst.resolve("old2.csv"), "y")
+    // copy lands at dst/<srcName>; the two pre-existing files must not
+    // count toward the validation
+    val n = ArchiveUtil.archive(src.toString, dst.toString)
+    assert(n === 1)
+    assert(ArchiveUtil.countFiles(dst.resolve(src.getFileName.toString).toString) === 1)
+  }
 }

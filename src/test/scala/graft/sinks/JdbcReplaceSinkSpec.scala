@@ -63,8 +63,15 @@ class JdbcReplaceSinkSpec extends SparkSpec {
 
   test("replaceSql renders data + audit columns positionally") {
     assert(JdbcReplaceSink.replaceSql(cfg) ===
-      "REPLACE INTO REF_PRICE_019.PRICE_ZONE_01 " +
-        "(supc, customer_id, price_zone, ARRIVED_TIME, FILE_SOURCE) VALUES (?, ?, ?, ?, ?)")
+      "REPLACE INTO `REF_PRICE_019`.`PRICE_ZONE_01` " +
+        "(`supc`, `customer_id`, `price_zone`, `ARRIVED_TIME`, `FILE_SOURCE`) VALUES (?, ?, ?, ?, ?)")
+  }
+
+  test("replaceSql rejects injectable identifiers") {
+    val bad = cfg.copy(table = "t; DROP TABLE x")
+    intercept[IllegalArgumentException](JdbcReplaceSink.replaceSql(bad))
+    val badCol = cfg.copy(columns = Seq("supc", "a`b"))
+    intercept[IllegalArgumentException](JdbcReplaceSink.replaceSql(badCol))
   }
 
   test("writePartition batches, binds audit values, commits once") {

@@ -31,8 +31,11 @@ class PipelineStreamSpec extends SparkSpec {
     assert(total === 3)
     // opco 020 poisoned in f1 (zone 9) but batch boundaries matter:
     // f2's 020 row is valid if processed in a separate batch
-    val outDirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(outDirs.contains("opco_id=019"))
+    // idempotent sink: each batch lands under batch_id=<id>/opco_id=<o>
+    val batchDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(batchDirs.nonEmpty && batchDirs.forall(_.getName.startsWith("batch_id=")))
+    val opcoDirs = batchDirs.flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(opcoDirs.contains("opco_id=019"))
 
     // second run with same checkpoint: nothing new to process
     val again = PipelineStream.runPriceZoneStream(
@@ -47,7 +50,7 @@ class PipelineStreamSpec extends SparkSpec {
     val third = PipelineStream.runPriceZoneStream(
       spark, in, out, ckpt, activeOpcos = Seq("019", "020"))
     assert(third.map(_.report.received).sum === 1)
-    val back = spark.read.option("header", "true").csv(s"$out/opco_id=019")
+    val back = spark.read.option("header", "true").csv(s"$out/batch_id=*/opco_id=019")
     assert(back.count() >= 2) // f1's 019 row + f3's row
   }
 }
