@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.functions.TextFunctions
 
 /** Dedup operators over the documents table, each hash-checked against a
@@ -45,8 +45,11 @@ object DedupQueries {
       Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val d2Sql =
-    """WITH sh AS (
+  /** The MinHash+LSH candidate-pair CTE chain, shared by d2 (the pairs
+    * themselves) and d5 (connected components over the pairs). No WITH
+    * keyword so d5 can prepend WITH RECURSIVE. */
+  private val pairCtes =
+    """sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
@@ -61,10 +64,13 @@ object DedupQueries {
       |keys AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4),
       |    b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(list_slice(s, b*2 + 1, b*2 + 2), '|')))) AS band_key
-      |  FROM sig)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val d2Sql =
+    s"WITH $pairCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
   // d3_simhash — 16-bit hex-digit SimHash; collision groups (candidates).
@@ -140,16 +146,45 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d5_dedup_clusters — near-duplicate CLUSTERS: connected components
+  // (alternating large-star/small-star) over the MinHash LSH candidate
+  // pairs, summarized per component. The oracle re-states components as
+  // a recursive reachability CTE (tractable at oracle scale; the Spark
+  // side is the O(log n)-round distributed algorithm).
+  def d5(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("component"))
+  }
+
+  private val d5Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(id) AS max_member
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
     "d3_simhash" -> (d3 _),
-    "d4_jaccard_pairs" -> (d4 _))
+    "d4_jaccard_pairs" -> (d4 _),
+    "d5_dedup_clusters" -> (d5 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
     "d3_simhash" -> d3Sql,
-    "d4_jaccard_pairs" -> d4Sql)
+    "d4_jaccard_pairs" -> d4Sql,
+    "d5_dedup_clusters" -> d5Sql)
 }
