@@ -169,18 +169,47 @@ object CrossQueries {
       |GROUP BY 1 ORDER BY gap_min""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x6_range_join — point-in-interval join via bin equi-keys
+  // ([[graft.joins.RangeJoin]]): customers whose balance falls in a
+  // supplier's [acctbal, acctbal+500] band. The oracle is the plain
+  // inequality join DuckDB can afford at oracle scale; Spark runs the
+  // binned HASH-join plan (a raw BETWEEN join would plan
+  // BroadcastNestedLoopJoin — O(|P|·|R|)).
+  def x6(spark: SparkSession, dir: String): DataFrame = {
+    val ranges = Tables.supplier(spark, dir).select(
+      col("s_suppkey"), col("s_acctbal").as("lo"),
+      (col("s_acctbal") + lit(500.0)).as("hi"))
+    val points = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    graft.joins.RangeJoin
+      .pointInRange(points, ranges, "c_acctbal", "lo", "hi", binWidth = 500.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        RelationalQueries.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val x6Sql =
+    """SELECT s_suppkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM supplier JOIN customer
+      |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 500.0
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_docs_embeddings" -> (x1 _),
     "x2_funnel" -> (x2 _),
     "x3_intersect" -> (x3 _),
     "x4_skyline" -> (x4 _),
-    "x5_asof_attribution" -> (x5 _))
+    "x5_asof_attribution" -> (x5 _),
+    "x6_range_join" -> (x6 _))
 
   val oracleSql: Map[String, String] = Map(
     "x1_docs_embeddings" -> x1Sql,
     "x2_funnel" -> x2Sql,
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
-    "x5_asof_attribution" -> x5Sql)
+    "x5_asof_attribution" -> x5Sql,
+    "x6_range_join" -> x6Sql)
 }

@@ -402,6 +402,57 @@ object RelationalQueries {
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q18_pivot — pivot (long→wide) with EXPLICIT pivot values: passing
+  // Seq("F","O") skips the extra distinct-values job Spark otherwise
+  // runs before planning the pivot — at 100 TB that job is a full
+  // column scan. The oracle is the CASE-aggregate restatement (what a
+  // pivot is).
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  private val q18Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19_percentiles — exact quartiles. Prices go through DECIMAL cents →
+  // BIGINT so the interpolation (index frac ∈ {0, .25, .5, .75} over
+  // integers) is exact in double on any engine — raw-double percentiles
+  // can differ in the last ulp when engines interpolate as
+  // (1−d)·lo + d·hi vs lo + d·(hi−lo).
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("cents",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(cents, 0.25)").as("p25_cents"),
+        expr("percentile(cents, 0.5)").as("p50_cents"),
+        expr("percentile(cents, 0.75)").as("p75_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q19Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  quantile_cont(cents, 0.25) AS p25_cents,
+      |  quantile_cont(cents, 0.5) AS p50_cents,
+      |  quantile_cont(cents, 0.75) AS p75_cents,
+      |  COUNT(*) AS n
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
@@ -420,7 +471,9 @@ object RelationalQueries {
     "q14_json" -> (q14 _),
     "q15_strings" -> (q15 _),
     "q16_sql" -> (q16 _),
-    "q17_cube" -> (q17 _))
+    "q17_cube" -> (q17 _),
+    "q18_pivot" -> (q18 _),
+    "q19_percentiles" -> (q19 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -439,5 +492,7 @@ object RelationalQueries {
     "q14_json" -> q14Sql,
     "q15_strings" -> q15Sql,
     "q16_sql" -> q16Sql,
-    "q17_cube" -> q17Sql)
+    "q17_cube" -> q17Sql,
+    "q18_pivot" -> q18Sql,
+    "q19_percentiles" -> q19Sql)
 }

@@ -174,18 +174,102 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------------
+  // t6_split — deterministic train/val/test assignment from a content-
+  // stable hash (md5 of the id), the standard reproducible dataset-split
+  // op: no sampling state, no shuffle to assign, identical on every
+  // engine and at every scale. Hex-prefix boundaries: 'cc' ≈ 79.7%
+  // train, 'e6' ≈ +10.2% val, rest test.
+  def t6(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < lit("cc"), lit("train"))
+          .when(bucket < lit("e6"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val t6Sql =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT source, split, COUNT(*) AS n,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t7_repetition — Gopher-style repetition quality signals: duplicate-
+  // word fraction (1 − distinct/total tokens) and top-bigram fraction
+  // (most frequent bigram / all bigrams), histogrammed. The bigram mode
+  // runs as explode → two-level aggregate (map-side combine at both
+  // levels) rather than a per-row HOF frequency count, which would be
+  // O(len²) per document and break whole-stage codegen.
+  def t7(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tok"),
+      size(array_distinct(tokens(col("text")))).as("n_dist"))
+    val bigramStats = docs
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.rawWordShingles(col("text"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"), sum(col("c")).as("total"))
+    val fr = base.join(bigramStats, Seq("doc_id"), "left").select(
+      (lit(1.0) - col("n_dist").cast(DoubleType) /
+        greatest(col("n_tok"), lit(1)).cast(DoubleType)).as("dupf"),
+      coalesce(col("maxc").cast(DoubleType) / col("total").cast(DoubleType), lit(0.0)).as("repf"))
+    fr.groupBy(
+        floor(col("dupf") * 10).cast(IntegerType).as("dup_bucket"),
+        floor(col("repf") * 10).cast(IntegerType).as("rep_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dup_bucket"), col("rep_bucket"))
+  }
+
+  private val t7Sql =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+      |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 1), ' '))) AS b
+      |  FROM documents),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+      |bs AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total FROM bc GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+      |    len(list_distinct(string_split(text,' '))) AS n_dist
+      |  FROM documents),
+      |fr AS (
+      |  SELECT
+      |    1.0 - CAST(n_dist AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) AS dupf,
+      |    COALESCE(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE), 0.0) AS repf
+      |  FROM base LEFT JOIN bs ON base.doc_id = bs.doc_id)
+      |SELECT CAST(floor(dupf * 10) AS INTEGER) AS dup_bucket,
+      |  CAST(floor(repf * 10) AS INTEGER) AS rep_bucket, COUNT(*) AS n
+      |FROM fr GROUP BY 1, 2 ORDER BY dup_bucket, rep_bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
     "t3_langid_confusion" -> (t3 _),
     "t4_fingerprint_groups" -> (t4 _),
-    "t5_curation" -> (t5 _))
+    "t5_curation" -> (t5 _),
+    "t6_split" -> (t6 _),
+    "t7_repetition" -> (t7 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
     "t2_quality_buckets" -> t2Sql,
     "t3_langid_confusion" -> t3Sql,
     "t4_fingerprint_groups" -> t4Sql,
-    "t5_curation" -> t5Sql)
+    "t5_curation" -> t5Sql,
+    "t6_split" -> t6Sql,
+    "t7_repetition" -> t7Sql)
 }
