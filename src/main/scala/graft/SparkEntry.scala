@@ -14,7 +14,8 @@ object SparkEntry {
       graft.operators.SimilarityQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
       graft.operators.StreamingQueries.queries ++
-      graft.operators.CrossQueries.queries
+      graft.operators.CrossQueries.queries ++
+      graft.operators.SketchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.operators.SimilarityQueries.oracleSql ++
       graft.operators.MultimodalQueries.oracleSql ++
       graft.operators.StreamingQueries.oracleSql ++
-      graft.operators.CrossQueries.oracleSql
+      graft.operators.CrossQueries.oracleSql ++
+      graft.operators.SketchQueries.oracleSql
 }
