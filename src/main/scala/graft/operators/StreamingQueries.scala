@@ -68,14 +68,39 @@ object StreamingQueries {
       |GROUP BY 1, 2 ORDER BY day, severity""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st4_stream_stream — stream–stream inner join with an event-time
+  // interval bound (views → purchases within 30 min), run as a real
+  // double-watermarked streaming query; per-user pair counts must
+  // hash-match the batch self-join oracle.
+  def st4(spark: SparkSession, dir: String): DataFrame =
+    Streaming.viewPurchaseJoin(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("view_id")).as("min_view"),
+        max(col("purchase_id")).as("max_purchase"))
+      .orderBy(col("user_id"))
+
+  private val st4Sql =
+    """SELECT v.user_id, COUNT(*) AS n_pairs,
+      |  MIN(v.event_id) AS min_view, MAX(p.event_id) AS max_purchase
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+      |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 30 * 60 * 1000000
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
-    "st3_stream_join" -> (st3 _))
+    "st3_stream_join" -> (st3 _),
+    "st4_stream_stream" -> (st4 _))
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
-    "st3_stream_join" -> st3Sql)
+    "st3_stream_join" -> st3Sql,
+    "st4_stream_stream" -> st4Sql)
 }

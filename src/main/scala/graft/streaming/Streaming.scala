@@ -148,4 +148,40 @@ object Streaming {
           UserSessions(uid, s.sessions, s.events)
       }
   }
+
+  /** Stream–stream inner join with an event-time interval condition:
+    * views matched to the same user's purchases within the following 30
+    * minutes — attribution as a continuously-running query.
+    *
+    * Scale semantics: BOTH sides carry a watermark and the join
+    * condition bounds purchase time against view time, so each side's
+    * buffered state is watermark + interval deep, never unbounded — the
+    * requirement for running this join forever on a real cluster. With
+    * AvailableNow over a static directory the join drains every match,
+    * so the result hash-equals the batch self-join oracle. */
+  def viewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_ssj_${queryCounter.incrementAndGet()}"
+    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+    val views = base.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("event_ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
