@@ -77,43 +77,36 @@ object DedupQueries {
   // Explode-based plan (md5 once per token, 16 sums map-side-combined)
   // rather than the per-row nested-HOF form, which re-hashes every token
   // 16 times (same CollapseProject recompute trap as MinHash).
-  /** (doc_id, simhash) via the explode + per-bit-sum-agg plan — shared
-    * by d3 (16-bit collision groups) and d6 (32-bit hamming-ball pairs;
-    * pair enumeration needs the longer signature or hamming balls are
-    * all noise). One md5 per token feeds all bits. */
-  private def simhashDf(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+  /** (doc_id, simhash) via the explode + per-bit-sum-agg plan. One md5
+    * per token feeds all bits. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("_t"))
       .withColumn("_h", md5(col("_t")))
-    val bitSums = (1 to bits).map { j =>
+    val bitSums = (1 to 16).map { j =>
       sum(when(substring(col("_h"), j, 1) >= lit("8"), lit(1)).otherwise(lit(-1))).as(s"_b$j")
     }
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        concat((1 to bits).map(j => when(col(s"_b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+        concat((1 to 16).map(j => when(col(s"_b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
   def d3(spark: SparkSession, dir: String): DataFrame = {
-    simhashDf(spark, dir, 16)
+    simhashDf(spark, dir)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n") > 1)
       .orderBy(col("simhash"))
   }
 
-  /** The per-doc simhash CTE (no WITH keyword), parameterized on
-    * signature width — d3 uses 16 bits, d6 uses 32. */
-  private def simCte(bits: Int) =
-    s"""s AS (
+  private val d3Sql =
+    s"""WITH s AS (
        |  SELECT doc_id,
-       |    array_to_string(list_transform(range(1, ${bits + 1}), j ->
+       |    array_to_string(list_transform(range(1, 17), j ->
        |      CASE WHEN list_aggregate(list_transform(string_split(text, ' '),
        |             t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END), 'sum') > 0
        |           THEN '1' ELSE '0' END), '') AS simhash
-       |  FROM documents)""".stripMargin
-
-  private val d3Sql =
-    s"""WITH ${simCte(16)}
+       |  FROM documents)
        |SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM s GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin
 
@@ -186,49 +179,68 @@ object DedupQueries {
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
-  // d6_simhash_pairs — SimHash near-dup PAIRS via hamming-ball LSH: the
-  // 32-bit signature splits into 4 chunk keys of 8 bits; by pigeonhole,
-  // any pair within hamming distance 3 shares at least one intact chunk,
-  // so the chunk equi-join finds every such pair (exact recall for
-  // d ≤ 3) and the hamming filter removes false candidates. Chunk
-  // buckets hold ~n/256 docs, so the candidate set grows linearly in n
-  // (for near-dup-free data), never quadratically; the hamming count
-  // runs on candidates only.
+  // d6_simhash_pairs — SimHash near-dup PAIRS via hamming-ball LSH over
+  // a 63-bit signature PACKED INTO ONE LONG: band keys are 16-bit chunk
+  // shifts, the hamming distance is bit_count(sig_a XOR sig_b) — every
+  // step a codegen'd integer op, no strings or HOFs in the hot path. By
+  // pigeonhole, any pair within hamming distance 3 shares one of the 4
+  // chunks intact, so the chunk equi-join has exact recall at d ≤ 3;
+  // 16-bit chunks keep buckets small even on short correlated docs
+  // (8-bit chunks measured 7.5M candidate pairs at sf0.1 vs 0.57M).
+  // Bit family (both engines reproduce it exactly): bits 1–32 = high
+  // bit of each md5 hex digit, bits 33–63 = digit parity.
   def d6(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDf(spark, dir, 32)
-    val keyed = sh.select(col("doc_id"), col("simhash"),
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+    def bitCond(j: Int) =
+      if (j <= 32) substring(col("_h"), j, 1) >= lit("8")
+      else ascii(substring(col("_h"), j - 32, 1)) % 2 === 1
+    val bitSums = (1 to 63).map { j =>
+      sum(when(bitCond(j), lit(1)).otherwise(lit(-1))).as(s"_b$j")
+    }
+    val sigTerm = (1 to 63).map { j =>
+      when(col(s"_b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigTerm.as("sig"))
+    // sig >= 0 (bit 63 unused), so arithmetic shift == logical shift
+    val keyed = sh.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>
-        concat(lit(s"$c:"), substring(col("simhash"), c * 8 + 1, 8))): _*)).as("k"))
-    val a = keyed.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("k"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("k"))
-    val pairs = a.join(b, Seq("k"))
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(65535L)) + lit(c * 65536L)): _*)).as("k"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("k"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("k"))
+    a.join(b, Seq("k"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()
-    val hamming = size(filter(sequence(lit(1), lit(32)),
-      i => col("sh_a").substr(i, lit(1)) =!= col("sh_b").substr(i, lit(1))))
-    pairs.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val d6Sql =
-    s"""WITH ${simCte(32)},
-       |keys AS (
-       |  SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
-       |    c -> CAST(c AS VARCHAR) || ':' || substr(simhash, c*8 + 1, 8))) AS k
-       |  FROM s),
-       |p AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sh_a, b.simhash AS sh_b
-       |  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id),
-       |h AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(len(list_filter(range(1, 33),
-       |      i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INTEGER) AS hamming
-       |  FROM p)
-       |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(range(1, 64), j ->
+      |      CASE WHEN list_aggregate(list_transform(string_split(text, ' '), t ->
+      |        CASE WHEN (CASE WHEN j <= 32 THEN substr(md5(t), j, 1) >= '8'
+      |                        ELSE ascii(substr(md5(t), j - 32, 1)) % 2 = 1 END)
+      |             THEN 1 ELSE -1 END), 'sum') > 0
+      |           THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS sig
+      |  FROM documents),
+      |keys AS (
+      |  SELECT doc_id, sig, unnest(list_transform(range(0, 4),
+      |    c -> ((sig >> (c * 16)) & 65535) + c * 65536)) AS k
+      |  FROM s),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
 
