@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{FloatDotProduct, MinHashSig}
+import graft.functions.expressions.{FloatDotProduct, MinHashSig, SimHashSig}
 
 /** Library entry point for Catalyst registration:
   *
@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head,
           intArg(children(1), "shingleN"), intArg(children(2), "k"))
       }))
+
+    e.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(
+        classOf[SimHashSig].getName, null, "simhash_sig",
+        "simhash_sig(tokens) - per-row 63-bit packed SimHash signature (codegen)",
+        ""),
+      (children: Seq[Expression]) => SimHashSig(children.head)))
   }
 }

@@ -123,6 +123,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Per-row 63-bit packed SimHash signature via the
+    * [[graft.functions.expressions.SimHashSig]] codegen expression: one
+    * MD5 per token, 63 sign counters in one kernel pass, result in a
+    * single long. Same bit family as the explode + 63-sign-sum
+    * aggregation (SimHashSigSpec proves byte-identity) but map-side
+    * only — no explode, no shuffle, no per-bit substring in the plan.
+    * Null for zero-token input (the aggregate plan drops those docs). */
+  def simhashSigExpr(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.SimHashSig(
+      GraftColumnBridge.expression(TextFunctions.tokens(textCol))))
+  }
+
   /** 16-bit SimHash rendered as a bitstring ('1'/'0' ×16, bit 1 first).
     * Bit j votes +1 when hex digit j of md5(token) has its high bit set
     * (digit >= '8') — a hex-digit-wise simhash that never needs

@@ -74,25 +74,24 @@ object DedupQueries {
 
   // ---------------------------------------------------------------------
   // d3_simhash — 16-bit hex-digit SimHash; collision groups (candidates).
-  // Explode-based plan (md5 once per token, 16 sums map-side-combined)
-  // rather than the per-row nested-HOF form, which re-hashes every token
-  // 16 times (same CollapseProject recompute trap as MinHash).
-  /** (doc_id, simhash) via the explode + per-bit-sum-agg plan. One md5
-    * per token feeds all bits. */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("_t"))
-      .withColumn("_h", md5(col("_t")))
-    val bitSums = (1 to 16).map { j =>
-      sum(when(substring(col("_h"), j, 1) >= lit("8"), lit(1)).otherwise(lit(-1))).as(s"_b$j")
-    }
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 16).map(j => when(col(s"_b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-  }
+  // The signature comes from the simhash_sig codegen kernel (one MD5 per
+  // token, all bits in one pass, zero shuffle) — the low 16 bits of the
+  // packed long rendered as a bitstring. Earlier shapes, slower at any
+  // scale: nested HOFs re-hash every token per bit (CollapseProject
+  // recompute trap), explode + per-bit sums shuffles every token row.
+  /** (doc_id, sig) via the fused kernel; zero-token docs (null sig)
+    * dropped, matching the explode plan which never emits them. */
+  private def simhashSigDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhashSigExpr(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
 
   def d3(spark: SparkSession, dir: String): DataFrame = {
-    simhashDf(spark, dir)
+    simhashSigDf(spark, dir)
+      .select(col("doc_id"),
+        concat((1 to 16).map(j =>
+          when(shiftright(col("sig"), j - 1).bitwiseAND(lit(1L)) === lit(1L), lit("1"))
+            .otherwise(lit("0"))): _*).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n") > 1)
@@ -120,17 +119,42 @@ object DedupQueries {
   // 3.1s vs 5.8s at sf0.1 — the exploded (block, shingle) self-join
   // shuffles ~60× more rows). If a blocking key ever produced large
   // groups, the explode+count shape becomes the right one.
+  // Per-pair cost: ONE array_intersect. The shingle arrays are distinct
+  // per doc, so |A ∪ B| = |A| + |B| − |A ∩ B|, and size() on an array
+  // is O(1) metadata — no array_union build, and no size column carried
+  // from the doc side (a carried size(sh) collapses into a SECOND full
+  // shingle build per side under CollapseProject; measured, the shingle
+  // HOF build dominates this query, not the 256-candidate intersect).
+  // The groupBy(doc_a, doc_b) before the threshold filter is an
+  // optimizer BARRIER: pairs are already unique so it aggregates
+  // nothing, but without it the filter pushes below the projection and
+  // the intersect runs twice per pair (predicate + output — the round-1
+  // pushdown recompute trap). Shuffled rows are (long, long, double).
   def d4(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       TextFunctions.prefixFingerprint(col("text"), 8).as("pfp"),
       Dedup.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("pfp"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("pfp"), col("sh").as("sh_b"))
-    a.join(b, Seq("pfp"))
+    // One explicit pfp-shuffle, consumed by BOTH join sides: the a and b
+    // branches project different aliases over the SAME repartition
+    // subtree, so ReuseExchange runs the scan + shingle build + shuffle
+    // once (alias-aware output partitioning keeps the join exchange-free
+    // on top). shuffle_hash, not broadcast: the "dimension" here is the
+    // full doc set carrying its shingle arrays — really a serial
+    // driver-side build of every shingle array, and at real scale an
+    // impossible one. The pfp-partitioned hash join is the same plan
+    // that holds when documents is 100 TB.
+    val base = docs.repartition(col("pfp"))
+    val a = base.select(col("doc_id").as("doc_a"), col("pfp"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("pfp"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b.hint("shuffle_hash"), Seq("pfp"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        (inter.cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast(DoubleType)).as("jac"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("jac")).as("jac"))
       .filter(col("jac") >= 0.3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -188,22 +212,10 @@ object DedupQueries {
   // 16-bit chunks keep buckets small even on short correlated docs
   // (8-bit chunks measured 7.5M candidate pairs at sf0.1 vs 0.57M).
   // Bit family (both engines reproduce it exactly): bits 1–32 = high
-  // bit of each md5 hex digit, bits 33–63 = digit parity.
+  // bit of each md5 hex digit, bits 33–63 = hex-char ascii parity.
+  // Signature from the simhash_sig kernel: map-side, no token explode.
   def d6(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("_t"))
-      .withColumn("_h", md5(col("_t")))
-    def bitCond(j: Int) =
-      if (j <= 32) substring(col("_h"), j, 1) >= lit("8")
-      else ascii(substring(col("_h"), j - 32, 1)) % 2 === 1
-    val bitSums = (1 to 63).map { j =>
-      sum(when(bitCond(j), lit(1)).otherwise(lit(-1))).as(s"_b$j")
-    }
-    val sigTerm = (1 to 63).map { j =>
-      when(col(s"_b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sh = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sigTerm.as("sig"))
+    val sh = simhashSigDf(spark, dir)
     // sig >= 0 (bit 63 unused), so arithmetic shift == logical shift
     val keyed = sh.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>

@@ -207,24 +207,28 @@ object TextQueries {
   // t7_repetition — Gopher-style repetition quality signals: duplicate-
   // word fraction (1 − distinct/total tokens) and top-bigram fraction
   // (most frequent bigram / all bigrams), histogrammed. The bigram mode
-  // runs as explode → two-level aggregate (map-side combine at both
-  // levels) rather than a per-row HOF frequency count, which would be
-  // O(len²) per document and break whole-stage codegen.
+  // comes from the top_shingle_stats codegen kernel — an O(tokens)
+  // per-row hash count whose map never leaves the task — replacing the
+  // explode → per-bigram aggregate → per-doc aggregate → join shape
+  // (three shuffles of every bigram row) with zero shuffles before the
+  // final histogram. Same numbers: exact raw n-gram counts.
   def t7(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.GraftColumnBridge
     val docs = Tables.documents(spark, dir)
-    val base = docs.select(col("doc_id"),
-      size(tokens(col("text"))).as("n_tok"),
-      size(array_distinct(tokens(col("text")))).as("n_dist"))
-    val bigramStats = docs
-      .select(col("doc_id"),
-        explode(graft.dedup.Dedup.rawWordShingles(col("text"), 2)).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"), sum(col("c")).as("total"))
-    val fr = base.join(bigramStats, Seq("doc_id"), "left").select(
-      (lit(1.0) - col("n_dist").cast(DoubleType) /
-        greatest(col("n_tok"), lit(1)).cast(DoubleType)).as("dupf"),
-      coalesce(col("maxc").cast(DoubleType) / col("total").cast(DoubleType), lit(0.0)).as("repf"))
+    val bs = GraftColumnBridge.column(graft.functions.expressions.TopShingleStats(
+      GraftColumnBridge.expression(tokens(col("text"))), 2))
+    // docs with <2 tokens have no bigrams (null stats) → repf 0.0,
+    // exactly the exploded plan's left-join-miss behavior
+    val fr = docs.select(
+        size(tokens(col("text"))).as("n_tok"),
+        size(array_distinct(tokens(col("text")))).as("n_dist"),
+        bs.as("bs"))
+      .select(
+        (lit(1.0) - col("n_dist").cast(DoubleType) /
+          greatest(col("n_tok"), lit(1)).cast(DoubleType)).as("dupf"),
+        coalesce(col("bs.maxc").cast(DoubleType) /
+          col("bs.total").cast(DoubleType), lit(0.0)).as("repf"))
     fr.groupBy(
         floor(col("dupf") * 10).cast(IntegerType).as("dup_bucket"),
         floor(col("repf") * 10).cast(IntegerType).as("rep_bucket"))

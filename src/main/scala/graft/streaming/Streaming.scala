@@ -22,6 +22,26 @@ object Streaming {
 
   private val queryCounter = new AtomicInteger(0)
 
+  /** Number of shuffle (= state store) partitions for the streaming
+    * queries, from `spark.graft.streaming.shufflePartitions` (default 8).
+    *
+    * Stateful operators pay a FIXED cost per shuffle partition per
+    * micro-batch: an HDFS-backed state store instance with its own delta
+    * file, snapshot and maintenance work (a stream-stream join keeps
+    * FOUR stores per partition). The batch-side default (cores) is far
+    * too many stores for the state volume of a typical stream; size this
+    * to state volume, not core count — on a 1000-executor cluster
+    * carrying big state, RAISE it via the conf. The value is captured
+    * into the query's checkpoint at first start, which is why it must be
+    * set before `.start()` rather than mid-query. */
+  private def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = spark.conf.get("spark.graft.streaming.shufflePartitions", "8")
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Micros-precision event timestamp from the nanos long.
     *
     * INTEGRAL division: `floor(ts / 1000)` would route through double
@@ -54,12 +74,14 @@ object Streaming {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_value_scaled"))
-    val q = stream.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -100,12 +122,14 @@ object Streaming {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("severity"), col("n"), col("sum_value_scaled"))
-    val q = stream.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -176,12 +200,14 @@ object Streaming {
         col("p_ts") >= col("view_ts") &&
         col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("view_id"), col("purchase_id"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }
