@@ -255,6 +255,44 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d7_contamination — eval-set decontamination: which corpus documents
+  // share any word 8-gram with the held-out set (source 'src0' plays the
+  // eval benchmark)? The standard pretraining hygiene pass. Plan shape:
+  // corpus side explodes distinct 8-gram md5 keys (hash, not raw gram —
+  // a fixed-width shuffle key instead of a ~60-char string); the eval
+  // side is tiny by construction (one source of twenty), so it
+  // BROADCASTs into a left-semi join — no shuffle of the corpus gram
+  // stream at any scale, and the distinct-per-doc explode keeps the
+  // stream linear in corpus size.
+  def d7(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      explode(array_distinct(Dedup.rawWordShingles(col("text"), 8))).as("g"))
+      .select(col("doc_id"), col("source"), md5(col("g")).as("gh"))
+    val evalGrams = grams(docs.filter(col("source") === lit("src0")))
+      .select(col("gh")).distinct()
+    val contaminated = grams(docs.filter(col("source") =!= lit("src0")))
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    contaminated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val d7Sql =
+    """WITH g AS (
+      |  SELECT doc_id, source, md5(unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text,' ')) - 7, 0) + 1),
+      |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))) AS gh
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE source = 'src0'),
+      |cont AS (
+      |  SELECT DISTINCT doc_id, source FROM g
+      |  WHERE source <> 'src0' AND gh IN (SELECT gh FROM ev))
+      |SELECT source, COUNT(*) AS n_contaminated, MIN(doc_id) AS min_doc
+      |FROM cont GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
@@ -262,7 +300,8 @@ object DedupQueries {
     "d3_simhash" -> (d3 _),
     "d4_jaccard_pairs" -> (d4 _),
     "d5_dedup_clusters" -> (d5 _),
-    "d6_simhash_pairs" -> (d6 _))
+    "d6_simhash_pairs" -> (d6 _),
+    "d7_contamination" -> (d7 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -270,5 +309,6 @@ object DedupQueries {
     "d3_simhash" -> d3Sql,
     "d4_jaccard_pairs" -> d4Sql,
     "d5_dedup_clusters" -> d5Sql,
-    "d6_simhash_pairs" -> d6Sql)
+    "d6_simhash_pairs" -> d6Sql,
+    "d7_contamination" -> d7Sql)
 }

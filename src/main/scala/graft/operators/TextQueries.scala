@@ -204,6 +204,75 @@ object TextQueries {
       |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
 
   // ---------------------------------------------------------------------
+  // t8_mixture_sample — data-mixing by per-source sampling rate (the
+  // "how much of each corpus goes into this training run" knob):
+  // high-quality tier kept whole, mid tier at 50%, tail at 25%. The
+  // keep decision is a pure content-stable hash threshold (md5 of
+  // source-salted id, first two hex chars), so it is reproducible,
+  // shuffle-free to assign, trivially re-weightable, and identical on
+  // every engine and at every scale — per-row filter + one partial
+  // aggregate, nothing else.
+  def t8(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(col("source"), lit(":"),
+      col("doc_id").cast("string"))), 1, 2)
+    val tierCut = when(col("source").isin("src0", "src1", "src2", "src3"), lit("zz"))
+      .when(col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), lit("80"))
+      .otherwise(lit("40"))
+    Tables.documents(spark, dir)
+      .withColumn("kept", bucket < tierCut)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("kept"), tokenCount(col("text"))).otherwise(0L)).as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val t8Sql =
+    """WITH s AS (
+      |  SELECT source, text,
+      |    substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      (CASE WHEN source IN ('src0','src1','src2','src3') THEN 'zz'
+      |            WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN '80'
+      |            ELSE '40' END) AS kept
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN kept THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+      |    AS sampled_tokens
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t9_redaction — PII-style scrub pass: match a term denylist on word
+  // boundaries, count hits, and measure the redacted length. Per-row
+  // regexp (compiled once per task, codegen'd) + one partial aggregate;
+  // the replace itself is the op a real pipeline would write back out.
+  private val RedactPattern = "\\b(customer|account|order)\\b"
+  def t9(spark: SparkSession, dir: String): DataFrame = {
+    val hits = regexp_count(col("text"), lit(RedactPattern))
+    val redacted = regexp_replace(col("text"), RedactPattern, "[REDACTED]")
+    Tables.documents(spark, dir)
+      .select(col("source"), hits.as("hits"), length(redacted).as("red_len"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("hits").cast("long")).as("total_hits"),
+        sum(col("red_len").cast("long")).as("sum_redacted_len"))
+      .orderBy(col("source"))
+  }
+
+  private val t9Sql =
+    """WITH r AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '\b(customer|account|order)\b')) AS hits,
+      |    length(regexp_replace(text, '\b(customer|account|order)\b', '[REDACTED]', 'g')) AS red_len
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+      |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+      |  CAST(SUM(red_len) AS BIGINT) AS sum_redacted_len
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // t7_repetition — Gopher-style repetition quality signals: duplicate-
   // word fraction (1 − distinct/total tokens) and top-bigram fraction
   // (most frequent bigram / all bigrams), histogrammed. The bigram mode
@@ -266,7 +335,9 @@ object TextQueries {
     "t4_fingerprint_groups" -> (t4 _),
     "t5_curation" -> (t5 _),
     "t6_split" -> (t6 _),
-    "t7_repetition" -> (t7 _))
+    "t7_repetition" -> (t7 _),
+    "t8_mixture_sample" -> (t8 _),
+    "t9_redaction" -> (t9 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
@@ -275,5 +346,7 @@ object TextQueries {
     "t4_fingerprint_groups" -> t4Sql,
     "t5_curation" -> t5Sql,
     "t6_split" -> t6Sql,
-    "t7_repetition" -> t7Sql)
+    "t7_repetition" -> t7Sql,
+    "t8_mixture_sample" -> t8Sql,
+    "t9_redaction" -> t9Sql)
 }
