@@ -33,6 +33,12 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       byte_histogram: Array[Long], frames_sampled: Int, mean_level: Double)
 
+  /** Checksum modulus: keeps the polynomial hash inside 2^30 so every
+    * step fits 64-bit arithmetic in ANY engine (an unbounded `*31`
+    * polynomial wraps in Java but overflows engines with checked
+    * BIGINT math, making the value inexpressible in a SQL oracle). */
+  val ChecksumMod = 1000000007L
+
   /** STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg/etc.
     * A real deployment replaces the body of `decode` (and only it) with
     * the native codec call; the pipeline shape does not change. */
@@ -90,7 +96,7 @@ object Multimodal {
         while (i < samples.length) {
           val b = samples(i) & 0xff
           hist(b / (256 / FakeCodec.HistogramBins)) += 1
-          checksum = checksum * 31 + b
+          checksum = (checksum * 31 + b) % ChecksumMod
           sum += b
           i += 1
         }

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal binary-column operators. m1 (pure plumbing: blob synth,
-  * octet length, content digest, metadata) is oracle-checked; m2 runs
-  * the typed mapPartitions decode/feature stage whose codec is a stub —
-  * the driver records the weaker rows-only check for it (no oracleSql
-  * entry), as stub decode output has no SQL equivalent.
+/** Multimodal binary-column operators, both oracle-checked. m1 is pure
+  * plumbing (blob synth, octet length, content digest, metadata); m2
+  * runs the typed mapPartitions decode/feature stage — its stub codec
+  * is deterministic, so even the fold-style checksum is restated in
+  * SQL (see m2Sql). A real native codec would make m2 rows-only.
   */
 object MultimodalQueries {
 
@@ -46,7 +46,7 @@ object MultimodalQueries {
 
   // ---------------------------------------------------------------------
   // m2_media_features — typed Dataset + mapPartitions batch decode
-  // (stub codec): per-kind feature stats. Rows-only check by design.
+  // (stub codec): per-kind feature stats.
   def m2(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featuresFromDocuments(spark, Tables.documents(spark, dir))
       .toDF()
@@ -62,12 +62,43 @@ object MultimodalQueries {
 
   // ---------------------------------------------------------------------
 
+  /** The stub codec restated in SQL: identity decode means the blob is
+    * the text's bytes (all-ASCII in this corpus, so ascii(char) ==
+    * byte), the checksum is a modular base-31 fold (`list_reduce`),
+    * histogram bin 7 counts bytes in [96,112), and frame sampling keeps
+    * every 2nd 256-byte frame. A REAL codec would make m2 rows-only
+    * again — this oracle pins the Spark-side plumbing (typed Dataset,
+    * mapPartitions batching, aggregation) end to end. */
+  private val m2Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |         WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    text
+      |  FROM documents),
+      |f AS (
+      |  SELECT kind,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+      |    len(list_filter(list_transform(range(1, length(text) + 1),
+      |      i -> ascii(substr(text, i, 1))), x -> x // 16 = 6)) AS bin6,
+      |    (CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2 AS frames
+      |  FROM media)
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
+      |  CAST(SUM(bin6) AS BIGINT) AS hist_bin6,
+      |  MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> (m1 _),
     "m2_media_features" -> (m2 _))
 
-  /** m2 intentionally absent: stub-codec output is not SQL-expressible;
-    * the driver records a rows-only check for it. */
   val oracleSql: Map[String, String] = Map(
-    "m1_media_meta" -> m1Sql)
+    "m1_media_meta" -> m1Sql,
+    "m2_media_features" -> m2Sql)
 }
