@@ -87,3 +87,68 @@ object FloatDotProduct {
     throw new IllegalArgumentException(
       s"float_dot: null element at index $i — malformed embedding")
 }
+
+/** Native dot product over two `array<long>` columns — the exact-
+  * arithmetic twin of [[FloatDotProduct]] for the oracle path, where
+  * vectors are floor-scaled 1e-6 longs so every engine agrees
+  * bit-for-bit. Replaces the interpreted `aggregate(zip_with(...))`
+  * HOF (per-row intermediate array, breaks whole-stage codegen) with
+  * one fused in-place loop. Same fail-fast contract on malformed
+  * input.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) FloatDotProduct.lengthMismatch(n, y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) FloatDotProduct.nullElement(i)
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val cls = FloatDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) $cls.lengthMismatch($n, $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) $cls.nullElement($i);
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -78,6 +78,10 @@ object SimilarityQueries {
   // ---------------------------------------------------------------------
   // s3_neardup_pairs — embedding-cosine near-dup detection with sign-LSH
   // blocking (the d5 of the dedup family): same-bucket pairs, cos >= 0.4.
+  // The groupBy(vec_a, vec_b) barrier keeps the threshold filter from
+  // pushing below the projection and recomputing the per-pair dot
+  // product twice (the d4 pushdown trap); pairs are unique per bucket
+  // join, so it aggregates nothing and shuffles (long, long, double).
   def s3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val v = e.select(col("vec_id"),
@@ -88,10 +92,10 @@ object SimilarityQueries {
     val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(Similarity.cosineWithNorms(
-        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6))
+      .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
       .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -45,9 +45,17 @@ object Similarity {
   def scaled(c: Column): Column =
     transform(c, x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType))
 
-  /** Exact long dot product of two pre-scaled vectors. */
-  def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact long dot product of two pre-scaled vectors, via the
+    * [[graft.functions.expressions.LongDotProduct]] codegen kernel —
+    * identical arithmetic to `aggregate(zip_with(a, b, _*_), 0, _+_)`
+    * (index-order long sums) but one fused in-place loop instead of an
+    * interpreted HOF with a per-row intermediate array. The per-PAIR
+    * primitive of every oracle-path similarity join. */
+  def dotScaled(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.LongDotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   /** Deterministic cosine from scaled vectors (long dots, double sqrt). */
   def cosineExact(a: Column, b: Column): Column =
