@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{FloatDotProduct, MinHashSig, SimHashSig}
+import graft.functions.expressions.{DateFormatMatches, FloatDotProduct, HasNonDigit,
+  LongDotProduct, MinHashSig, ParseableTimestamp, SimHashSig, TopShingleStats}
 
 /** Library entry point for Catalyst registration:
   *
@@ -51,5 +52,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash_sig(tokens) - per-row 63-bit packed SimHash signature (codegen)",
         ""),
       (children: Seq[Expression]) => SimHashSig(children.head)))
+
+    e.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(
+        classOf[LongDotProduct].getName, null, "long_dot",
+        "long_dot(a, b) - exact dot product of two array<bigint> vectors (codegen)",
+        ""),
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("top_shingle_stats"),
+      new ExpressionInfo(
+        classOf[TopShingleStats].getName, null, "top_shingle_stats",
+        "top_shingle_stats(tokens, n) - struct(maxc, total) n-gram frequency stats (codegen)",
+        ""),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_shingle_stats: n must be an integer literal, got $other")
+        }
+        TopShingleStats(children.head, n)
+      }))
+
+    Seq[(String, String, Expression => Expression)](
+      ("has_non_digit", "true iff any char is not an ASCII digit (rlike '[^0-9]')",
+        HasNonDigit.apply),
+      ("date_format_matches", "reference date-format regex as a byte walk",
+        DateFormatMatches.apply),
+      ("parseable_timestamp", "strict yyyy-MM-dd HH:mm:ss calendar-validity check",
+        ParseableTimestamp.apply)
+    ).foreach { case (name, usage, build) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[HasNonDigit].getName, null, name, s"$name(s) - $usage", ""),
+        (children: Seq[Expression]) => build(children.head)))
+    }
   }
 }

@@ -31,6 +31,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT minhash_sig(split('a b c d', ' '), 3, 8) AS s")
         .head().getSeq[String](0)
       assert(sig.length === 8 && sig.forall(_.length == 4))
+      val sh = spark.sql("SELECT simhash_sig(split('a b c', ' ')) AS s").head().getLong(0)
+      assert(sh >= 0L)
+      assert(spark.sql("SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d")
+        .head().getLong(0) === 31L)
+      val ts = spark.sql(
+        "SELECT top_shingle_stats(split('a b a b', ' '), 2) AS t").head().getStruct(0)
+      assert(ts.getLong(0) === 2L && ts.getLong(1) === 3L)
+      assert(spark.sql("SELECT has_non_digit('12a') AS x").head().getBoolean(0))
+      assert(spark.sql("SELECT date_format_matches('2020-08-06 00:00:00') AS x")
+        .head().getBoolean(0))
+      assert(!spark.sql("SELECT parseable_timestamp('2020-02-30 10:00:00') AS x")
+        .head().getBoolean(0))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
