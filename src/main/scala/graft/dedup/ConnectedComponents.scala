@@ -76,12 +76,15 @@ object ConnectedComponents {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint()
+    // lazy checkpoints: eager localCheckpoint() runs its own job, then
+    // the convergence aggregate runs a second one — lazy lets the
+    // aggregate action materialize the checkpoint, one job per round
+    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(eager = false)
     var last: Option[(Long, Long)] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       // stable (count, order-insensitive checksum) ⇒ the star transforms
       // are at fixpoint; xxhash64 is engine-internal only (never oracled).
       // bit_xor, not sum: xor never overflows (ANSI mode makes a long
