@@ -13,14 +13,22 @@ import graft.functions.TextFunctions
 object DedupQueries {
 
   // ---------------------------------------------------------------------
-  // d1_exact_dedup — exact dedup stats per source (fingerprint groupBy).
+  // d1_exact_dedup — exact dedup stats per source: the fused keep-stats
+  // form of Dedup.exactDedup (same fingerprint-groupBy semantics;
+  // survivor = min doc_id per fingerprint, counted under its own
+  // source via min_by). Two aggregates over one fingerprint
+  // projection — no join back on doc_id, so nothing row-sized is ever
+  // shuffled twice; the final join is 20 aggregate rows.
   def d1(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val kept = Dedup.exactDedup(docs, "doc_id", "text")
-      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_unique"))
+    val fp = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("f"))
+    val kept = fp.groupBy(col("f"))
+      .agg(min_by(col("source"), col("doc_id")).as("keeper_source"))
+      .groupBy(col("keeper_source")).agg(count(lit(1)).as("n_kept"))
+      .withColumnRenamed("keeper_source", "source")
+    fp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("f")).as("n_unique"))
       .join(kept, Seq("source"))
       .orderBy(col("source"))
   }

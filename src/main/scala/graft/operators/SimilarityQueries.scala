@@ -160,17 +160,79 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // s6_quantize — symmetric int8 quantization of the embedding column
+  // (per-vector absmax scale, the standard vector-store compression),
+  // with per-label quantized stats and a floor-scaled reconstruction-
+  // error sum. Every arithmetic step is IEEE double (float→double cast,
+  // one multiply/divide chain, floor) so both engines produce identical
+  // longs — the quantized components and the error are exact across
+  // engines even though the op is "lossy". Map-side per component +
+  // one partial aggregate: no shuffle carries a vector.
+  def s6(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val v = Tables.embeddings(spark, dir).select(
+      col("label"),
+      col("embedding"),
+      array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))).as("maxabs"))
+    val comp = v.select(col("label"), col("maxabs"),
+        explode(col("embedding")).as("x"))
+      .select(col("label"), col("maxabs"), col("x").cast(DoubleType).as("xd"))
+      .select(col("label"), col("maxabs"), col("xd"),
+        when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(col("xd") * lit(127.0) / col("maxabs")).cast(LongType)).as("q"))
+      .select(col("label"), col("q"),
+        when(col("maxabs") === 0.0, floor(abs(col("xd")) * lit(1000000000.0)).cast(LongType))
+          .otherwise(floor(abs(col("xd") - col("q").cast(DoubleType) * col("maxabs") / lit(127.0))
+            * lit(1000000000.0)).cast(LongType)).as("err9"))
+    comp.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_comps"),
+        sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        sum(col("err9")).as("sum_err_scaled"))
+      .orderBy(col("label"))
+  }
+
+  private val s6Sql =
+    """WITH v AS (
+      |  SELECT label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, maxabs, CAST(unnest(embedding) AS DOUBLE) AS xd
+      |  FROM v),
+      |qz AS (
+      |  SELECT label, maxabs, xd,
+      |    CASE WHEN maxabs = 0 THEN 0
+      |         ELSE CAST(floor(xd * 127.0 / maxabs) AS BIGINT) END AS q
+      |  FROM c),
+      |e AS (
+      |  SELECT label, q,
+      |    CASE WHEN maxabs = 0 THEN CAST(floor(abs(xd) * 1000000000.0) AS BIGINT)
+      |         ELSE CAST(floor(abs(xd - CAST(q AS DOUBLE) * maxabs / 127.0)
+      |                * 1000000000.0) AS BIGINT) END AS err9
+      |  FROM qz)
+      |SELECT label, COUNT(*) AS n_comps,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q, MIN(q) AS min_q, MAX(q) AS max_q,
+      |  CAST(SUM(err9) AS BIGINT) AS sum_err_scaled
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
     "s3_neardup_pairs" -> (s3 _),
     "s4_label_stats" -> (s4 _),
-    "s5_centroids" -> (s5 _))
+    "s5_centroids" -> (s5 _),
+    "s6_quantize" -> (s6 _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_topk_brute" -> s1Sql,
     "s2_topk_bucketed" -> s2Sql,
     "s3_neardup_pairs" -> s3Sql,
     "s4_label_stats" -> s4Sql,
-    "s5_centroids" -> s5Sql)
+    "s5_centroids" -> s5Sql,
+    "s6_quantize" -> s6Sql)
 }

@@ -273,6 +273,85 @@ object TextQueries {
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // t10_packing — sequence packing: assign documents to fixed token-
+  // budget bins (4096) by running prefix sum WITHIN each source. The
+  // per-shard (source) window is the scale-correct shape — a global
+  // ORDER BY window funnels everything through one partition; per-shard
+  // packing parallelizes across shards exactly as a real pretokenizer
+  // run does, at the cost of at most one underfilled final bin per
+  // shard. Exclusive prefix (a doc straddling a boundary starts the
+  // next bin's count but lands in the bin its prefix reaches).
+  def t10(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("toks"))
+      .withColumn("prev", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", expr("prev DIV 4096"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  private val t10Sql =
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, toks,
+      |    COALESCE(CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev
+      |  FROM t)
+      |SELECT source, prev // 4096 AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS bin_tokens
+      |FROM p GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t11_source_cap — per-domain quota capping: keep the top 5 documents
+  // per source by quality score (doc_id tie-break), the standard "no
+  // single domain dominates the mix" curation op. rank-filtered window
+  // partitioned BY SOURCE — shards parallelize, k rows survive per
+  // shard, nothing global. Quality sums are floor-scaled longs so the
+  // oracle hash-matches (double sum order is engine-specific).
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q6").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        floor(qualityScore(col("text")) * lit(1000000.0)).cast("long").as("q6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("q6")).as("sum_q_scaled"),
+        max(col("q6")).as("top_q_scaled"),
+        min(col("doc_id")).as("min_kept_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val t11Sql =
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    CAST(floor((
+      |      least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |      + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |         / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE)) * 0.4
+      |      + (1.0 - least((CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+      |                      / CAST(greatest(length(text),1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+      |    ) * 1000000.0) AS BIGINT) AS q6
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, q6,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(q6) AS BIGINT) AS sum_q_scaled,
+      |  MAX(q6) AS top_q_scaled, MIN(doc_id) AS min_kept_doc
+      |FROM r WHERE rn <= 5 GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // t7_repetition — Gopher-style repetition quality signals: duplicate-
   // word fraction (1 − distinct/total tokens) and top-bigram fraction
   // (most frequent bigram / all bigrams), histogrammed. The bigram mode
@@ -337,7 +416,9 @@ object TextQueries {
     "t6_split" -> (t6 _),
     "t7_repetition" -> (t7 _),
     "t8_mixture_sample" -> (t8 _),
-    "t9_redaction" -> (t9 _))
+    "t9_redaction" -> (t9 _),
+    "t10_packing" -> (t10 _),
+    "t11_source_cap" -> (t11 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
@@ -348,5 +429,7 @@ object TextQueries {
     "t6_split" -> t6Sql,
     "t7_repetition" -> t7Sql,
     "t8_mixture_sample" -> t8Sql,
-    "t9_redaction" -> t9Sql)
+    "t9_redaction" -> t9Sql,
+    "t10_packing" -> t10Sql,
+    "t11_source_cap" -> t11Sql)
 }
