@@ -123,6 +123,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Per-row distinct word n-gram 64-bit hashes via the
+    * [[graft.functions.expressions.ShingleHashes]] codegen kernel —
+    * the blocking/intersect primitive: no HOF shingle build, no gram
+    * strings as columns, an 8-byte key instead of a ~60-char gram.
+    * Empty array below `n` tokens, like [[wordShingles]]. */
+  def shingleHashesExpr(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.ShingleHashes(
+      GraftColumnBridge.expression(TextFunctions.tokens(textCol)), n))
+  }
+
   /** Per-row 63-bit packed SimHash signature via the
     * [[graft.functions.expressions.SimHashSig]] codegen expression: one
     * MD5 per token, 63 sign counters in one kernel pass, result in a

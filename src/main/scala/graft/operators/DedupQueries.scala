@@ -140,10 +140,13 @@ object DedupQueries {
   // pushdown recompute trap). Shuffled rows are (long, long, double).
   def d4(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    // shingle_hashes kernel: the intersect runs over 8-byte longs, not
+    // ~25-char gram strings (same counts barring ~1e-8 hash collisions;
+    // the DuckDB oracle intersects raw grams and still hash-matches)
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       TextFunctions.prefixFingerprint(col("text"), 8).as("pfp"),
-      Dedup.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
     // One explicit pfp-shuffle, consumed by BOTH join sides: the a and b
     // branches project different aliases over the SAME repartition
     // subtree, so ReuseExchange runs the scan + shingle build + shuffle
@@ -266,8 +269,10 @@ object DedupQueries {
   // d7_contamination — eval-set decontamination: which corpus documents
   // share any word 8-gram with the held-out set (source 'src0' plays the
   // eval benchmark)? The standard pretraining hygiene pass. Plan shape:
-  // corpus side explodes distinct 8-gram md5 keys (hash, not raw gram —
-  // a fixed-width shuffle key instead of a ~60-char string); the eval
+  // corpus side explodes distinct 8-gram keys from the shingle_hashes
+  // kernel (8-byte longs, not raw ~60-char grams; ~1e-8 collision odds
+  // can only over-flag, and the raw-gram DuckDB oracle still
+  // hash-matches); the eval
   // side is tiny by construction (one source of twenty), so it
   // BROADCASTs into a left-semi join — no shuffle of the corpus gram
   // stream at any scale, and the distinct-per-doc explode keeps the
@@ -275,8 +280,7 @@ object DedupQueries {
   def d7(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
-      explode(array_distinct(Dedup.rawWordShingles(col("text"), 8))).as("g"))
-      .select(col("doc_id"), col("source"), md5(col("g")).as("gh"))
+      explode(Dedup.shingleHashesExpr(col("text"), 8)).as("gh"))
     val evalGrams = grams(docs.filter(col("source") === lit("src0")))
       .select(col("gh")).distinct()
     val contaminated = grams(docs.filter(col("source") =!= lit("src0")))
