@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import graft.SparkSpec
 
-/** Second batch of golden cases ported literal-for-literal from
-  * `/root/reference/test/price_zone/test_data_validator.py` — the
-  * mixed-row attribution matrix (:279-356), opco-column self-validation
-  * (:681-780), the semantic date-field check (:663-679), and the
-  * IntegerType range variant (:338-356).
+/** Golden cases ported literal-for-literal from the reference suites.
+  * Batch 2: `/root/reference/test/price_zone/test_data_validator.py` —
+  * the mixed-row attribution matrix (:279-356), opco-column
+  * self-validation (:681-780), the semantic date-field check
+  * (:663-679), and the IntegerType range variant (:338-356). Batch 3:
+  * the complete 19-case date-format regex oracle from
+  * `test_date_format_regex.py:20-265`.
   */
 class ValidatorGoldenSpec extends SparkSpec {
 
@@ -90,5 +92,45 @@ class ValidatorGoldenSpec extends SparkSpec {
       Seq("0109", "687522", "4518403", "5", "2020-08-06 00:00:00.000000"))
     val got = failed(strDf(rows), Seq(Rules.memberOf("opco_id", Seq("019", "020"))))
     assert(got === Seq("", "0109"))
+  }
+
+  // Third batch: the complete date-format regex oracle suite, all 19
+  // cases literal-for-literal from
+  // `/root/reference/test/price_zone/test_date_format_regex.py:20-265`,
+  // driven through the REAL rule (which runs the DateFormatMatches byte
+  // kernel) and the reference's opco-attribution contract.
+  test("date-format regex oracle: both valid formats pass (:20-44)") {
+    Seq(("022", "2020-08-06 00:00:00.000000"),
+        ("011", "2020-08-06 00:00:00")).foreach { case (opco, dt) =>
+      val df = strDf(Seq(Seq(opco, "104612", "1234567", "5", dt)))
+        .withColumnRenamed("effective_date", "eff_from_dttm")
+      assert(failed(df, Seq(Rules.dateFormat("eff_from_dttm"))) === Seq.empty, dt)
+    }
+  }
+
+  test("date-format regex oracle: all 17 invalid formats attribute ['011'] (:46-265)") {
+    val invalid = Seq(
+      "2020-08-06 00:00:00.",    // bare dot, no fraction digits
+      "2020-08-06 00:00:00.ddd", // non-digit fraction
+      "2020-08-06 00:00",        // missing seconds
+      "2020-08-06",              // date only
+      "2020/08/06 00:00:00",     // wrong separators
+      "2020-08-0600:00:00",      // missing space
+      "20200806 00:00:00",       // undelimited date
+      "2020-08-06 00 00 00",     // spaces for colons
+      "2020-8-06 00:00:00",      // 1-digit month
+      "2020-08-6 00:00:00",      // 1-digit day
+      "2020-13-06 00:00:00",     // month 13
+      "2020-08-32 00:00:00",     // day 32
+      "202-08-06 00:00:00",      // 3-digit year
+      "202-08-06 00:00:00",      // (duplicated in the reference suite)
+      "2020-08-32 25:00:00",     // hour 25
+      "2020-08-32 08:66:00",     // minute 66
+      "2020-08-32 08:00:90")     // second 90
+    invalid.foreach { dt =>
+      val df = strDf(Seq(Seq("011", "104612", "1234567", "5", dt)))
+        .withColumnRenamed("effective_date", "eff_from_dttm")
+      assert(failed(df, Seq(Rules.dateFormat("eff_from_dttm"))) === Seq("011"), dt)
+    }
   }
 }
