@@ -91,16 +91,28 @@ object StreamingQueries {
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st5_stateful_sessions — the custom-state streaming path
+  // (KeyValueGroupedDataset.mapGroupsWithState) run as a REAL streaming
+  // query, hash-matched against the SAME batch oracle as st2: the
+  // stateful kernel and the window-function plan must agree row for
+  // row. st2 proves the relational form; st5 proves the stateful form.
+  def st5(spark: SparkSession, dir: String): DataFrame =
+    Streaming.statefulSessionCounts(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
     "st3_stream_join" -> (st3 _),
-    "st4_stream_stream" -> (st4 _))
+    "st4_stream_stream" -> (st4 _),
+    "st5_stateful_sessions" -> (st5 _))
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
     "st3_stream_join" -> st3Sql,
-    "st4_stream_stream" -> st4Sql)
+    "st4_stream_stream" -> st4Sql,
+    "st5_stateful_sessions" -> st2Sql)
 }

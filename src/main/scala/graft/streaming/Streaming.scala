@@ -149,7 +149,9 @@ object Streaming {
 
   final case class SessionEvent(user_id: Long, event_id: Long, tsu: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
-  private final case class SessState(lastTs: Long, sessions: Long, events: Long)
+  // NOT private: the state encoder's generated code constructs/reads
+  // this class reflectively and cannot reach a private nested ctor
+  final case class SessState(lastTs: Long, sessions: Long, events: Long)
 
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for when built-in
@@ -171,6 +173,32 @@ object Streaming {
           state.update(s)
           UserSessions(uid, s.sessions, s.events)
       }
+  }
+
+  /** [[sessionizeStreaming]] executed as a REAL streaming query over
+    * the events directory: readStream → typed Dataset → groupByKey →
+    * mapGroupsWithState → update-mode memory sink, drained by
+    * AvailableNow. With the whole directory in one micro-batch each
+    * user emits exactly one final row, so the result hash-equals the
+    * batch window-function oracle — the strongest check that the
+    * custom-state path and batch semantics agree. */
+  def statefulSessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_sess_${queryCounter.incrementAndGet()}"
+    val events = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
+      .as[SessionEvent]
+    val sessions = sessionizeStreaming(events, gapMinutes)
+    withStreamShufflePartitions(spark) {
+      val q = sessions.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
   }
 
   /** Stream–stream inner join with an event-time interval condition:
