@@ -178,10 +178,16 @@ object ValidationQueries {
     val mapping = spark.range(12).select(
       lpad(col("id").cast(StringType), 3, "0").as("m_opco"),
       when(col("id") % 2 === 0, lit("01")).otherwise(lit("02")).as("cluster_id"))
+    // two-level distinct: a multi-countDistinct aggregate Expands every
+    // input row once per distinct column; pre-aggregating to the
+    // (cluster, opco, supc) grain first shrinks the expand input from
+    // |records| to |distinct triples| (map-side combined)
     pa.join(broadcast(mapping), col("opco_id") === col("m_opco"))
       .filter(col("opco_id").isin(activeOpcos: _*))
+      .groupBy(col("cluster_id"), col("opco_id"), col("supc"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_records"),
+      .agg(sum(col("c")).cast("long").as("n_records"),
         countDistinct(col("opco_id")).as("n_opcos"),
         countDistinct(col("supc")).as("n_supcs"))
       .orderBy(col("cluster_id"))
