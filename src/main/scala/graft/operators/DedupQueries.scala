@@ -19,18 +19,20 @@ object DedupQueries {
   // source via min_by). Two aggregates over one fingerprint
   // projection — no join back on doc_id, so nothing row-sized is ever
   // shuffled twice; the final join is 20 aggregate rows.
-  // Both consumers derive from ONE (f, source) pre-aggregate whose
-  // scan + md5 + partial agg sit below a shared shuffle exchange
-  // (ReuseExchange), so the full-text fingerprint pass runs once. From
-  // g: n_docs = Σ counts, n_unique = #(f, source) rows per source (the
-  // pair is unique in g), keeper source = min_by over per-group min
-  // doc_ids.
+  // Both consumers derive from ONE (f, source) pre-aggregate,
+  // materialized once via a lazy localCheckpoint (plain ReuseExchange
+  // does NOT fire here: each consumer prunes different columns, so the
+  // optimized subtrees differ) — the full-text fingerprint pass runs
+  // once. From g: n_docs = Σ counts, n_unique = #(f, source) rows per
+  // source (the pair is unique in g), keeper source = min_by over
+  // per-group min doc_ids.
   def d1(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("f"))
       .groupBy(col("f"), col("source"))
       .agg(count(lit(1)).as("c"), min(col("doc_id")).as("md"))
+      .localCheckpoint(eager = false)
     val kept = g.groupBy(col("f"))
       .agg(min_by(col("source"), col("md")).as("keeper_source"))
       .groupBy(col("keeper_source")).agg(count(lit(1)).as("n_kept"))
