@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.expressions.{DateFormatMatches, FloatDotProduct, HasNonDigit,
-  LongDotProduct, MinHashSig, ParseableTimestamp, SimHashSig, TopShingleStats}
+  LongDotProduct, MinHashSig, ParseableTimestamp, ShingleHashes, SimHashSig, TopShingleStats}
 
 /** Library entry point for Catalyst registration:
   *
@@ -76,17 +76,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopShingleStats(children.head, n)
       }))
 
-    Seq[(String, String, Expression => Expression)](
-      ("has_non_digit", "true iff any char is not an ASCII digit (rlike '[^0-9]')",
-        HasNonDigit.apply),
-      ("date_format_matches", "reference date-format regex as a byte walk",
-        DateFormatMatches.apply),
-      ("parseable_timestamp", "strict yyyy-MM-dd HH:mm:ss calendar-validity check",
-        ParseableTimestamp.apply)
-    ).foreach { case (name, usage, build) =>
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(
+        classOf[ShingleHashes].getName, null, "shingle_hashes",
+        "shingle_hashes(tokens, n) - distinct word n-gram 64-bit hashes (codegen)",
+        ""),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, n)
+      }))
+
+    Seq[(String, String, String, Expression => Expression)](
+      ("has_non_digit", classOf[HasNonDigit].getName,
+        "true iff any char is not an ASCII digit (rlike '[^0-9]')", HasNonDigit.apply),
+      ("date_format_matches", classOf[DateFormatMatches].getName,
+        "reference date-format regex as a byte walk", DateFormatMatches.apply),
+      ("parseable_timestamp", classOf[ParseableTimestamp].getName,
+        "strict yyyy-MM-dd HH:mm:ss calendar-validity check", ParseableTimestamp.apply)
+    ).foreach { case (name, cls, usage, build) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[HasNonDigit].getName, null, name, s"$name(s) - $usage", ""),
+        new ExpressionInfo(cls, null, name, s"$name(s) - $usage", ""),
         (children: Seq[Expression]) => build(children.head)))
     }
   }

@@ -125,36 +125,89 @@ object ValidationKernels {
   private def isLeap(y: Int): Boolean = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
   private val monthDays = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 
+  private def isLeapL(y: Long): Boolean = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+
+  /** `LocalDate.toEpochDay` for arbitrary proleptic-Gregorian years
+    * (the standard java.time day-count algorithm). */
+  private def toEpochDay(y: Long, m: Int, d: Int): Long = {
+    var total = 365L * y
+    if (y >= 0) total += (y + 3) / 4 - (y + 99) / 100 + (y + 399) / 400
+    else total -= y / -4 - y / -100 + y / -400
+    total += (367L * m - 362) / 12
+    total += d - 1
+    if (m > 2) { total -= 1; if (!isLeapL(y)) total -= 1 }
+    total - 719528L
+  }
+
   /** Rule F7's `try_to_timestamp(substring_index(c, '.', 1),
     * 'yyyy-MM-dd HH:mm:ss') IS NOT NULL`: strip everything from the
-    * first `.`, then strict parse — exactly 19 chars, exact separators,
-    * month 1–12, day valid for the (proleptic Gregorian) month, hour
-    * <= 23, minute/second <= 59. Matches Spark's CORRECTED-mode
-    * DateTimeFormatter on every probed input (`ValidationKernelSpec`
-    * drives both on random + adversarial samples). */
+    * first `.`, then strict parse. Pinned empirically against Spark's
+    * CORRECTED-mode parser (`ValidationKernelSpec` drives both):
+    *
+    *   - unsigned year: EXACTLY 4 digits (strict width; `12020` and
+    *     `02020` both fail);
+    *   - `+` year: only with MORE than 4 digits (SignStyle.EXCEEDS_PAD:
+    *     `+2020` fails, `+12020` parses); `-` year: 4+ digits, any
+    *     magnitude (negative years are valid timestamps);
+    *   - at most 9 year digits (ChronoField.YEAR range ±999,999,999 —
+    *     10+ digits fail the field check → null);
+    *   - calendar validity: month 1–12, day ≤ days-in-month with the
+    *     proleptic Gregorian leap rule, hour ≤ 23, min/sec ≤ 59;
+    *   - micros-range overflow (|year| ≳ 292,271): here the ORIGINAL
+    *     expression does not return null — it THROWS (uncaught
+    *     ArithmeticException from the instant→micros conversion kills
+    *     the query). The kernel deliberately diverges and flags the row
+    *     invalid instead: a validation library must surface absurd
+    *     data, not crash on it. The exact overflow boundary is
+    *     replicated with multiplyExact, so on every input the original
+    *     survives, the accept sets are identical.
+    */
   def parseableTimestamp(s: UTF8String): Boolean = {
     var n = s.numBytes
     var i = 0
     while (i < n) { if (s.getByte(i) == '.') { n = i }; i += 1 } // strip at first '.'
-    if (n != 19) return false
-    i = 0
-    while (i < 4) { if (!isDigit(s.getByte(i))) return false; i += 1 }
-    if (s.getByte(4) != '-' || s.getByte(7) != '-' || s.getByte(10) != ' ' ||
-      s.getByte(13) != ':' || s.getByte(16) != ':') return false
-    if (!isDigit(s.getByte(5)) || !isDigit(s.getByte(6)) ||
-      !isDigit(s.getByte(8)) || !isDigit(s.getByte(9)) ||
-      !isDigit(s.getByte(11)) || !isDigit(s.getByte(12)) ||
-      !isDigit(s.getByte(14)) || !isDigit(s.getByte(15)) ||
-      !isDigit(s.getByte(17)) || !isDigit(s.getByte(18))) return false
-    val y = d(s.getByte(0)) * 1000 + d(s.getByte(1)) * 100 + d(s.getByte(2)) * 10 + d(s.getByte(3))
-    val mo = d(s.getByte(5)) * 10 + d(s.getByte(6))
-    val dy = d(s.getByte(8)) * 10 + d(s.getByte(9))
-    val h = d(s.getByte(11)) * 10 + d(s.getByte(12))
-    val mi = d(s.getByte(14)) * 10 + d(s.getByte(15))
-    val se = d(s.getByte(17)) * 10 + d(s.getByte(18))
+    if (n < 19) return false
+    // optional sign + year digits; the tail "-MM-DD HH:mm:ss" is fixed
+    // 15 bytes, so the year field spans [signLen, n-15)
+    val b0 = s.getByte(0)
+    val signed = b0 == '+' || b0 == '-'
+    val yStart = if (signed) 1 else 0
+    val yDigits = n - 15 - yStart
+    if (yDigits < 4 || yDigits > 9) return false
+    if (!signed && yDigits != 4) return false
+    if (b0 == '+' && yDigits == 4) return false
+    var y = 0L
+    i = yStart
+    while (i < yStart + yDigits) {
+      val b = s.getByte(i)
+      if (!isDigit(b)) return false
+      y = y * 10 + d(b)
+      i += 1
+    }
+    if (b0 == '-') y = -y
+    val p = yStart + yDigits // position of '-' before MM
+    if (s.getByte(p) != '-' || s.getByte(p + 3) != '-' || s.getByte(p + 6) != ' ' ||
+      s.getByte(p + 9) != ':' || s.getByte(p + 12) != ':') return false
+    if (!isDigit(s.getByte(p + 1)) || !isDigit(s.getByte(p + 2)) ||
+      !isDigit(s.getByte(p + 4)) || !isDigit(s.getByte(p + 5)) ||
+      !isDigit(s.getByte(p + 7)) || !isDigit(s.getByte(p + 8)) ||
+      !isDigit(s.getByte(p + 10)) || !isDigit(s.getByte(p + 11)) ||
+      !isDigit(s.getByte(p + 13)) || !isDigit(s.getByte(p + 14))) return false
+    val mo = d(s.getByte(p + 1)) * 10 + d(s.getByte(p + 2))
+    val dy = d(s.getByte(p + 4)) * 10 + d(s.getByte(p + 5))
+    val h = d(s.getByte(p + 7)) * 10 + d(s.getByte(p + 8))
+    val mi = d(s.getByte(p + 10)) * 10 + d(s.getByte(p + 11))
+    val se = d(s.getByte(p + 13)) * 10 + d(s.getByte(p + 14))
     if (mo < 1 || mo > 12 || dy < 1) return false
-    val maxDay = if (mo == 2 && isLeap(y)) 29 else monthDays(mo - 1)
-    dy <= maxDay && h <= 23 && mi <= 59 && se <= 59
+    val maxDay = if (mo == 2 && isLeapL(y)) 29 else monthDays(mo - 1)
+    if (dy > maxDay || h > 23 || mi > 59 || se > 59) return false
+    // exact micros-overflow boundary (where the original throws)
+    try {
+      val secs = Math.addExact(Math.multiplyExact(toEpochDay(y, mo, dy), 86400L),
+        (h * 3600 + mi * 60 + se).toLong)
+      Math.multiplyExact(secs, 1000000L)
+      true
+    } catch { case _: ArithmeticException => false }
   }
 }
 

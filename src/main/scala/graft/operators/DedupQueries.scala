@@ -37,8 +37,10 @@ object DedupQueries {
       .agg(min_by(col("source"), col("md")).as("keeper_source"))
       .groupBy(col("keeper_source")).agg(count(lit(1)).as("n_kept"))
       .withColumnRenamed("keeper_source", "source")
+    // count(f), not count(*): countDistinct skips NULL fingerprints
+    // (null text), so a null-f group must not inflate n_unique
     g.groupBy(col("source"))
-      .agg(sum(col("c")).cast("long").as("n_docs"), count(lit(1)).as("n_unique"))
+      .agg(sum(col("c")).cast("long").as("n_docs"), count(col("f")).as("n_unique"))
       .join(kept, Seq("source"))
       .orderBy(col("source"))
   }

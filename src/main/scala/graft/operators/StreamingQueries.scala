@@ -96,8 +96,15 @@ object StreamingQueries {
   // query, hash-matched against the SAME batch oracle as st2: the
   // stateful kernel and the window-function plan must agree row for
   // row. st2 proves the relational form; st5 proves the stateful form.
+  // The max-aggregate makes the result batch-count-proof: the update-
+  // mode memory sink appends one row per user PER MICRO-BATCH, and both
+  // counters are monotone, so max() selects each user's final state
+  // even if the file source ever splits into multiple batches (today
+  // AvailableNow drains the directory in one).
   def st5(spark: SparkSession, dir: String): DataFrame =
     Streaming.statefulSessionCounts(spark, dir, gapMinutes = 30)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
   // ---------------------------------------------------------------------

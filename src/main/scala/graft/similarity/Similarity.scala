@@ -47,10 +47,14 @@ object Similarity {
 
   /** Exact long dot product of two pre-scaled vectors, via the
     * [[graft.functions.expressions.LongDotProduct]] codegen kernel —
-    * identical arithmetic to `aggregate(zip_with(a, b, _*_), 0, _+_)`
-    * (index-order long sums) but one fused in-place loop instead of an
-    * interpreted HOF with a per-row intermediate array. The per-PAIR
-    * primitive of every oracle-path similarity join. */
+    * identical index-order long arithmetic to
+    * `aggregate(zip_with(a, b, _*_), 0, _+_)` on well-formed vectors,
+    * in one fused in-place loop instead of an interpreted HOF with a
+    * per-row intermediate array. On MALFORMED vectors the semantics
+    * deliberately differ: length mismatch / null elements raise
+    * (fail-fast, same contract as [[FloatDotProduct]] per the round-1
+    * review) where the HOF formulation yielded a silent NULL dot. The
+    * per-PAIR primitive of every oracle-path similarity join. */
   def dotScaled(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.expressions.LongDotProduct(

@@ -81,6 +81,39 @@ class ValidationKernelSpec extends SparkSpec {
       }
   }
 
+  test("ParseableTimestamp: signed / wide years match Spark's strict 'yyyy' (probed truth)") {
+    // Spark accepts: unsigned exactly-4-digit years; '+' only with >4
+    // digits (SignStyle.EXCEEDS_PAD); '-' with 4+ digits; <= 9 year
+    // digits. These literals are compared LIVE against try_to_timestamp.
+    val comparable = Seq(
+      "12020-01-01 00:00:00", "+12020-01-01 00:00:00", "-12020-01-01 00:00:00",
+      "+2020-01-01 00:00:00", "-2020-01-01 00:00:00", "+0001-01-01 00:00:00",
+      "02020-01-01 00:00:00", "+99999-01-01 00:00:00", "+9999999999-01-01 00:00:00",
+      "+12345678901234567890-01-01 00:00:00", "+12020-02-29 00:00:00",
+      "+12021-02-29 00:00:00", "-0001-01-01 00:00:00", "-99999-01-01 00:00:00")
+    comparable.toDF("s")
+      .select($"s", bridged(ParseableTimestamp(exprOf($"s"))).as("k"),
+        try_to_timestamp(substring_index($"s", ".", 1),
+          lit(Rules.InputTimestampFormat)).isNotNull.as("r"))
+      .collect().foreach { r =>
+        assert(r.getBoolean(1) === r.getBoolean(2), s"input <${r.getString(0)}>")
+      }
+    // 6-9 digit years are beyond the timestamp's micros range: the
+    // ORIGINAL expression THROWS (uncaught ArithmeticException from the
+    // instant->micros conversion — verified by probe); the kernel
+    // deliberately flags invalid instead of crashing the query.
+    val overflowing = Seq("+999999-01-01 00:00:00", "+999999999-01-01 00:00:00",
+      "-999999-01-01 00:00:00")
+    overflowing.toDF("s")
+      .select(bridged(ParseableTimestamp(exprOf($"s"))).as("k"))
+      .collect().foreach(r => assert(!r.getBoolean(0)))
+    intercept[Exception] {
+      Seq("+999999-01-01 00:00:00").toDF("s")
+        .select(try_to_timestamp(substring_index($"s", ".", 1),
+          lit(Rules.InputTimestampFormat)).isNotNull.as("r")).collect()
+    }
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation folds a
     // projection over a LocalRelation away entirely, leaving no codegen
