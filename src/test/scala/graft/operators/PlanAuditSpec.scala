@@ -69,4 +69,36 @@ class PlanAuditSpec extends SparkSpec {
     // band-key join is an equi-join, never a cartesian
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("d4: pfp self-join is a shuffled hash join, never a driver-side broadcast of shingle arrays") {
+    val plan = executed("d4_jaccard_pairs")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("d7: tiny eval gram set broadcasts into a left-semi join; corpus grams never shuffle") {
+    val plan = executed("d7_contamination")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("d6: simhash banding joins on a long key (no string band keys in the plan)") {
+    val plan = executed("d6_simhash_pairs")
+    assert(plan.contains("simhash_sig"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t10: packing window partitions by source (per-shard, not a single global sort)") {
+    val plan = executed("t10_packing")
+    // a global window would show an empty partition spec / SinglePartition
+    assert(plan.contains("windowspecdefinition(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("t7/t11: per-row kernels keep the repetition and quality passes shuffle-light") {
+    val t7 = executed("t7_repetition")
+    assert(t7.contains("top_shingle_stats"), t7)
+    // one aggregate for the histogram; no join remains
+    assert(!t7.contains("Join"), t7)
+  }
 }
