@@ -210,18 +210,63 @@ object ValidationQueries {
        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // v6_roundtrip — the partitioned CSV SINK inside the hash-checked
+  // gate: validate → finalize → write partitionBy(opco_id) CSV (header,
+  // quoting off, partition column elided — the reference's S4/S5
+  // contract) → read the directory back all-string → aggregate. The
+  // oracle computes the same stats straight from the validated rows,
+  // so ANY round-trip loss (quoting, null/empty rendering, partition-
+  // column type mangling, dropped rows) breaks the hash. Partition
+  // values come back type-inferred ('007' → 7), so the key is
+  // re-padded — exactly the inverse the loader's path-regex extraction
+  // performs in the reference (`FetchFileListLambda/index.py:100-102`).
+  def v6(spark: SparkSession, dir: String): DataFrame = {
+    val valid = PriceZoneTransform.finalize(
+      Validator.validRows(synth(spark, dir), rules, "opco_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v6_roundtrip").toString
+    graft.sinks.PartitionedCsvSink.write(valid, tmp, Seq("opco_id"))
+    val back = spark.read.option("header", "true").csv(tmp)
+    back.groupBy(lpad(col("opco_id").cast(StringType), 3, "0").as("opco_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("supc").cast("long")).as("sum_supc"),
+        sum(col("customer_id").cast("long")).as("sum_customer"),
+        countDistinct(col("price_zone")).as("n_zones"),
+        min(col("effective_date")).as("min_eff"),
+        max(col("effective_date")).as("max_eff"))
+      .orderBy(col("opco_id"))
+  }
+
+  private val v6Sql =
+    s"""WITH input AS ($synthSql), flags AS ($flagsSql),
+       |failed AS (SELECT DISTINCT opco_id FROM flags WHERE $anyFlagSql),
+       |final AS (
+       |  SELECT opco_id, supc, customer_id,
+       |    TRY_CAST(price_zone AS INTEGER) AS price_zone,
+       |    strftime(try_strptime(split_part(eff_from_dttm, '.', 1), '%Y-%m-%d %H:%M:%S'),
+       |             '%Y-%m-%d %H:%M:%S') AS effective_date
+       |  FROM input WHERE opco_id NOT IN (SELECT opco_id FROM failed))
+       |SELECT opco_id, COUNT(*) AS n,
+       |  CAST(SUM(CAST(supc AS BIGINT)) AS BIGINT) AS sum_supc,
+       |  CAST(SUM(CAST(customer_id AS BIGINT)) AS BIGINT) AS sum_customer,
+       |  COUNT(DISTINCT price_zone) AS n_zones,
+       |  MIN(effective_date) AS min_eff, MAX(effective_date) AS max_eff
+       |FROM final GROUP BY opco_id ORDER BY opco_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_rule_flags" -> (v1 _),
     "v2_failed_groups" -> (v2 _),
     "v3_valid_by_opco" -> (v3 _),
     "v4_final_records" -> (v4 _),
-    "v5_pa_route" -> (v5 _))
+    "v5_pa_route" -> (v5 _),
+    "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
     "v1_rule_flags" -> v1Sql,
     "v2_failed_groups" -> v2Sql,
     "v3_valid_by_opco" -> v3Sql,
     "v4_final_records" -> v4Sql,
-    "v5_pa_route" -> v5Sql)
+    "v5_pa_route" -> v5Sql,
+    "v6_roundtrip" -> v6Sql)
 }
