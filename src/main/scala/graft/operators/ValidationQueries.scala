@@ -224,7 +224,11 @@ object ValidationQueries {
     val valid = PriceZoneTransform.finalize(
       Validator.validRows(synth(spark, dir), rules, "opco_id"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_v6_roundtrip").toString
-    graft.sinks.PartitionedCsvSink.write(valid, tmp, Seq("opco_id"))
+    // singleFilePerGroup: the reference's S5 one-CSV-per-opco contract
+    // (pa_etl_script.py groupby→to_csv), and 8 files instead of
+    // tasks×partitions splinters on the read-back
+    graft.sinks.PartitionedCsvSink.write(valid, tmp, Seq("opco_id"),
+      singleFilePerGroup = true)
     val back = spark.read.option("header", "true").csv(tmp)
     back.groupBy(lpad(col("opco_id").cast(StringType), 3, "0").as("opco_id"))
       .agg(count(lit(1)).as("n"),
