@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.expressions.{DateFormatMatches, FloatDotProduct, HasNonDigit,
-  LongDotProduct, MinHashSig, ParseableTimestamp, ShingleHashes, SimHashSig, TopShingleStats}
+  LangId, LongDotProduct, MinHashSig, ParseableTimestamp, ShingleHashes, SimHashSig,
+  TopShingleStats}
 
 /** Library entry point for Catalyst registration:
   *
@@ -97,7 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("date_format_matches", classOf[DateFormatMatches].getName,
         "reference date-format regex as a byte walk", DateFormatMatches.apply),
       ("parseable_timestamp", classOf[ParseableTimestamp].getName,
-        "strict yyyy-MM-dd HH:mm:ss calendar-validity check", ParseableTimestamp.apply)
+        "strict yyyy-MM-dd HH:mm:ss calendar-validity check", ParseableTimestamp.apply),
+      ("lang_id", classOf[LangId].getName,
+        "stopword/CJK language-ID heuristic (zh/en/de/es/fr/und)", LangId.apply)
     ).foreach { case (name, cls, usage, build) =>
       e.injectFunction((
         FunctionIdentifier(name),

@@ -65,8 +65,19 @@ object TextFunctions {
 
   /** Language ID: CJK presence wins immediately; otherwise argmax of
     * stopword scores with fixed tie order en > de > es > fr; 'und' when
-    * nothing matches. */
+    * nothing matches. Fused single-pass kernel — `languageIdReference`
+    * is the original Column formulation it must stay byte-equal to
+    * (pinned by LangIdKernelSpec; the inlined CASE chain cost seconds
+    * of Janino compile per query in BENCH_r02's t3/t5). */
   def languageId(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.expressions.LangId(GraftColumnBridge.expression(c)))
+  }
+
+  /** The pre-kernel formulation of [[languageId]] — equivalence-spec
+    * oracle only; do not use in query paths (codegen size). */
+  private[graft] def languageIdReference(c: Column): Column = {
     val zh = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > lit(0)
     val s = markers.map { case (l, ws) => l -> langScore(c, ws) }.toMap
     when(zh, lit("zh"))

@@ -43,6 +43,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getBoolean(0))
       assert(!spark.sql("SELECT parseable_timestamp('2020-02-30 10:00:00') AS x")
         .head().getBoolean(0))
+      assert(spark.sql("SELECT lang_id('the cat and the dog') AS l")
+        .head().getString(0) === "en")
+      assert(spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
+        .head().getString(0) === "und")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
