@@ -108,18 +108,52 @@ object StreamingQueries {
       .orderBy(col("user_id"))
 
   // ---------------------------------------------------------------------
+  // st6_session_flows — append-clean completed-session emission
+  // (flatMapGroupsWithState + EventTimeTimeout, state removed on
+  // expiry), run as a real streaming query. Emitted = sessions closed
+  // by an in-batch successor ∪ sessions whose timeout (end + gap, in
+  // watermark milliseconds) precedes the final watermark (max event
+  // time, delay 0) — the trailing watermark-advance batch fires those.
+  // A session still inside its gap horizon at end-of-stream is
+  // correctly absent: it is not final yet.
+  def st6(spark: SparkSession, dir: String): DataFrame =
+    Streaming.sessionFlowCounts(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"), col("start_tsu"))
+
+  private val st6Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |    SUM(CASE WHEN prev IS NULL OR tsu - prev > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, seq, min(tsu) AS start_tsu, max(tsu) AS end_tsu,
+      |    COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, seq),
+      |m AS (SELECT max(tsu) // 1000 AS wm_ms FROM e)
+      |SELECT user_id, start_tsu, end_tsu, n_events
+      |FROM g, m
+      |WHERE seq < (SELECT max(seq) FROM g g2 WHERE g2.user_id = g.user_id)
+      |   OR end_tsu // 1000 + 30 * 60 * 1000 < wm_ms
+      |ORDER BY user_id, start_tsu""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
     "st3_stream_join" -> (st3 _),
     "st4_stream_stream" -> (st4 _),
-    "st5_stateful_sessions" -> (st5 _))
+    "st5_stateful_sessions" -> (st5 _),
+    "st6_session_flows" -> (st6 _))
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
     "st3_stream_join" -> st3Sql,
     "st4_stream_stream" -> st4Sql,
-    "st5_stateful_sessions" -> st2Sql)
+    "st5_stateful_sessions" -> st2Sql,
+    "st6_session_flows" -> st6Sql)
 }

@@ -148,30 +148,110 @@ object Streaming {
       .drop("_fp")
 
   final case class SessionEvent(user_id: Long, event_id: Long, tsu: Long)
+  /** [[SessionEvent]] plus the event-time Timestamp column — the field
+    * must ride INSIDE the case class so the watermark-tagged attribute
+    * survives the typed deserialization into groupByKey (a watermark on
+    * a column the encoder drops never reaches the stateful operator,
+    * and EventTimeTimeout then refuses to arm). */
+  final case class SessionEventW(
+      user_id: Long, event_id: Long, tsu: Long, event_ts: java.sql.Timestamp)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   // NOT private: the state encoder's generated code constructs/reads
   // this class reflectively and cannot reach a private nested ctor
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
+  final case class OpenSession(start: Long, lastTs: Long, events: Long)
+  final case class SessionFlow(user_id: Long, start_tsu: Long, end_tsu: Long, n_events: Long)
+
+  /** Arm the event-time timeout at `max(proposed, watermark + 1)` — a
+    * timestamp at or below the current watermark is rejected by the
+    * state API (late data can propose one). In BATCH execution of the
+    * same operator there is no watermark and timeouts can never fire;
+    * the state API signals that with UnsupportedOperationException,
+    * which is safely ignored (state dies with the single batch). */
+  private def armEventTimeout(state: GroupState[_], proposedMs: Long): Unit =
+    try state.setTimeoutTimestamp(math.max(proposedMs, state.getCurrentWatermarkMs + 1))
+    catch { case _: UnsupportedOperationException => () }
 
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for when built-in
-    * session_window semantics don't fit. Emits per-user session counts;
-    * state carries (lastTs, counts) across micro-batches. */
+    * session_window semantics don't fit. Emits per-user cumulative
+    * session counts; state carries (lastTs, counts) across
+    * micro-batches and is BOUNDED: the event-time timeout fires once
+    * the watermark passes `lastTs + gap`, emitting the final counts and
+    * removing the key (a user idle past the gap horizon costs nothing
+    * — the requirement for unbounded key cardinality on a real
+    * cluster). A user reappearing after expiry starts a fresh epoch;
+    * lifetime-total semantics and bounded state are mutually exclusive
+    * by construction. The timeout row repeats monotone counters, so
+    * max()-per-user downstream is batch-count-proof AND expiry-proof. */
   def sessionizeStreaming(
-      events: Dataset[SessionEvent], gapMinutes: Int): Dataset[UserSessions] = {
+      events: Dataset[SessionEventW], gapMinutes: Int): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMillis = gapMinutes * 60L * 1000L
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.EventTimeTimeout) {
         case (uid, batch, state: GroupState[SessState]) =>
-          val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
-          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val isNew = s.lastTs == Long.MinValue || e.tsu - s.lastTs > gapMicros
-            s = SessState(e.tsu, s.sessions + (if (isNew) 1 else 0), s.events + 1)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSessions(uid, s.sessions, s.events)
+          } else {
+            val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
+            var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val isNew = s.lastTs == Long.MinValue || e.tsu - s.lastTs > gapMicros
+              s = SessState(e.tsu, s.sessions + (if (isNew) 1 else 0), s.events + 1)
+            }
+            state.update(s)
+            armEventTimeout(state, s.lastTs / 1000 + gapMillis)
+            UserSessions(uid, s.sessions, s.events)
           }
-          state.update(s)
-          UserSessions(uid, s.sessions, s.events)
+      }
+  }
+
+  /** Completed-session emission — the append-clean stateful operator:
+    * flatMapGroupsWithState emits each session exactly once, when it
+    * CLOSES (a later event opens a new one, or the event-time timeout
+    * fires once the watermark passes `end + gap`). State holds only the
+    * open session per active user and is removed on timeout, so state
+    * size tracks concurrently-active users, not key cardinality — this
+    * is the shape that runs forever on a real cluster, and its output
+    * needs no downstream dedup (append mode, each row final). */
+  def sessionFlows(
+      events: Dataset[SessionEventW], gapMinutes: Int): Dataset[SessionFlow] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMillis = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionFlow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionFlow(uid, s.start, s.lastTs, s.events))
+          } else {
+            val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
+            val closed = List.newBuilder[SessionFlow]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.tsu - o.lastTs <= gapMicros =>
+                  open = Some(o.copy(lastTs = e.tsu, events = o.events + 1))
+                case Some(o) =>
+                  closed += SessionFlow(uid, o.start, o.lastTs, o.events)
+                  open = Some(OpenSession(e.tsu, e.tsu, 1))
+                case None =>
+                  open = Some(OpenSession(e.tsu, e.tsu, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              armEventTimeout(state, o.lastTs / 1000 + gapMillis)
+            }
+            closed.result().iterator
+          }
       }
   }
 
@@ -182,17 +262,53 @@ object Streaming {
     * user emits exactly one final row, so the result hash-equals the
     * batch window-function oracle — the strongest check that the
     * custom-state path and batch semantics agree. */
-  def statefulSessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+  /** Watermarked typed event stream for the stateful session operators:
+    * the event-time column rides inside [[SessionEventW]] so the
+    * watermark survives into groupByKey (see the case class doc).
+    * Delay 0: the gate directories are complete, so nothing is late. */
+  private def watermarkedSessionEvents(
+      spark: SparkSession, sfDir: String,
+      schema: org.apache.spark.sql.types.StructType): Dataset[SessionEventW] = {
     import spark.implicits._
+    spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[SessionEventW]
+  }
+
+  def statefulSessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_sess_${queryCounter.incrementAndGet()}"
-    val events = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
-      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
-      .as[SessionEvent]
+    val events = watermarkedSessionEvents(spark, sfDir, schema)
     val sessions = sessionizeStreaming(events, gapMinutes)
     withStreamShufflePartitions(spark) {
       val q = sessions.toDF().writeStream
         .outputMode(OutputMode.Update)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
+  /** [[sessionFlows]] executed as a REAL streaming query: append-mode
+    * memory sink, AvailableNow. Emits every session closed in-batch (an
+    * in-batch successor exists) plus — in the watermark-advance batch
+    * that AvailableNow runs after draining the data — every open
+    * session whose event-time timeout (`end + gap`) falls before the
+    * final watermark (max event time, delay 0). Still-open sessions
+    * correctly remain unemitted: a session is not final until its gap
+    * has passed. */
+  def sessionFlowCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_flows_${queryCounter.incrementAndGet()}"
+    val events = watermarkedSessionEvents(spark, sfDir, schema)
+    val flows = sessionFlows(events, gapMinutes)
+    withStreamShufflePartitions(spark) {
+      val q = flows.toDF().writeStream
+        .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()

@@ -17,7 +17,8 @@ class StreamingSpec extends SparkSpec {
 
     val typed = events.select(
       $"user_id", $"event_id", Streaming.tsMicros($"ts").as("tsu"))
-      .as[Streaming.SessionEvent]
+      .withColumn("event_ts", timestamp_micros($"tsu"))
+      .as[Streaming.SessionEventW]
     val streaming = Streaming.sessionizeStreaming(typed, 30)
       .collect().map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
 
