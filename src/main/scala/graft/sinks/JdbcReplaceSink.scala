@@ -26,12 +26,40 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcReplaceSink {
 
+  /** How "replace on PK conflict" is expressed against the target.
+    *
+    *  - [[MySqlReplace]]: the reference's dialect — one
+    *    `REPLACE INTO` statement, the server deletes-then-inserts on
+    *    conflict.
+    *  - [[DeleteThenInsert]]: portable ANSI form for engines without
+    *    REPLACE (Derby, Postgres, ...): an explicit DELETE-by-key batch
+    *    followed by an INSERT batch inside the same per-partition
+    *    transaction. Requires `keyColumns`. Rows in a statement batch
+    *    are deduplicated keeping the LAST occurrence per key, which is
+    *    exactly REPLACE's sequential final state (all deletes of a
+    *    chunk run before its inserts, so an in-chunk duplicate would
+    *    otherwise violate the PK on the second insert).
+    *
+    * Both are row-idempotent, so Spark task retries are safe. */
+  sealed trait ReplaceDialect
+  case object MySqlReplace extends ReplaceDialect
+  case object DeleteThenInsert extends ReplaceDialect
+
   final case class Config(
       table: String,
       columns: Seq[String],
       /** Audit values appended to every row, e.g. ARRIVED_TIME. */
       auditColumns: Seq[(String, String)] = Seq.empty,
-      batchSize: Int = 1000)
+      batchSize: Int = 1000,
+      dialect: ReplaceDialect = MySqlReplace,
+      /** PK columns — required by [[DeleteThenInsert]] (must be a
+        * subset of `columns`). */
+      keyColumns: Seq[String] = Seq.empty) {
+    require(
+      dialect != DeleteThenInsert ||
+        (keyColumns.nonEmpty && keyColumns.forall(columns.contains)),
+      "DeleteThenInsert requires keyColumns ⊆ columns")
+  }
 
   /** Valid unquoted SQL identifier or dotted pair (`db.table`). Config
     * identifiers come from pipeline code, not user data, but validating
@@ -46,18 +74,49 @@ object JdbcReplaceSink {
     parts.map(p => s"`$p`").mkString(".")
   }
 
-  /** The parameterized statement: data columns bound per row, audit
-    * columns bound once. Identifiers are validated and backtick-quoted
-    * (MySQL dialect). */
+  /** The parameterized REPLACE statement (MySQL dialect): data columns
+    * bound per row, audit columns bound once. Identifiers are validated
+    * and backtick-quoted. */
   def replaceSql(cfg: Config): String = {
     val cols = (cfg.columns ++ cfg.auditColumns.map(_._1)).map(quoteIdent)
     val marks = Seq.fill(cols.size)("?")
     s"REPLACE INTO ${quoteIdent(cfg.table)} (${cols.mkString(", ")}) VALUES (${marks.mkString(", ")})"
   }
 
+  /** Validated identifier, emitted UNQUOTED for the ANSI path: quoted
+    * identifiers are case-sensitive in ANSI engines (Derby folds
+    * unquoted names to upper case), so quoting here would break against
+    * tables created with ordinary unquoted DDL. The regex validation is
+    * what prevents injection; quoting was only ever belt-and-braces. */
+  private def ansiIdent(name: String): String = {
+    val parts = name.split('.')
+    require(
+      parts.nonEmpty && parts.forall(identRe.matches),
+      s"invalid SQL identifier: '$name'")
+    name
+  }
+
+  /** DELETE-by-key statement for [[DeleteThenInsert]]. */
+  def deleteSql(cfg: Config): String =
+    s"DELETE FROM ${ansiIdent(cfg.table)} WHERE " +
+      cfg.keyColumns.map(k => s"${ansiIdent(k)} = ?").mkString(" AND ")
+
+  /** INSERT statement for [[DeleteThenInsert]]. */
+  def insertSql(cfg: Config): String = {
+    val cols = (cfg.columns ++ cfg.auditColumns.map(_._1)).map(ansiIdent)
+    val marks = Seq.fill(cols.size)("?")
+    s"INSERT INTO ${ansiIdent(cfg.table)} (${cols.mkString(", ")}) VALUES (${marks.mkString(", ")})"
+  }
+
   /** Load one partition's rows through one connection. Returns rows
     * written. Exposed for direct testing. */
-  def writePartition(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
+  def writePartition(rows: Iterator[Row], conn: Connection, cfg: Config): Long =
+    cfg.dialect match {
+      case MySqlReplace => writeReplace(rows, conn, cfg)
+      case DeleteThenInsert => writeDeleteInsert(rows, conn, cfg)
+    }
+
+  private def writeReplace(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
     val stmt: PreparedStatement = conn.prepareStatement(replaceSql(cfg))
     val nData = cfg.columns.size
     var inBatch = 0
@@ -86,6 +145,51 @@ object JdbcReplaceSink {
       total
     } finally {
       stmt.close()
+    }
+  }
+
+  /** Portable replace: per chunk of `batchSize` input rows, dedupe
+    * keeping the last occurrence per key (REPLACE's sequential final
+    * state), run the DELETE batch, then the INSERT batch; one commit
+    * per partition. Row-idempotent like REPLACE, so task retries are
+    * safe. */
+  private def writeDeleteInsert(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
+    val del = conn.prepareStatement(deleteSql(cfg))
+    val ins = conn.prepareStatement(insertSql(cfg))
+    val nData = cfg.columns.size
+    var total = 0L
+    try {
+      conn.setAutoCommit(false)
+      rows.grouped(cfg.batchSize).foreach { chunk =>
+        // keep-last per key within the chunk
+        val byKey = new scala.collection.mutable.LinkedHashMap[Seq[Any], Row]
+        chunk.foreach { row =>
+          val key = cfg.keyColumns.map(k => row.get(row.fieldIndex(k)))
+          byKey.remove(key)
+          byKey.put(key, row)
+        }
+        byKey.foreach { case (key, row) =>
+          key.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+          del.addBatch()
+          var i = 0
+          while (i < nData) {
+            ins.setObject(i + 1, row.get(row.fieldIndex(cfg.columns(i))))
+            i += 1
+          }
+          cfg.auditColumns.zipWithIndex.foreach { case ((_, v), j) =>
+            ins.setObject(nData + j + 1, v)
+          }
+          ins.addBatch()
+          total += 1
+        }
+        del.executeBatch()
+        ins.executeBatch()
+      }
+      conn.commit()
+      total
+    } finally {
+      del.close()
+      ins.close()
     }
   }
 
