@@ -38,4 +38,43 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Adaptive skew-safe inner equi-join on `key` for SELF-join pair
+    * generation (both sides derive from the same relation, e.g. d4's
+    * blocked near-dup candidates). One cheap pruned aggregate finds
+    * keys holding more than `hotThreshold` a-side rows (the driver sees
+    * at most |a| / hotThreshold of them — bounded by construction):
+    *
+    *  - no hot keys → the plain single-exchange join, plan unchanged;
+    *  - hot keys → split: cold keys join as before; hot keys join
+    *    salted, with the a side split `salts` ways by a stable hash of
+    *    `tiebreak` and the b side replicated per salt, so each pair
+    *    still meets EXACTLY once (in cell salt(a.tiebreak)) and the
+    *    hot key's m² pair work spreads over `salts` reducers instead
+    *    of straggling on one.
+    *
+    * The union of the two branches is row-identical to the plain join
+    * (SkewSelfJoinSpec). Null keys never match an inner equi-join, so
+    * the hot/cold partition dropping them changes nothing. */
+  def skewSafeEquiJoin(
+      a: DataFrame, b: DataFrame, key: String, tiebreak: String,
+      hotThreshold: Long, salts: Int): DataFrame = {
+    require(salts > 0 && hotThreshold > 0)
+    val hotKeys = a.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hotKeys.isEmpty) {
+      a.join(b.hint("shuffle_hash"), Seq(key))
+    } else {
+      val aCold = a.filter(!col(key).isin(hotKeys: _*))
+      val bCold = b.filter(!col(key).isin(hotKeys: _*))
+      val aHot = a.filter(col(key).isin(hotKeys: _*))
+        .withColumn("_salt", salt(col(tiebreak), salts))
+      val bHot = b.filter(col(key).isin(hotKeys: _*))
+        .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+      aCold.join(bCold.hint("shuffle_hash"), Seq(key))
+        .unionByName(
+          aHot.join(bHot.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt"))
+    }
+  }
 }
