@@ -36,10 +36,31 @@ object Streaming {
     * set before `.start()` rather than mid-query. */
   private def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProvider = spark.conf.getOption(providerKey)
     val n = spark.conf.get("spark.graft.streaming.shufflePartitions", "8")
     spark.conf.set(key, n)
-    try body finally spark.conf.set(key, prev)
+    // Conf-gated RocksDB state store (`spark.graft.streaming.stateStore
+    // =rocksdb`): state spills to native local storage instead of
+    // executor heap, the scale path once keyed state outgrows memory
+    // (stream-stream joins keep 4 stores/partition buffered to the
+    // watermark horizon). Off by default: at gate sizes the HDFS-backed
+    // in-memory store is faster (RocksDB pays JNI + checkpoint work per
+    // micro-batch — measured warm at sf0.1: st4 3.2s→3.9s, st5
+    // 1.7s→1.9s, st6 1.8s→4.4s), and flipping it is a conf, not a code
+    // change, because the provider is captured per query at start().
+    if (spark.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb") {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+    try body finally {
+      spark.conf.set(key, prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   /** Micros-precision event timestamp from the nanos long.

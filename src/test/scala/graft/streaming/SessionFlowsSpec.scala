@@ -74,6 +74,20 @@ class SessionFlowsSpec extends SparkSpec {
     assert(out.filter(_._1 == 4L).isEmpty)
   }
 
+  test("RocksDB state store produces identical results (conf-gated scale path)") {
+    val dir = "/root/testdata/sf0.001"
+    val hdfs = graft.operators.StreamingQueries.st6(spark, dir).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = graft.operators.StreamingQueries.st6(spark, dir).collect().map(_.toString).toSeq
+      assert(rocks === hdfs)
+      assert(hdfs.nonEmpty)
+      // the provider conf was restored (to its default) after the gated run
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("HDFSBackedStateStoreProvider"))
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
   test("timeout boundary: watermark exactly AT end+gap does not fire (strict <)") {
     // user 1 session ends 00:00; timeout timestamp = 00:30.000.
     // B2/B3 move the watermark to exactly 00:30.000: Spark's event-time
