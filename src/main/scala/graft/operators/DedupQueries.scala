@@ -333,6 +333,55 @@ object DedupQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // d8_span_dedup — repeated-span (boilerplate) profiling, the
+  // paragraph-dedup pass of CCNet-style curation re-expressed over
+  // token spans (this corpus has no newline structure): docs split into
+  // non-overlapping 10-token spans, span occurrence counted
+  // corpus-wide, each doc scored by the fraction of its spans that
+  // repeat elsewhere. ONE span materialization — the corpus-wide count
+  // rides a window over the span-hash partition instead of a
+  // re-aggregating self-join (the d1 lesson: two consumers of an
+  // expensive projection recompute it), then one doc-key aggregate.
+  def d8(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(10)))
+          .as(Seq("si", "start")))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("start"), lit(10)), " ")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col("doc_id"), col("n_spans"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_spans").cast("double"), 6)
+          .as("repeated_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d8Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS start
+      |  FROM t),
+      |sp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(toks, start, start + 9), ' ')) AS h
+      |  FROM st),
+      |cn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM sp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+      |  round(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS repeated_ratio
+      |FROM cn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
@@ -340,7 +389,8 @@ object DedupQueries {
     "d4_jaccard_pairs" -> (d4 _),
     "d5_dedup_clusters" -> (d5 _),
     "d6_simhash_pairs" -> (d6 _),
-    "d7_contamination" -> (d7 _))
+    "d7_contamination" -> (d7 _),
+    "d8_span_dedup" -> (d8 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -349,5 +399,6 @@ object DedupQueries {
     "d4_jaccard_pairs" -> d4Sql,
     "d5_dedup_clusters" -> d5Sql,
     "d6_simhash_pairs" -> d6Sql,
-    "d7_contamination" -> d7Sql)
+    "d7_contamination" -> d7Sql,
+    "d8_span_dedup" -> d8Sql)
 }

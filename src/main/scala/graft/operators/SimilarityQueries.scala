@@ -220,13 +220,73 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // s7_topk_ivf — IVF ANN with TRAINED centroids + nprobe=2 probing:
+  // train (truncated-mean centroids from the sign-LSH seeding) → map-
+  // side assignment against centroid literals → per-query top-nprobe
+  // cells → exact rerank. The multi-cell probe is the recall knob the
+  // static-bucket s2 lacks; everything stays integer-exact so DuckDB
+  // restates the whole index build + search and hash-matches.
+  def s7(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.topKIvf(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, bits = 3, nprobe = 2)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** 64 literal in `range(1, 65)`: the embeddings table is fixed-dim by
+    * contract (TESTDATA.md); the engine side reads the true array
+    * length per row. */
+  private val s7Sql = {
+    def centDot(vec: String) =
+      s"list_aggregate(list_transform(range(1, len($vec) + 1), i -> $vec[i] * c.cent[i]), 'sum')"
+    s"""WITH $scaledCte,
+       |comp AS (
+       |  SELECT bucket AS icell, i AS pos, CAST(SUM(sv[i]) AS BIGINT) AS s, COUNT(*) AS cnt
+       |  FROM v, range(1, 65) t(i)
+       |  GROUP BY bucket, i),
+       |cent AS (
+       |  SELECT icell,
+       |    list(CASE WHEN s < 0 THEN -((-s) // cnt) ELSE s // cnt END ORDER BY pos) AS cent
+       |  FROM comp GROUP BY icell),
+       |cw AS (SELECT icell, cent,
+       |         list_aggregate(list_transform(cent, x -> x * x), 'sum') AS cn2 FROM cent),
+       |assign AS (
+       |  SELECT vec_id, sv, nrm, cell FROM (
+       |    SELECT a.vec_id, a.sv, a.nrm, c.icell AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${cosSql(centDot("a.sv"), "a.nrm", "c.cn2")} DESC, c.icell) AS rc
+       |    FROM n a CROSS JOIN cw c) WHERE rc = 1),
+       |probe AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT b.vec_id AS query_id, b.sv AS qv, b.nrm AS qn, c.icell AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql(centDot("b.sv"), "b.nrm", "c.cn2")} DESC, c.icell) AS rc
+       |    FROM n b CROSS JOIN cw c WHERE b.vec_id < 5) WHERE rc <= 2),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ${cosSql(
+            "list_aggregate(list_transform(range(1, len(a.sv) + 1), i -> a.sv[i] * p.qv[i]), 'sum')",
+            "a.nrm", "p.qn")} AS cos
+       |  FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, cand_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos FROM r
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
     "s3_neardup_pairs" -> (s3 _),
     "s4_label_stats" -> (s4 _),
     "s5_centroids" -> (s5 _),
-    "s6_quantize" -> (s6 _))
+    "s6_quantize" -> (s6 _),
+    "s7_topk_ivf" -> (s7 _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_topk_brute" -> s1Sql,
@@ -234,5 +294,6 @@ object SimilarityQueries {
     "s3_neardup_pairs" -> s3Sql,
     "s4_label_stats" -> s4Sql,
     "s5_centroids" -> s5Sql,
-    "s6_quantize" -> s6Sql)
+    "s6_quantize" -> s6Sql,
+    "s7_topk_ivf" -> s7Sql)
 }

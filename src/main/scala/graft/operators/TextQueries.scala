@@ -407,6 +407,62 @@ object TextQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // t12_chunking — fixed-window token chunking with overlap (window 20,
+  // stride 15): the standard context-length preparation step before
+  // tokenizer packing. Map-only per doc (sequence + slice, no shuffle);
+  // chunk identity travels as an md5 so downstream chunk-level dedup
+  // can reuse the d1 machinery unchanged.
+  def t12(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(15)))
+          .as(Seq("ci", "start")))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start"), lit(20)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val t12Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 15)) AS start
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, CAST((start - 1) // 15 AS BIGINT) AS chunk_idx,
+      |    list_slice(toks, start, start + 19) AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t13_doc_freq — corpus document-frequency stats: top-100 tokens by
+  // the number of documents containing them (the DF side of TF-IDF and
+  // the stopword-discovery pass of corpus analysis). Per-doc distinct
+  // before the aggregate keeps the shuffle one row per (doc, distinct
+  // token) with map-side partial counts; the top-k is
+  // TakeOrderedAndProject, never a full sort.
+  def t13(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(100)
+
+  private val t13Sql =
+    """SELECT token, COUNT(*) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
@@ -418,7 +474,9 @@ object TextQueries {
     "t8_mixture_sample" -> (t8 _),
     "t9_redaction" -> (t9 _),
     "t10_packing" -> (t10 _),
-    "t11_source_cap" -> (t11 _))
+    "t11_source_cap" -> (t11 _),
+    "t12_chunking" -> (t12 _),
+    "t13_doc_freq" -> (t13 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
@@ -431,5 +489,7 @@ object TextQueries {
     "t8_mixture_sample" -> t8Sql,
     "t9_redaction" -> t9Sql,
     "t10_packing" -> t10Sql,
-    "t11_source_cap" -> t11Sql)
+    "t11_source_cap" -> t11Sql,
+    "t12_chunking" -> t12Sql,
+    "t13_doc_freq" -> t13Sql)
 }

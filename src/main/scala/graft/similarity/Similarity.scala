@@ -101,6 +101,82 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  /** IVF top-k with TRAINED centroids and multi-cell probing — the full
+    * inverted-file ANN path (train → assign → probe → exact rerank),
+    * one refinement step up from [[topKBucketed]]'s static hyperplanes:
+    *
+    *  1. TRAIN: centroids = per-component truncated mean of the scaled
+    *     vectors in each sign-LSH init cell (one k-means step from the
+    *     LSH seeding; integer division keeps every downstream distance
+    *     integer-exact across engines). The driver materializes at most
+    *     2^bits centroid rows — bounded by construction, like a
+    *     broadcast variable, NOT a data collect.
+    *  2. ASSIGN: each vector goes to its nearest centroid by rounded
+    *     cosine (ties → lowest cell) — computed per row against the
+    *     centroid LITERALS through the long-dot kernel: zero shuffle,
+    *     zero join; the map-side shape that holds at 100 TB.
+    *  3. PROBE: each query ranks the centroids and takes its `nprobe`
+    *     nearest cells — recall recovery at cell boundaries, the knob
+    *     [[topKBucketed]] doesn't have.
+    *  4. RERANK: exact cosine over the probed cells' candidates,
+    *     row_number top-k.
+    */
+  def topKIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, bits: Int = 3, nprobe: Int = 2): DataFrame = {
+    import df.sparkSession.implicits._
+    val cand0 = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"),
+      signBucket(col(vecCol), bits).as("icell"))
+    // train: per-cell, per-component truncated mean (Spark `div` and
+    // the oracle's sign(s)*(|s| // n) agree on negatives; plain `//`
+    // would floor and disagree)
+    val centroids: Seq[(Int, Seq[Long], Long)] = cand0
+      .select(col("icell"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("icell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("icell"), col("pos"), expr("s div n").as("c"))
+      .groupBy(col("icell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("icell"), expr("transform(pc, e -> e.c)").as("cent"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getSeq[Long](1).map(x => x * x).sum))
+      .sortBy(_._1).toSeq
+    // assign: argmax over centroid literals via lexicographic struct max
+    // (rounded cos desc, then lowest cell) — each cosine evaluated once
+    val cellScores = centroids.map { case (cell, cvec, cn2) =>
+      struct(
+        round(cosineWithNorms(dotScaled(col("cv"), typedlit(cvec)), col("cn"), lit(cn2)), 6).as("cos"),
+        lit(-cell).as("negcell"))
+    }
+    val assigned = cand0
+      .withColumn("cn", dotScaled(col("cv"), col("cv")))
+      .withColumn("best", array_max(array(cellScores: _*)))
+      .select(col("cand_id"), col("cv"), col("cn"), (-col("best.negcell")).as("cell"))
+    // probe: each query ranks the 2^bits centroids, keeps nprobe cells
+    val centDf = centroids.toDF("cell", "cent", "centn")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"))
+      .withColumn("qn", dotScaled(col("qv"), col("qv")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("qcos", round(
+        cosineWithNorms(dotScaled(col("qv"), col("cent")), col("qn"), col("centn")), 6))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    // exact rerank over the probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        cosineWithNorms(dotScaled(col("cv"), col("qv")), col("cn"), col("qn")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
   /** Bucketed (sign-LSH) top-k: candidates restricted to the query's
     * bucket — the IVF-style scale path (probe 1/2^bits of the data). */
   def topKBucketed(

@@ -20,6 +20,11 @@ object QueryDump {
     names.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").parquet(s"$out/$name")
+      graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, s"$name.sql"),
+          sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.stop()
   }
