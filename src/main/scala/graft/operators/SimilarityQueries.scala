@@ -109,6 +109,50 @@ object SimilarityQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s8_embed_clusters — embedding near-duplicate CLUSTERS: connected
+  // components (the same large-star/small-star engine as d5) over s3's
+  // cosine near-dup pairs, summarized per component — the "keep one
+  // representative per semantic duplicate group" step of embedding-
+  // level dedup. The survivor (min id = the component label) and the
+  // member count come straight off the component table; no driver-side
+  // graph state.
+  def s8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"),
+      Similarity.scaled(col("embedding")).as("sv"),
+      Similarity.signBucket(col("embedding"), 3).as("bucket"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= 0.4)
+    graft.dedup.ConnectedComponents.connectedComponents(pairs, "vec_a", "vec_b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("component"))
+  }
+
+  private val s8Sql =
+    s"""WITH RECURSIVE $scaledCte,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql(dotSql, "a.nrm", "b.nrm")} >= 0.4),
+       |sym AS (SELECT vec_a AS va, vec_b AS vb FROM pairs
+       |        UNION SELECT vec_b, vec_a FROM pairs),
+       |reach AS (
+       |  SELECT va, vb FROM sym
+       |  UNION
+       |  SELECT r.va, s.vb FROM reach r JOIN sym s ON r.vb = s.va),
+       |comp AS (SELECT va AS id, least(va, min(vb)) AS component FROM reach GROUP BY va)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(id) AS max_member
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s4_label_stats — per-label vector stats in exact long arithmetic.
   def s4(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -286,7 +330,8 @@ object SimilarityQueries {
     "s4_label_stats" -> (s4 _),
     "s5_centroids" -> (s5 _),
     "s6_quantize" -> (s6 _),
-    "s7_topk_ivf" -> (s7 _))
+    "s7_topk_ivf" -> (s7 _),
+    "s8_embed_clusters" -> (s8 _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_topk_brute" -> s1Sql,
@@ -295,5 +340,6 @@ object SimilarityQueries {
     "s4_label_stats" -> s4Sql,
     "s5_centroids" -> s5Sql,
     "s6_quantize" -> s6Sql,
-    "s7_topk_ivf" -> s7Sql)
+    "s7_topk_ivf" -> s7Sql,
+    "s8_embed_clusters" -> s8Sql)
 }

@@ -40,6 +40,20 @@ class NewOperatorsSpec extends SparkSpec {
     assert(ivf.size === brute.size)
   }
 
+  test("embedding clusters: members >= 2, survivor is the component label") {
+    val rows = SimilarityQueries.s8(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "a component only exists from at least one pair")
+      assert(r.getLong(2) > r.getLong(0), "max member > component label (min id)")
+    }
+    // components partition their members: total members == distinct ids in pairs
+    val nPairMembers = SimilarityQueries.s3(spark, dir)
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("id"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nPairMembers)
+  }
+
   test("chunking covers every token with the configured window/stride") {
     val chunks = TextQueries.t12(spark, dir)
     val perDoc = chunks.groupBy(col("doc_id"))
