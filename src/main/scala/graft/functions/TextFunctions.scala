@@ -88,6 +88,18 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** 1-based fixed-stride window starts covering every token; empty
+    * docs still get one start (the `greatest(size,1)` guard) — the ONE
+    * definition of the window convention shared by chunking (t12) and
+    * span dedup (d8), mirrored verbatim by their DuckDB
+    * `range(1, greatest(len,1)+1, stride)` CTEs. */
+  def windowStarts(toks: Column, stride: Int): Column =
+    sequence(lit(1), greatest(size(toks), lit(1)), lit(stride))
+
+  /** The token window at `start` (companion to [[windowStarts]]). */
+  def windowSlice(toks: Column, start: Column, window: Int): Column =
+    slice(toks, start, lit(window))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical in any engine with md5 — the cross-engine-stable stand-in
     * for a rolling hash. */

@@ -82,7 +82,11 @@ object SimilarityQueries {
   // pushing below the projection and recomputing the per-pair dot
   // product twice (the d4 pushdown trap); pairs are unique per bucket
   // join, so it aggregates nothing and shuffles (long, long, double).
-  def s3(spark: SparkSession, dir: String): DataFrame = {
+  /** Sign-LSH-blocked cosine near-dup pairs (cos >= 0.4) — the shared
+    * pair pipeline behind s3 (the pairs) and s8 (components over them).
+    * One definition so a threshold/rounding/blocking change can never
+    * desynchronize the two gates. */
+  private def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val v = e.select(col("vec_id"),
       Similarity.scaled(col("embedding")).as("sv"),
@@ -96,8 +100,10 @@ object SimilarityQueries {
         Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
       .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
       .filter(col("cos") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def s3(spark: SparkSession, dir: String): DataFrame =
+    neardupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
   private val s3Sql =
     s"""WITH $scaledCte,
@@ -116,25 +122,12 @@ object SimilarityQueries {
   // level dedup. The survivor (min id = the component label) and the
   // member count come straight off the component table; no driver-side
   // graph state.
-  def s8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val v = e.select(col("vec_id"),
-      Similarity.scaled(col("embedding")).as("sv"),
-      Similarity.signBucket(col("embedding"), 3).as("bucket"))
-      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
-    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
-    val pairs = a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
-        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
-      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
-      .filter(col("cos") >= 0.4)
-    graft.dedup.ConnectedComponents.connectedComponents(pairs, "vec_a", "vec_b")
+  def s8(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.ConnectedComponents
+      .connectedComponents(neardupPairs(spark, dir), "vec_a", "vec_b")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
       .orderBy(col("component"))
-  }
 
   private val s8Sql =
     s"""WITH RECURSIVE $scaledCte,

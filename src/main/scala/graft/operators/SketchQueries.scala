@@ -61,9 +61,13 @@ object SketchQueries {
         approx_count_distinct(col("fp"), 0.02).as("au"),
         percentile_approx(col("toks"), lit(0.5), lit(5000)).as("ap50"),
         percentile_approx(col("toks"), lit(0.95), lit(5000)).as("ap95"))
+    // rank target over NON-NULL metric rows: percentile_approx ignores
+    // nulls, so the sketch's rank lives in the non-null ordering — a
+    // null-text doc population would otherwise shift ceil(q·n) off the
+    // sketch's actual universe and fail a correct sketch
     def rankOk(q: Double, ap: String): org.apache.spark.sql.Column = {
-      val t = ceil(lit(q) * col("n_docs"))
-      val allowed = ceil(lit(0.001) * col("n_docs")) + lit(1)
+      val t = ceil(lit(q) * col("n_vals"))
+      val allowed = ceil(lit(0.001) * col("n_vals")) + lit(1)
       (col(s"cle_$ap") >= t - allowed) && (col(s"clt_$ap") < t + allowed)
     }
     base.join(broadcast(profile), Seq("source"))
@@ -72,6 +76,7 @@ object SketchQueries {
         max(col("n_docs")).as("n_docs"),
         max(col("n_unique")).as("n_unique"),
         max(col("au")).as("au"),
+        count(col("toks")).as("n_vals"),
         sum(when(col("toks") <= col("ap50"), 1L).otherwise(0L)).as("cle_ap50"),
         sum(when(col("toks") < col("ap50"), 1L).otherwise(0L)).as("clt_ap50"),
         sum(when(col("toks") <= col("ap95"), 1L).otherwise(0L)).as("cle_ap95"),

@@ -59,10 +59,27 @@ object SkewJoin {
   def skewSafeEquiJoin(
       a: DataFrame, b: DataFrame, key: String, tiebreak: String,
       hotThreshold: Long, salts: Int): DataFrame = {
-    require(salts > 0 && hotThreshold > 0)
-    val hotKeys = a.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+    require(hotThreshold > 0)
+    skewSafeEquiJoin(a, b, key, tiebreak, detectHotKeys(a, key, hotThreshold), salts)
+  }
+
+  /** The detection half of [[skewSafeEquiJoin]]: keys holding more than
+    * `hotThreshold` rows. Runs a real (pruned, aggregate-only) job at
+    * call time — callers constructing the same plan repeatedly should
+    * cache the result (see `DedupQueries.d4`). */
+  def detectHotKeys(a: DataFrame, key: String, hotThreshold: Long): Seq[Any] = {
+    require(hotThreshold > 0)
+    a.groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > hotThreshold)
       .select(col(key)).collect().map(_.get(0)).toSeq
+  }
+
+  /** [[skewSafeEquiJoin]] with pre-detected hot keys (no job at plan
+    * construction). */
+  def skewSafeEquiJoin(
+      a: DataFrame, b: DataFrame, key: String, tiebreak: String,
+      hotKeys: Seq[Any], salts: Int): DataFrame = {
+    require(salts > 0)
     if (hotKeys.isEmpty) {
       a.join(b.hint("shuffle_hash"), Seq(key))
     } else {

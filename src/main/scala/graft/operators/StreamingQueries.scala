@@ -122,13 +122,13 @@ object StreamingQueries {
 
   private val st6Sql =
     """WITH e AS (
-      |  SELECT user_id, epoch_us(ts) AS tsu,
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
       |  FROM events),
       |s AS (
       |  SELECT user_id, tsu,
       |    SUM(CASE WHEN prev IS NULL OR tsu - prev > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS seq
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS seq
       |  FROM e),
       |g AS (
       |  SELECT user_id, seq, min(tsu) AS start_tsu, max(tsu) AS end_tsu,

@@ -418,10 +418,9 @@ object TextQueries {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(col("toks").isNotNull)
       .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(15)))
-          .as(Seq("ci", "start")))
+        posexplode(windowStarts(col("toks"), 15)).as(Seq("ci", "start")))
       .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
-        slice(col("toks"), col("start"), lit(20)).as("chunk"))
+        windowSlice(col("toks"), col("start"), 20).as("chunk"))
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))

@@ -152,7 +152,9 @@ object JdbcReplaceSink {
     * keeping the last occurrence per key (REPLACE's sequential final
     * state), run the DELETE batch, then the INSERT batch; one commit
     * per partition. Row-idempotent like REPLACE, so task retries are
-    * safe. */
+    * safe. Returns the INPUT row count (like the REPLACE dialect), not
+    * the post-dedup insert count — the two dialects must report the
+    * same number for the same partition. */
   private def writeDeleteInsert(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
     val del = conn.prepareStatement(deleteSql(cfg))
     val ins = conn.prepareStatement(insertSql(cfg))
@@ -161,10 +163,18 @@ object JdbcReplaceSink {
     try {
       conn.setAutoCommit(false)
       rows.grouped(cfg.batchSize).foreach { chunk =>
-        // keep-last per key within the chunk
+        total += chunk.size
+        // keep-last per key within the chunk. Byte-array key columns
+        // compare by reference, so wrap them value-comparable — without
+        // this, two byte-equal BINARY keys in one chunk both INSERT and
+        // trip the PK (a conflict REPLACE INTO would have absorbed).
+        def comparable(v: Any): Any = v match {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
         val byKey = new scala.collection.mutable.LinkedHashMap[Seq[Any], Row]
         chunk.foreach { row =>
-          val key = cfg.keyColumns.map(k => row.get(row.fieldIndex(k)))
+          val key = cfg.keyColumns.map(k => comparable(row.get(row.fieldIndex(k))))
           byKey.remove(key)
           byKey.put(key, row)
         }
@@ -180,7 +190,6 @@ object JdbcReplaceSink {
             ins.setObject(nData + j + 1, v)
           }
           ins.addBatch()
-          total += 1
         }
         del.executeBatch()
         ins.executeBatch()

@@ -168,12 +168,12 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
-  final case class SessionEvent(user_id: Long, event_id: Long, tsu: Long)
-  /** [[SessionEvent]] plus the event-time Timestamp column — the field
-    * must ride INSIDE the case class so the watermark-tagged attribute
-    * survives the typed deserialization into groupByKey (a watermark on
-    * a column the encoder drops never reaches the stateful operator,
-    * and EventTimeTimeout then refuses to arm). */
+  /** Typed session event (micros + the event-time Timestamp) — the
+    * timestamp field must ride INSIDE the case class so the
+    * watermark-tagged attribute survives the typed deserialization into
+    * groupByKey (a watermark on a column the encoder drops never
+    * reaches the stateful operator, and EventTimeTimeout then refuses
+    * to arm). */
   final case class SessionEventW(
       user_id: Long, event_id: Long, tsu: Long, event_ts: java.sql.Timestamp)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
