@@ -462,6 +462,96 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t14_temperature_mix — temperature-flattened mixture sampling (the
+  // T5/Llama mixture recipe at τ = 0.5): each language is kept at rate
+  // sqrt(n_min / n_lang), so the smallest language survives whole and
+  // big languages are downsampled toward balance. Every arithmetic
+  // step is cross-engine-exact: counts are longs, the rate is one IEEE
+  // sqrt of one double division (sqrt is correctly rounded — the
+  // reason for τ = 0.5 over an arbitrary pow), and the per-doc draw
+  // compares a 6-hex-digit md5 prefix against the rate's hex cut
+  // rendered by printf('%06x') in both engines. The rate=1 language
+  // short-circuits (its cut would be 16^6 — seven digits, which would
+  // break the 6-digit string compare).
+  def t14(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mn = counts.agg(min(col("n_docs")).as("mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .withColumn("cut",
+        floor(sqrt(col("mn").cast("double") / col("n_docs").cast("double"))
+          * lit(16777216.0)).cast("long"))
+    val draw = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6)
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        when(col("n_docs") === col("mn"), lit(true))
+          .otherwise(draw < format_string("%06x", col("cut"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("cut")).as("cut"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), tokenCount(col("text"))).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val t14Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |m AS (SELECT min(n_docs) AS mn FROM c),
+      |r AS (
+      |  SELECT lang, n_docs, mn,
+      |    CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 16777216.0) AS BIGINT) AS cut
+      |  FROM c, m),
+      |k AS (
+      |  SELECT d.lang, r.n_docs, r.cut, d.text,
+      |    CASE WHEN r.n_docs = r.mn THEN TRUE
+      |         ELSE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+      |              < printf('%06x', r.cut) END AS kept
+      |  FROM documents d JOIN r ON d.lang = r.lang)
+      |SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs, MAX(cut) AS cut,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t15_fim_spans — fill-in-the-middle span extraction (the FIM/UL2
+  // training-target preparation step): docs with ≥ 6 tokens get one
+  // deterministic middle span of 4 tokens at
+  // start = 2 + (doc_id·2654435761 mod 2^32) mod (n − 5), guaranteeing
+  // non-empty prefix and suffix; the three segments travel as md5s.
+  // The Knuth multiplicative hash stays in exact BIGINT range in both
+  // engines — no hex→int conversion needed anywhere. Map-only.
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+      .filter(col("n") >= 6)
+      .withColumn("s",
+        (lit(2) + pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+          col("n") - lit(5))).cast("int"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("s").cast("long").as("span_start"),
+        md5(array_join(slice(col("toks"), lit(1), col("s") - lit(1)), " ")).as("prefix_md5"),
+        md5(array_join(slice(col("toks"), col("s"), lit(4)), " ")).as("middle_md5"),
+        md5(array_join(slice(col("toks"), col("s") + lit(4),
+          (col("n") - col("s") - lit(3)).cast("int")), " ")).as("suffix_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id, toks, n,
+      |    2 + ((doc_id * 2654435761) % 4294967296) % (n - 5) AS s
+      |  FROM t WHERE n >= 6)
+      |SELECT doc_id, n AS n_tokens, CAST(s AS BIGINT) AS span_start,
+      |  md5(array_to_string(list_slice(toks, 1, s - 1), ' ')) AS prefix_md5,
+      |  md5(array_to_string(list_slice(toks, s, s + 3), ' ')) AS middle_md5,
+      |  md5(array_to_string(list_slice(toks, s + 4, n), ' ')) AS suffix_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
@@ -475,7 +565,9 @@ object TextQueries {
     "t10_packing" -> (t10 _),
     "t11_source_cap" -> (t11 _),
     "t12_chunking" -> (t12 _),
-    "t13_doc_freq" -> (t13 _))
+    "t13_doc_freq" -> (t13 _),
+    "t14_temperature_mix" -> (t14 _),
+    "t15_fim_spans" -> (t15 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
@@ -490,5 +582,7 @@ object TextQueries {
     "t10_packing" -> t10Sql,
     "t11_source_cap" -> t11Sql,
     "t12_chunking" -> t12Sql,
-    "t13_doc_freq" -> t13Sql)
+    "t13_doc_freq" -> t13Sql,
+    "t14_temperature_mix" -> t14Sql,
+    "t15_fim_spans" -> t15Sql)
 }

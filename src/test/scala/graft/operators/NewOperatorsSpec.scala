@@ -80,6 +80,36 @@ class NewOperatorsSpec extends SparkSpec {
     assert(dfs.sameElements(dfs.sortBy { case (d, t) => (-d, t) }), "sorted by df desc, token")
   }
 
+  test("temperature mix: smallest language survives whole, rates flatten monotonically") {
+    val rows = TextQueries.t14(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (lang, nDocs, cut, nKept) =>
+      assert(nKept <= nDocs)
+      if (nDocs == minDocs) assert(nKept === nDocs, s"$lang: smallest language kept whole")
+    }
+    // bigger language -> smaller hex cut (monotone flattening)
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, n1, c1, _), (_, n2, c2, _)) if n1 < n2 => assert(c1 >= c2)
+      case _ => ()
+    }
+  }
+
+  test("FIM spans: prefix and suffix non-empty, spans deterministic") {
+    val rows = TextQueries.t15(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(n >= 6)
+      assert(s >= 2 && s <= n - 4, s"doc ${r.getLong(0)}: start $s of $n")
+      assert(Set(r.getString(3), r.getString(4), r.getString(5)).forall(_.length == 32))
+    }
+    val again = TextQueries.t15(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("span dedup: duplicate texts score ratio 1.0, ratios in [0,1]") {
     val rows = DedupQueries.d8(spark, dir).collect()
     assert(rows.nonEmpty)
