@@ -53,6 +53,31 @@ class LangIdKernelSpec extends SparkSpec {
       }
   }
 
+  test("LangId kernel == original on MALFORMED UTF-8 (binary→string cast)") {
+    // cast(binary as string) keeps the raw bytes in the UTF8String, so
+    // both the kernel and the regexp/contains formulation evaluate the
+    // SAME malformed sequences (plain Scala strings can't express these)
+    val malformed: Seq[Array[Byte]] = Seq(
+      Array(0xE4, 0xB8).map(_.toByte), // truncated CJK lead
+      Array(0xE4, 0xB8, 0x80).map(_.toByte), // valid U+4E00 alone
+      Array('t', 'h', 'e', ' ', 0xE4, 'x').map(_.toByte), // stray lead then ASCII
+      Array(0xB8, 0xE4, 0xB8, 0x80).map(_.toByte), // stray continuation then CJK
+      Array(0xF0, 0xE4, 0xB8, 0x80).map(_.toByte), // bad 4-byte lead then CJK
+      Array(0xF0, 0xA4, 0xB8, 0x80).map(_.toByte), // valid supplementary (not BMP CJK)
+      Array('t', 'h', 'e', 0xC0, ' ', 'a', 'n', 'd', ' ', 'o', 'f').map(_.toByte),
+      Array(0xE4, 0x20, 0x74, 0x68, 0x65, 0x20).map(_.toByte), // lead, then " the "
+      Array(0xFF, 0xFE, 'l', 'e', ' ', 'e', 't').map(_.toByte),
+      Array(0x80).map(_.toByte), Array(0xE9, 0xBF, 0xBF).map(_.toByte)) // U+9FFF
+    val df = malformed.map(Tuple1(_)).toDF("b")
+      .select(col("b").cast("string").as("s"))
+    df.select(col("s"), TextFunctions.languageId(col("s")).as("k"),
+        TextFunctions.languageIdReference(col("s")).as("r"))
+      .collect().foreach { r =>
+        assert(r.getString(1) === r.getString(2),
+          s"bytes <${r.getString(0).getBytes("UTF-8").map(b => f"$b%02x").mkString(" ")}>")
+      }
+  }
+
   test("LangId is non-nullable and null text maps to und") {
     val out = Seq[String](null).toDF("s")
       .select(TextFunctions.languageId($"s").as("k")).collect()
