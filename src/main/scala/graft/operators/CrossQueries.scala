@@ -196,6 +196,67 @@ object CrossQueries {
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x7_scd2_history — gaps-and-islands change collapse (the SCD2 build
+  // step of a dimension-history pipeline): per customer, collapse runs
+  // of consecutive equal order status into [eff_from, eff_to] intervals
+  // with a current-run flag. One shuffle on the partition key serves
+  // both window passes and the aggregate (same partitioning); the
+  // change flag is a null-safe lag compare, the island id a running
+  // sum — the standard distributed change-data-capture shape, no
+  // self-join. Money totals go through the DECIMAL(18,4) sum so the
+  // hash gate is order-independent.
+  def x7(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val flagged = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("chg",
+        when(!(lag(col("o_orderstatus"), 1).over(w) <=> col("o_orderstatus")), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(run))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    flagged
+      .groupBy(col("o_custkey"), col("island"), col("o_orderstatus").as("status"))
+      .agg(
+        min(col("o_orderdate")).as("eff_from"),
+        max(col("o_orderdate")).as("eff_to"),
+        count(lit(1)).as("n_orders"),
+        RelationalQueries.dsum(col("o_totalprice")).as("sum_total"))
+      .withColumn("is_current", col("island") === max(col("island")).over(wc))
+      .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
+        col("eff_from"), col("eff_to"), col("n_orders"), col("sum_total"),
+        col("is_current"))
+      .orderBy(col("o_custkey"), col("run_idx"))
+  }
+
+  private val x7Sql =
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice,
+      |    CASE WHEN lag(o_orderstatus) OVER ord IS DISTINCT FROM o_orderstatus
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (
+      |  SELECT *, SUM(chg) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM w),
+      |g AS (
+      |  SELECT o_custkey, island, o_orderstatus AS status,
+      |    min(o_orderdate) AS eff_from, max(o_orderdate) AS eff_to,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+      |  FROM i GROUP BY 1, 2, 3)
+      |SELECT o_custkey, CAST(island AS BIGINT) AS run_idx, status,
+      |  eff_from, eff_to, n_orders, sum_total,
+      |  island = MAX(island) OVER (PARTITION BY o_custkey) AS is_current
+      |FROM g ORDER BY o_custkey, run_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_docs_embeddings" -> (x1 _),
@@ -203,7 +264,8 @@ object CrossQueries {
     "x3_intersect" -> (x3 _),
     "x4_skyline" -> (x4 _),
     "x5_asof_attribution" -> (x5 _),
-    "x6_range_join" -> (x6 _))
+    "x6_range_join" -> (x6 _),
+    "x7_scd2_history" -> (x7 _))
 
   val oracleSql: Map[String, String] = Map(
     "x1_docs_embeddings" -> x1Sql,
@@ -211,5 +273,6 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
-    "x6_range_join" -> x6Sql)
+    "x6_range_join" -> x6Sql,
+    "x7_scd2_history" -> x7Sql)
 }

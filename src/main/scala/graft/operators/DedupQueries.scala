@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{ConnectedComponents, Dedup}
@@ -389,6 +389,56 @@ object DedupQueries {
       |    AS repeated_ratio
       |FROM cn GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d9_winnowing — robust winnowing fingerprints (the MOSS / local
+  // plagiarism-detection selection scheme, Schleimer et al. SIGMOD'03):
+  // per doc, hash every 5-token shingle, slide a 4-gram window over the
+  // hash sequence and keep each window's minimum — a guaranteed-density
+  // fingerprint subset that two documents share iff they share a long
+  // enough verbatim token run. Entirely map-side per document (array
+  // transforms inside one projection, no explode of raw shingles); only
+  // the distinct fingerprints shuffle, grouped to collision groups.
+  // md5 hex compares lexicographically == numerically at fixed width,
+  // so array_min needs no hex→int conversion. Groups (not pairs) keep
+  // the output linear in collisions — boilerplate-heavy corpora fan
+  // out quadratically in pair space, never here.
+  /** Winnowing fingerprint set for a token array named `toks` (k=5-token
+    * shingles, window w=4 over the shingle-hash sequence): distinct
+    * per-window minima of the md5 shingle hashes. Requires
+    * size(toks) >= k + w - 1 = 8 upstream. */
+  def winnowFps: Column = {
+    val kg =
+      "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"
+    expr(
+      s"array_distinct(transform(sequence(0, size($kg) - 4), j -> array_min(slice($kg, j + 1, 4))))")
+  }
+
+  def d9(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(winnowFps).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("fp"))
+
+  private val d9Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+      |kg AS (
+      |  SELECT doc_id,
+      |    [md5(array_to_string(toks[i:i + 4], ' ')) for i in range(1, len(toks) - 3)] AS kg
+      |  FROM t),
+      |fp AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([list_min(kg[j:j + 3]) for j in range(1, len(kg) - 2)])) AS fp
+      |  FROM kg)
+      |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
@@ -397,7 +447,8 @@ object DedupQueries {
     "d5_dedup_clusters" -> (d5 _),
     "d6_simhash_pairs" -> (d6 _),
     "d7_contamination" -> (d7 _),
-    "d8_span_dedup" -> (d8 _))
+    "d8_span_dedup" -> (d8 _),
+    "d9_winnowing" -> (d9 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -407,5 +458,6 @@ object DedupQueries {
     "d5_dedup_clusters" -> d5Sql,
     "d6_simhash_pairs" -> d6Sql,
     "d7_contamination" -> d7Sql,
-    "d8_span_dedup" -> d8Sql)
+    "d8_span_dedup" -> d8Sql,
+    "d9_winnowing" -> d9Sql)
 }

@@ -552,6 +552,64 @@ object TextQueries {
       |  md5(array_to_string(list_slice(toks, s + 4, n), ' ')) AS suffix_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t16_pmi_bigrams — PMI collocation mining (the phrase-discovery /
+  // tokenizer-merge-candidate pass): adjacent-bigram counts vs unigram
+  // counts, top-100 by pointwise mutual information among bigrams seen
+  // ≥ 5 times. Bigram extraction is a map-side array transform (no
+  // per-token shuffle beyond the two count aggregates); the two
+  // unigram lookups are equi-joins on the already-aggregated (small)
+  // count tables; the top-k is TakeOrderedAndProject. The PMI ratio
+  // c_xy·N_u² / (c_x·c_y·N_b) is kept exact: DECIMAL(38,0) products
+  // with a scaled integral divide (ppm) — `div` truncates and DuckDB's
+  // `//` floors, identical for these all-positive operands — so the
+  // ordering and the hash gate never touch a transcendental log.
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+    val bigrams = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(bgc.agg(sum(col("c_xy")).as("nb")))
+    bgc.filter(col("c_xy") >= 5)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_ppm", expr(
+        """(CAST(c_xy AS DECIMAL(38,0)) * nu * nu * 1000000)
+          | div (CAST(c_x AS DECIMAL(38,0)) * c_y * nb)""".stripMargin))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val t16Sql =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT u.w1, u.w2 FROM (
+      |    SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+      |                   for i in range(1, len(toks))], recursive := true)
+      |    FROM t WHERE len(toks) >= 2) u(w1, w2)),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(c) FROM uni) AS nu, (SELECT SUM(c_xy) FROM bgc) AS nb)
+      |SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+      |  CAST((b.c_xy::HUGEINT * t.nu * t.nu * 1000000)
+      |       // (u1.c::HUGEINT * u2.c * t.nb) AS BIGINT) AS pmi_ppm
+      |FROM bgc b CROSS JOIN tot t
+      |  JOIN uni u1 ON b.w1 = u1.w
+      |  JOIN uni u2 ON b.w2 = u2.w
+      |WHERE b.c_xy >= 5
+      |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
@@ -567,7 +625,8 @@ object TextQueries {
     "t12_chunking" -> (t12 _),
     "t13_doc_freq" -> (t13 _),
     "t14_temperature_mix" -> (t14 _),
-    "t15_fim_spans" -> (t15 _))
+    "t15_fim_spans" -> (t15 _),
+    "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> t1Sql,
@@ -584,5 +643,6 @@ object TextQueries {
     "t12_chunking" -> t12Sql,
     "t13_doc_freq" -> t13Sql,
     "t14_temperature_mix" -> t14Sql,
-    "t15_fim_spans" -> t15Sql)
+    "t15_fim_spans" -> t15Sql,
+    "t16_pmi_bigrams" -> t16Sql)
 }

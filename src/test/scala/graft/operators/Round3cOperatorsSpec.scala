@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Specs for the round-3 additions: PMI collocations (t16), SCD2
+  * gaps-and-islands history (x7), winnowing fingerprints (d9).
+  */
+class Round3cOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // -------------------------------------------------------------------
+  // t16_pmi_bigrams
+
+  test("t16 PMI scores match an independent BigInt recomputation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("text")).filter(col("text").isNotNull)
+      .as[String].collect().map(_.split(" ", -1).toSeq)
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { t =>
+      t.foreach(w => uni(w) += 1)
+      t.sliding(2).foreach { case Seq(a, b) => big((a, b)) += 1; case _ => }
+    }
+    val nu = BigInt(uni.values.sum)
+    val nb = BigInt(big.values.sum)
+    val expected = big.iterator.filter(_._2 >= 5).map { case ((a, b), cxy) =>
+      val ppm = (BigInt(cxy) * nu * nu * 1000000) / (BigInt(uni(a)) * BigInt(uni(b)) * nb)
+      ((a, b), (cxy, uni(a), uni(b), ppm.toLong))
+    }.toMap
+    val rows = TextQueries.t16(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val got = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(expected(key) === got, s"bigram $key")
+    }
+    // result is the global top-k: every returned score >= every omitted one
+    if (expected.size > rows.length) {
+      val returned = rows.map(r => (r.getString(0), r.getString(1))).toSet
+      val minKept = rows.map(_.getLong(5)).min
+      val maxOmitted = expected.collect {
+        case (k, (_, _, _, p)) if !returned(k) => p }.max
+      assert(minKept >= maxOmitted)
+    }
+    // sorted by (pmi desc, w1, w2)
+    val keys = rows.map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("t16 counts are mutually consistent") {
+    TextQueries.t16(spark, dir).collect().foreach { r =>
+      val (cxy, cx, cy) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cxy >= 5 && cx >= cxy && cy >= cxy)
+      assert(r.getLong(5) >= 0)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // x7_scd2_history
+
+  test("x7 islands partition the orders table and alternate status") {
+    val rows = CrossQueries.x7(spark, dir).collect()
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(5)).sum === nOrders, "every order lands in exactly one run")
+    rows.groupBy(_.getLong(0)).foreach { case (cust, runs) =>
+      val sorted = runs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length), s"cust $cust run_idx contiguous")
+      // NTZ parquet timestamps arrive as LocalDateTime; ISO order == time order
+      def t(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Any](i).toString
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2), s"cust $cust adjacent runs must differ")
+          assert(t(a, 4) <= t(b, 3), s"cust $cust runs ordered in time")
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(7)) === 1, s"cust $cust exactly one current run")
+      assert(sorted.last.getBoolean(7), s"cust $cust current is the last run")
+      sorted.foreach(r => assert(t(r, 3) <= t(r, 4), "eff_from <= eff_to"))
+    }
+  }
+
+  test("x7 collapses a hand-built change sequence correctly") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "A", 10.0),
+      (1L, 11L, ts("2024-01-02 00:00:00"), "A", 20.0),
+      (1L, 12L, ts("2024-01-03 00:00:00"), "B", 30.0),
+      (1L, 13L, ts("2024-01-04 00:00:00"), "A", 40.0),
+      (2L, 20L, ts("2024-01-01 00:00:00"), "Z", 5.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("x7spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = CrossQueries.x7(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "A", 2L, 30.0, false),
+      (1L, 2L, "B", 1L, 30.0, false),
+      (1L, 3L, "A", 1L, 40.0, true),
+      (2L, 1L, "Z", 1L, 5.0, true)))
+  }
+
+  // -------------------------------------------------------------------
+  // d9_winnowing
+
+  private def fpsOf(texts: Seq[(Long, String)]) =
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(DedupQueries.winnowFps).as("fp"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+
+  test("winnowing guarantee: docs sharing an 8-token run share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val fps = fpsOf(Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"x1 x2 x3 x4 $shared y1 y2")))
+    assert((fps(1L) & fps(2L)).nonEmpty, "k+w-1 shared tokens must collide")
+  }
+
+  test("winnowing: disjoint-vocabulary docs share nothing; density bounds hold") {
+    val fps = fpsOf(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")))
+    assert((fps(1L) & fps(2L)).isEmpty)
+    // n=10 tokens -> 6 shingles -> 3 windows -> between 1 and 3 fingerprints
+    fps.values.foreach(s => assert(s.nonEmpty && s.size <= 3))
+  }
+
+  test("d9 groups are real collisions on the corpus") {
+    val rows = DedupQueries.d9(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getLong(2) < r.getLong(3), "distinct docs -> min_doc < max_doc")
+    }
+  }
+}
