@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.expressions.{DateFormatMatches, FloatDotProduct, HasNonDigit,
   LangId, LongDotProduct, MinHashSig, ParseableTimestamp, ShingleHashes, SimHashSig,
-  TopShingleStats}
+  TopShingleStats, WinnowFps}
 
 /** Library entry point for Catalyst registration:
   *
@@ -90,6 +90,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_hashes: n must be an integer literal, got $other")
         }
         ShingleHashes(children.head, n)
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(
+        classOf[WinnowFps].getName, null, "winnow_fps",
+        "winnow_fps(tokens, k, w) - distinct winnowing fingerprints (md5 window minima, codegen)",
+        ""),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be an integer literal, got $other")
+        }
+        WinnowFps(children.head, intArg(children(1), "k"), intArg(children(2), "w"))
       }))
 
     Seq[(String, String, String, Expression => Expression)](

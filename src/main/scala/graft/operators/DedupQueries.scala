@@ -402,11 +402,21 @@ object DedupQueries {
   // so array_min needs no hex→int conversion. Groups (not pairs) keep
   // the output linear in collisions — boilerplate-heavy corpora fan
   // out quadratically in pair space, never here.
-  /** Winnowing fingerprint set for a token array named `toks` (k=5-token
-    * shingles, window w=4 over the shingle-hash sequence): distinct
-    * per-window minima of the md5 shingle hashes. Requires
-    * size(toks) >= k + w - 1 = 8 upstream. */
-  def winnowFps: Column = {
+  /** Winnowing fingerprint set for a token column (k=5-token shingles,
+    * window w=4 over the shingle-hash sequence): distinct per-window
+    * minima of the md5 shingle hashes, null below k + w - 1 = 8 tokens.
+    * Fused [[graft.functions.expressions.WinnowFps]] kernel — each
+    * shingle digested once, O(shingles) deque minima. */
+  def winnowFps(toks: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.WinnowFps(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), 5, 4))
+
+  /** The declarative HOF formulation of [[winnowFps]] — the equivalence
+    * witness for the kernel (see Round3cOperatorsSpec), never the gate
+    * path: Catalyst inlines the shingle-hash array into every window's
+    * lambda, re-digesting the whole document per window (O(n²) md5s). */
+  def winnowFpsDeclarative: Column = {
     val kg =
       "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"
     expr(
@@ -417,7 +427,7 @@ object DedupQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(winnowFps).as("fp"))
+      .select(col("doc_id"), explode(winnowFps(col("toks"))).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

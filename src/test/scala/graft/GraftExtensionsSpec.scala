@@ -38,6 +38,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val ts = spark.sql(
         "SELECT top_shingle_stats(split('a b a b', ' '), 2) AS t").head().getStruct(0)
       assert(ts.getLong(0) === 2L && ts.getLong(1) === 3L)
+      val wf = spark.sql(
+        "SELECT winnow_fps(split('a b c d e f g h i', ' '), 5, 4) AS w").head().getSeq[String](0)
+      assert(wf.nonEmpty && wf.forall(_.length == 32))
       assert(spark.sql("SELECT has_non_digit('12a') AS x").head().getBoolean(0))
       assert(spark.sql("SELECT date_format_matches('2020-08-06 00:00:00') AS x")
         .head().getBoolean(0))

@@ -111,8 +111,31 @@ class Round3cOperatorsSpec extends SparkSpec {
     texts.toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(DedupQueries.winnowFps).as("fp"))
+      .select(col("doc_id"), explode(DedupQueries.winnowFps(col("toks"))).as("fp"))
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+
+  test("winnow_fps kernel == declarative HOF formulation on the corpus") {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) >= 8)
+    def sets(c: org.apache.spark.sql.Column) =
+      base.select(col("doc_id"), array_sort(c).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kernel = sets(DedupQueries.winnowFps(col("toks")))
+    val hof = sets(DedupQueries.winnowFpsDeclarative)
+    assert(kernel.keySet === hof.keySet)
+    kernel.foreach { case (id, fps) => assert(fps === hof(id), s"doc $id") }
+  }
+
+  test("winnow_fps is null below k+w-1 tokens, single-window at exactly 8") {
+    val r = Seq(("a b c d e f g", "a b c d e f g h")).toDF("short_doc", "exact_doc")
+      .select(
+        DedupQueries.winnowFps(TextFunctions.tokens(col("short_doc"))).as("s"),
+        DedupQueries.winnowFps(TextFunctions.tokens(col("exact_doc"))).as("e"))
+      .head()
+    assert(r.isNullAt(0), "7 tokens -> 4 shingles -> no 4-window")
+    assert(r.getSeq[String](1).size === 1, "8 tokens -> exactly one window")
+  }
 
   test("winnowing guarantee: docs sharing an 8-token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
