@@ -453,6 +453,34 @@ object RelationalQueries {
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q20_grouping_sets — explicit heterogeneous GROUPING SETS (two
+  // single-column marginals + grand total, a set NOT derivable from
+  // rollup or cube) with the grouping_id disambiguator — the remaining
+  // piece of the grouping lattice after q10/q17. Spark plans one
+  // Expand + single aggregate; gid bit order (first column = MSB) is
+  // restated in the oracle from per-column GROUPING() bits.
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  private val q20Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
@@ -473,7 +501,8 @@ object RelationalQueries {
     "q16_sql" -> (q16 _),
     "q17_cube" -> (q17 _),
     "q18_pivot" -> (q18 _),
-    "q19_percentiles" -> (q19 _))
+    "q19_percentiles" -> (q19 _),
+    "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -494,5 +523,6 @@ object RelationalQueries {
     "q16_sql" -> q16Sql,
     "q17_cube" -> q17Sql,
     "q18_pivot" -> q18Sql,
-    "q19_percentiles" -> q19Sql)
+    "q19_percentiles" -> q19Sql,
+    "q20_grouping_sets" -> q20Sql)
 }

@@ -316,6 +316,60 @@ object SimilarityQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s9_pq_codes — product quantization (the vector-store compression
+  // behind IVF-PQ indexes): each 64-dim vector becomes 4 codebook ids
+  // (one per 16-dim subspace, 4 centroids each from the s7-style
+  // sign-seeded truncated-mean trainer) plus the exact integer
+  // reconstruction error. Training is one tiny aggregate (≤16 centroid
+  // rows, collected broadcast-sized); encoding is ONE map-side
+  // projection against centroid literals — vectors are never shuffled,
+  // the 100 TB-safe shape. Everything stays in scaled-long arithmetic
+  // so DuckDB restates the full train+assign and hash-matches.
+  def s9(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      m = 4, subDim = 16)
+
+  private val s9Sql = {
+    def dot(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, 17), i -> $a[i] * $b[i]), 'sum')"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s AS sub, sv[s*16+1 : s*16+16] AS subv,
+       |    (CASE WHEN sv[s*16+1] >= 0 THEN 2 ELSE 0 END +
+       |     CASE WHEN sv[s*16+2] >= 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS s) t),
+       |comp AS (
+       |  SELECT sub, cell, i AS pos, CAST(SUM(subv[i]) AS BIGINT) AS sm, COUNT(*) AS cnt
+       |  FROM subs, range(1, 17) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT sub, cell,
+       |    list(CASE WHEN sm < 0 THEN -((-sm) // cnt) ELSE sm // cnt END ORDER BY pos) AS cent
+       |  FROM comp GROUP BY 1, 2),
+       |cw AS (SELECT sub, cell, cent,
+       |         list_aggregate(list_transform(cent, x -> x * x), 'sum') AS cc FROM cent),
+       |d AS (
+       |  SELECT s.vec_id, s.sub, c.cell,
+       |    ${dot("s.subv", "s.subv")} - 2 * ${dot("s.subv", "c.cent")} + c.cc AS dist
+       |  FROM subs s JOIN cw c ON s.sub = c.sub),
+       |a AS (
+       |  SELECT vec_id, sub, cell AS code, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rk
+       |  FROM d)
+       |SELECT vec_id,
+       |  CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+       |  CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+       |  CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+       |  CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+       |  CAST(SUM(dist) AS BIGINT) AS err_sq
+       |FROM a WHERE rk = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
@@ -324,7 +378,8 @@ object SimilarityQueries {
     "s5_centroids" -> (s5 _),
     "s6_quantize" -> (s6 _),
     "s7_topk_ivf" -> (s7 _),
-    "s8_embed_clusters" -> (s8 _))
+    "s8_embed_clusters" -> (s8 _),
+    "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_topk_brute" -> s1Sql,
@@ -334,5 +389,6 @@ object SimilarityQueries {
     "s5_centroids" -> s5Sql,
     "s6_quantize" -> s6Sql,
     "s7_topk_ivf" -> s7Sql,
-    "s8_embed_clusters" -> s8Sql)
+    "s8_embed_clusters" -> s8Sql,
+    "s9_pq_codes" -> s9Sql)
 }

@@ -141,13 +141,37 @@ object StreamingQueries {
       |   OR end_tsu // 1000 + 30 * 60 * 1000 < wm_ms
       |ORDER BY user_id, start_tsu""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st7_distinct_users — chained stateful streaming: event-time dedup →
+  // windowed count-distinct-users per (hour, event_type), append mode.
+  // The oracle applies the append-mode finalization cutoff: only
+  // windows whose end precedes the final watermark (max event time −
+  // 1 h delay) have emitted — the same convention as st6's timeout
+  // cutoff, here on window boundaries.
+  def st7(spark: SparkSession, dir: String): DataFrame =
+    Streaming.distinctUsersHourly(spark, dir)
+      .orderBy(col("hour"), col("event_type"))
+
+  private val st7Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS tsu, event_type, user_id FROM events),
+      |m AS (SELECT max(tsu) - 3600000000 AS wm FROM e),
+      |d AS (
+      |  SELECT DISTINCT (tsu // 3600000000) AS hidx, event_type, user_id FROM e)
+      |SELECT strftime(make_timestamp(hidx * 3600000000), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, COUNT(*) AS n_users
+      |FROM d, m
+      |WHERE (hidx + 1) * 3600000000 <= wm
+      |GROUP BY hidx, event_type ORDER BY hour, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
     "st3_stream_join" -> (st3 _),
     "st4_stream_stream" -> (st4 _),
     "st5_stateful_sessions" -> (st5 _),
-    "st6_session_flows" -> (st6 _))
+    "st6_session_flows" -> (st6 _),
+    "st7_distinct_users" -> (st7 _))
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_hourly" -> st1Sql,
@@ -155,5 +179,6 @@ object StreamingQueries {
     "st3_stream_join" -> st3Sql,
     "st4_stream_stream" -> st4Sql,
     "st5_stateful_sessions" -> st2Sql,
-    "st6_session_flows" -> st6Sql)
+    "st6_session_flows" -> st6Sql,
+    "st7_distinct_users" -> st7Sql)
 }

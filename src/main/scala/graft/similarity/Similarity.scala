@@ -200,4 +200,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
   }
+
+  /** Product-quantization codebook training: split each scaled vector
+    * into `m` contiguous `subDim`-wide subvectors, seed 4 cells per
+    * subspace from the sign bits of the subspace's first two components
+    * (the s7 static-hyperplane family), and take the truncated-mean
+    * centroid of every non-empty cell — exactly reproducible integer
+    * arithmetic, like the IVF trainer. Returns (sub, cell, centroid,
+    * |centroid|²) rows; at most m·4 of them (broadcast-sized collect).
+    */
+  def pqTrain(df: DataFrame, vecCol: String, m: Int, subDim: Int): Seq[(Int, Int, Seq[Long], Long)] =
+    df.select(scaled(col(vecCol)).as("sv"))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${m - 1}), s -> struct(
+           |  s AS sub,
+           |  slice(sv, s * $subDim + 1, $subDim) AS subv,
+           |  (CASE WHEN sv[s * $subDim] >= 0L THEN 2 ELSE 0 END +
+           |   CASE WHEN sv[s * $subDim + 1] >= 0L THEN 1 ELSE 0 END) AS cell))""".stripMargin)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+        posexplode(col("e.subv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("cell"), col("pos"), expr("s div n").as("c"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub"), col("cell"), expr("transform(pc, e -> e.c)").as("cent"))
+      .collect()
+      .map { r =>
+        val cent = r.getSeq[Long](2)
+        (r.getInt(0), r.getInt(1), cent, cent.map(x => x * x).sum)
+      }
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** Product-quantization encoding: per subspace, the nearest trained
+    * centroid by exact squared L2 distance over scaled longs
+    * (dist = |x|² − 2·x·c + |c|², lowest-cell tiebreak), plus the total
+    * reconstruction error. Assignment is ONE map-side projection
+    * against centroid literals — after the (tiny) training aggregate,
+    * no shuffle touches the vectors at any scale. Output:
+    * (id, code0..code{m−1}, err_sq) sorted by id.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    val trained = pqTrain(df, vecCol, m, subDim)
+    val bySub = trained.groupBy(_._1)
+    val v = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+    val withBest = (0 until m).foldLeft(v) { (acc, s) =>
+      val subv = expr(s"slice(sv, ${s * subDim + 1}, $subDim)")
+      val cands = bySub(s).map { case (_, cell, cent, cn2) =>
+        struct(
+          (dotScaled(subv, subv) - lit(2L) * dotScaled(subv, typedlit(cent)) + lit(cn2)).as("dist"),
+          lit(cell).as("cell"))
+      }
+      acc.withColumn(s"best$s", array_min(array(cands: _*)))
+    }
+    withBest.select(
+      col("vec_id") +:
+        (0 until m).map(s => col(s"best$s.cell").as(s"code$s")) :+
+        (0 until m).map(s => col(s"best$s.dist")).reduce(_ + _).as("err_sq"): _*)
+      .orderBy(col("vec_id"))
+  }
 }

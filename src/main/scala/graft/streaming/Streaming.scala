@@ -106,6 +106,44 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming distinct-user counts per (hour, event_type): event-time
+    * dedup chained into a windowed aggregate — TWO stateful operators
+    * in one append-mode query (the Spark 3.5+ chained-stateful
+    * pattern). The `window()` struct is computed BEFORE the dedup so it
+    * carries the event-time/watermark tag through both operators:
+    * dedup state evicts as the watermark passes each window, and the
+    * downstream aggregate finalizes windows on the same watermark (the
+    * AvailableNow trailing batch advances it to max event time − delay,
+    * so windows ending at or before that cutoff emit; a window still
+    * inside the delay horizon is correctly absent — not final yet).
+    * Distinct-count via dedup-then-count is order-independent, which is
+    * what makes this streaming query batch-oracle-able (unlike
+    * first-arrival dedup, which keeps a processing-order row). */
+  def distinctUsersHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_distinct_${queryCounter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .select(window(col("event_ts"), "1 hour").as("win"),
+        col("event_type"), col("user_id"))
+      .dropDuplicates("win", "event_type", "user_id")
+      .groupBy(col("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n_users"))
+    withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Batch sessionization: a new session starts after a >gap silence.
     * Pure window functions — the same plan a warehouse would run. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

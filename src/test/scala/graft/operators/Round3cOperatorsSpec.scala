@@ -154,6 +154,62 @@ class Round3cOperatorsSpec extends SparkSpec {
     fps.values.foreach(s => assert(s.nonEmpty && s.size <= 3))
   }
 
+  // -------------------------------------------------------------------
+  // s9_pq_codes
+
+  test("s9 PQ codes and error match an independent argmin recomputation") {
+    import graft.similarity.Similarity
+    val e = Tables.embeddings(spark, dir)
+    val trained = Similarity.pqTrain(e, "embedding", m = 4, subDim = 16)
+    assert(trained.nonEmpty && trained.size <= 16)
+    trained.foreach { case (sub, cell, cent, cn2) =>
+      assert(sub >= 0 && sub < 4 && cell >= 0 && cell < 4)
+      assert(cent.size === 16 && cn2 === cent.map(x => x * x).sum)
+    }
+    val bySub = trained.groupBy(_._1)
+    val scaledVecs = e.select(col("vec_id"),
+      Similarity.scaled(col("embedding")).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = SimilarityQueries.s9(spark, dir).collect()
+    assert(got.length === scaledVecs.size)
+    got.foreach { r =>
+      val sv = scaledVecs(r.getLong(0))
+      var err = 0L
+      (0 until 4).foreach { s =>
+        val subv = sv.slice(s * 16, s * 16 + 16)
+        val (bestCell, bestDist) = bySub(s).map { case (_, cell, cent, _) =>
+          (cell, subv.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum)
+        }.minBy { case (cell, dist) => (dist, cell) }
+        assert(r.getInt(1 + s) === bestCell, s"vec ${r.getLong(0)} sub $s")
+        err += bestDist
+      }
+      assert(r.getLong(5) === err, s"vec ${r.getLong(0)} err_sq")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q20_grouping_sets
+
+  test("q20 marginals equal direct groupBys; grand total covers the table") {
+    val rows = RelationalQueries.q20(spark, dir).collect()
+    val orders = Tables.orders(spark, dir)
+    val byStatus = orders.groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPrio = orders.groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = orders.count()
+    // gid 1 = (status) set, 2 = (priority) set, 3 = grand total
+    val g1 = rows.filter(_.getLong(2) == 1L)
+    val g2 = rows.filter(_.getLong(2) == 2L)
+    val g3 = rows.filter(_.getLong(2) == 3L)
+    assert(rows.length === g1.length + g2.length + g3.length, "only the three declared sets")
+    assert(g1.map(r => r.getString(0) -> r.getLong(3)).toMap === byStatus)
+    assert(g1.forall(_.getString(1) == "ALL"))
+    assert(g2.map(r => r.getString(1) -> r.getLong(3)).toMap === byPrio)
+    assert(g2.forall(_.getString(0) == "ALL"))
+    assert(g3.map(_.getLong(3)).toSeq === Seq(n))
+  }
+
   test("d9 groups are real collisions on the corpus") {
     val rows = DedupQueries.d9(spark, dir).collect()
     assert(rows.nonEmpty)

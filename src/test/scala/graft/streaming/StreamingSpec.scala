@@ -33,4 +33,27 @@ class StreamingSpec extends SparkSpec {
     val total = out.agg(sum($"n")).head().getLong(0)
     assert(total === spark.read.parquet(s"$dir/events.parquet").count())
   }
+
+  test("chained dedup->agg equals batch count-distinct up to the append cutoff") {
+    val out = Streaming.distinctUsersHourly(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(Streaming.tsMicros($"ts").as("tsu"), $"event_type", $"user_id")
+    val maxTsu = events.agg(max($"tsu")).head().getLong(0)
+    val wm = maxTsu - 3600000000L
+    // batch truth, restricted to windows finalized at the last watermark
+    val batch = events
+      .withColumn("hidx", expr("tsu div 3600000000"))
+      .filter(($"hidx" + 1) * 3600000000L <= wm)
+      .groupBy($"hidx", $"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format(timestamp_micros($"hidx" * 3600000000L), "yyyy-MM-dd HH:mm").as("hour"),
+        $"event_type", $"n_users")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === batch)
+    // the cutoff really withheld the trailing (non-final) window(s)
+    val allWindows = events.select(expr("tsu div 3600000000")).distinct().count()
+    assert(out.keySet.map(_._1).size < allWindows,
+      "windows inside the watermark horizon must not emit")
+  }
 }
