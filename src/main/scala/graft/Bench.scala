@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+/** Benchmark main: runs every gate query in `SparkEntry.queries` against
+  * `SPARK_GRAFT_SF_DIR` and prints machine-readable timings.
+  *
+  * Determinism contract (so round-over-round per-query comparisons are
+  * falsifiable rather than order-noise):
+  *   - queries run in SORTED-NAME order — adding a query never reshuffles
+  *     when the others execute, so GC/JIT interleaving stays comparable;
+  *   - each query runs N=3 times and reports the MEDIAN (cold Janino
+  *     compile lands on run 1 only; the median isolates steady-state
+  *     execution from one-time codegen), with the cold first-run time
+  *     reported separately in `cold`;
+  *   - a failing query is reported as an ERROR (queries value -1.0 plus an
+  *     `errors` entry with the exception), never as a fast-looking count;
+  *   - output is TWO JSON lines: the full per-query line first, then a
+  *     short total-only line, so a bounded tail window always captures the
+  *     headline number even if the per-query line is truncated.
+  * Full detail (every individual run time) is also written to
+  * `bench_detail.json` in the working directory.
+  */
 object Bench {
+  private val Runs = 3
+
+  private def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,15 +74,60 @@ object Bench {
         .queryName("graft_warmup_stream").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Sorted-name order: deterministic across rounds regardless of Map
+    // hashing or how many queries exist.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runsPerQuery = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var i = 0
+      while (i < Runs && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) =>
+            failed = true
+            errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+        }
+        i += 1
+      }
+      runsPerQuery(name) = times.toSeq
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      s(s.length / 2) // odd N
+    }
+    val medians = names.map { n =>
+      val ts = runsPerQuery(n)
+      n -> (if (errors.contains(n) || ts.isEmpty) -1.0 else median(ts))
+    }
+    val colds = names.collect { case n if runsPerQuery(n).nonEmpty => n -> runsPerQuery(n).head }
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    // Full detail (all individual run times) to a file, immune to stdout
+    // truncation.
+    val detail = names.map { n =>
+      "\"" + n + "\":" + runsPerQuery(n).map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        s"""{"sf":"$sfDir","runs":$Runs,"errors":$errJson,"times":$detail}""".getBytes("UTF-8"))
+    } catch { case NonFatal(_) => () }
+    // Line 1: full per-query medians (+ colds + errors).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"cold":${jmap(colds)},"errors":$errJson,"sf":"$sfDir"}""")
+    // Line 2: short headline, guaranteed to survive any tail window.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_n":${names.size},"errors_n":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,11 +39,18 @@ object WinnowFpsKernel {
     var i = 0
     while (i < nsh) {
       sb.setLength(0)
+      // array_join semantics: a null element contributes neither itself
+      // nor a separator — track whether anything has been appended rather
+      // than keying the separator off position
       var t = 0
+      var appended = false
       while (t < k) {
-        if (t > 0) sb.append(' ')
         val s = tokens.getUTF8String(i + t)
-        if (s != null) sb.append(s.toString)
+        if (s != null) {
+          if (appended) sb.append(' ')
+          sb.append(s.toString)
+          appended = true
+        }
         t += 1
       }
       val digest = md.digest(sb.toString.getBytes("UTF-8"))

@@ -519,16 +519,23 @@ object TextQueries {
   // deterministic middle span of 4 tokens at
   // start = 2 + (doc_id·2654435761 mod 2^32) mod (n − 5), guaranteeing
   // non-empty prefix and suffix; the three segments travel as md5s.
-  // The Knuth multiplicative hash stays in exact BIGINT range in both
-  // engines — no hex→int conversion needed anywhere. Map-only.
+  // The mod-2^32 multiply is computed via a 16-bit split
+  // ((hi·A mod 2^16)·2^16 + lo·A, then mod 2^32) so every intermediate
+  // stays below 2^48 — exact BIGINT in both engines for ANY doc_id
+  // (a direct doc_id·A overflows Long past doc_id ≈ 3.47e9, where ANSI
+  // Spark throws but DuckDB silently promotes to HUGEINT). For
+  // doc_id < 2^32 the value is bit-identical to the naive product.
   def t15(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
+    val A = lit(2654435761L)
+    val x0 = pmod(col("doc_id"), lit(4294967296L))
+    val knuth = pmod(
+      pmod(shiftright(x0, 16) * A, lit(65536L)) * lit(65536L) + pmod(x0, lit(65536L)) * A,
+      lit(4294967296L))
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
       .filter(col("n") >= 6)
-      .withColumn("s",
-        (lit(2) + pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
-          col("n") - lit(5))).cast("int"))
+      .withColumn("s", (lit(2) + pmod(knuth, col("n") - lit(5))).cast("int"))
       .select(col("doc_id"), col("n").as("n_tokens"), col("s").cast("long").as("span_start"),
         md5(array_join(slice(col("toks"), lit(1), col("s") - lit(1)), " ")).as("prefix_md5"),
         md5(array_join(slice(col("toks"), col("s"), lit(4)), " ")).as("middle_md5"),
@@ -544,7 +551,9 @@ object TextQueries {
       |  FROM documents WHERE text IS NOT NULL),
       |f AS (
       |  SELECT doc_id, toks, n,
-      |    2 + ((doc_id * 2654435761) % 4294967296) % (n - 5) AS s
+      |    2 + (((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |         + ((doc_id % 4294967296) % 65536) * 2654435761)
+      |        % 4294967296 % (n - 5) AS s
       |  FROM t WHERE n >= 6)
       |SELECT doc_id, n AS n_tokens, CAST(s AS BIGINT) AS span_start,
       |  md5(array_to_string(list_slice(toks, 1, s - 1), ' ')) AS prefix_md5,

@@ -178,8 +178,13 @@ object JdbcReplaceSink {
           byKey.remove(key)
           byKey.put(key, row)
         }
-        byKey.foreach { case (key, row) =>
-          key.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+        byKey.foreach { case (_, row) =>
+          // bind DELETE params from the ORIGINAL row values — the
+          // comparable-wrapped Seq is only a map key (setObject cannot
+          // bind a Scala Seq for a BINARY key column)
+          cfg.keyColumns.zipWithIndex.foreach { case (k, i) =>
+            del.setObject(i + 1, row.get(row.fieldIndex(k)))
+          }
           del.addBatch()
           var i = 0
           while (i < nData) {

@@ -101,4 +101,52 @@ class PlanAuditSpec extends SparkSpec {
     // one aggregate for the histogram; no join remains
     assert(!t7.contains("Join"), t7)
   }
+
+  /** Unwrap the AQE root so node-level traversal sees the real plan. */
+  private def physical(name: String): org.apache.spark.sql.execution.SparkPlan =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("s7: IVF corpus side streams into the rerank join with zero Exchange") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = physical("s7_topk_ivf")
+    val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, plan.toString)
+    // the rerank join: assigned corpus vectors ⋈ broadcast(probed queries).
+    // The corpus (streamed) side must be map-only — centroid assignment
+    // against literals, no shuffle, no join — or the IVF loses its
+    // zero-vector-shuffle scale property.
+    val rerank = bhjs.head
+    val streamed = rerank.buildSide match {
+      case BuildRight => rerank.left
+      case BuildLeft  => rerank.right
+    }
+    val exchanges = streamed.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, streamed.toString)
+  }
+
+  test("sk1: certification scan prunes the fingerprint (md5 computed on profile side only)") {
+    val plan = executed("sk1_sketches")
+    // two scans of documents, but the regex+md5 fingerprint must be
+    // projected exactly once — the join-back pass needs only toks
+    assert("regexp_replace".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("v6: partition-column re-padding survives a schema-inference change") {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false") // partition values come back as strings
+      val off = graft.SparkEntry.queries("v6_roundtrip")(spark, dir).collect()
+      assert(off.nonEmpty && off.forall(_.getString(0).length == 3),
+        off.map(_.getString(0)).mkString(","))
+      spark.conf.set(key, "true") // …or inferred as ints; output identical
+      val on = graft.SparkEntry.queries("v6_roundtrip")(spark, dir).collect()
+      assert(off.map(_.toString).sorted === on.map(_.toString).sorted)
+    } finally spark.conf.set(key, orig)
+  }
 }

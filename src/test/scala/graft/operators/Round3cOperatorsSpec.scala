@@ -127,6 +127,22 @@ class Round3cOperatorsSpec extends SparkSpec {
     kernel.foreach { case (id, fps) => assert(fps === hof(id), s"doc $id") }
   }
 
+  test("winnow_fps kernel == declarative HOF on arrays containing nulls") {
+    // array_join skips a null element AND its separator; the kernel must
+    // digest the identical joined string (not leave a doubled space).
+    val withNulls = Seq(
+      Seq[String]("a", null, "b", "c", "d", "e", "f", "g", "h"),
+      Seq[String](null, "a", "b", "c", "d", "e", "f", "g"),
+      Seq[String]("a", "b", "c", "d", "e", "f", "g", null))
+      .toDF("toks")
+    val r = withNulls.select(
+      array_sort(DedupQueries.winnowFps(col("toks"))).as("kernel"),
+      array_sort(DedupQueries.winnowFpsDeclarative).as("hof")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) === row.getSeq[String](1))
+    }
+  }
+
   test("winnow_fps is null below k+w-1 tokens, single-window at exactly 8") {
     val r = Seq(("a b c d e f g", "a b c d e f g h")).toDF("short_doc", "exact_doc")
       .select(

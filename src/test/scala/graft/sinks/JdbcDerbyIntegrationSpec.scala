@@ -130,6 +130,47 @@ class JdbcDerbyIntegrationSpec extends SparkSpec {
     c2.close()
   }
 
+  test("binary key column: replace + in-chunk dedup bind real byte arrays") {
+    // The DELETE must bind the ORIGINAL Array[Byte] (setObject cannot
+    // bind the comparable-wrapped Seq the dedup map keys on).
+    val c = DerbyDb.conn()
+    val st = c.createStatement()
+    st.execute(
+      """CREATE TABLE pz_bin (
+        |  doc_hash VARCHAR(16) FOR BIT DATA NOT NULL, price_zone INT,
+        |  arrived_time VARCHAR(32), PRIMARY KEY (doc_hash))""".stripMargin)
+    st.close()
+    val binCfg = JdbcReplaceSink.Config(
+      table = "pz_bin",
+      columns = Seq("doc_hash", "price_zone"),
+      auditColumns = Seq("arrived_time" -> "2024-06-01 00:00:00"),
+      batchSize = 10,
+      dialect = JdbcReplaceSink.DeleteThenInsert,
+      keyColumns = Seq("doc_hash"))
+    def key(s: String): Array[Byte] = s.getBytes("UTF-8")
+    // two byte-EQUAL keys (distinct array instances) in one chunk: the
+    // dedup must keep the last, and the pre-existing row must be replaced
+    val pre = c.prepareStatement("INSERT INTO pz_bin VALUES (?, ?, ?)")
+    pre.setObject(1, key("k1")); pre.setInt(2, 111); pre.setString(3, "old")
+    pre.executeUpdate(); pre.close()
+    val data = Seq((key("k1"), 100), (key("k2"), 200), (key("k1"), 999))
+      .toDF("doc_hash", "price_zone").collect().iterator
+    val n = JdbcReplaceSink.writePartition(data, c, binCfg)
+    assert(n === 3)
+    val rs = c.createStatement().executeQuery(
+      "SELECT doc_hash, price_zone, arrived_time FROM pz_bin")
+    val out = scala.collection.mutable.Map[String, (Int, String)]()
+    while (rs.next()) {
+      out(new String(rs.getBytes(1), "UTF-8")) = (rs.getInt(2), rs.getString(3))
+    }
+    rs.close()
+    if (!c.getAutoCommit) c.commit()
+    assert(out === Map(
+      "k1" -> ((999, "2024-06-01 00:00:00")),
+      "k2" -> ((200, "2024-06-01 00:00:00"))))
+    c.close()
+  }
+
   test("statement builders emit valid ANSI for the delete/insert dialect") {
     val k = cfg("pz_sql")
     assert(JdbcReplaceSink.deleteSql(k) ===
