@@ -340,6 +340,43 @@ object DedupQueries {
       |FROM cont GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d7b_bloom_contamination — decontamination for when the eval gram set
+  // is too big to broadcast EXACTLY: a `BloomFilterAggregate` over the
+  // eval grams condenses them to a fixed-size bitset (one row, ≤ a few
+  // MB — broadcast-variable sized regardless of eval cardinality) that
+  // prefilters the corpus gram stream MAP-SIDE via `might_contain`; a
+  // left-semi confirm join against the exact gram set then removes the
+  // Bloom's false positives. The Bloom can only over-flag, never drop a
+  // true match, so the result — and the oracle — is exactly d7's. At
+  // 100 TB the confirm join sees only the prefiltered trickle (FPP ~1e-2
+  // of non-matching grams) instead of the full corpus stream.
+  def d7b(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      explode(Dedup.shingleHashesExpr(col("text"), 8)).as("gh"))
+    val evalGrams = grams(docs.filter(col("source") === lit("src0")))
+      .select(col("gh")).distinct()
+    // one-row driver fetch of the serialized filter (bounded by numBits,
+    // not by eval cardinality — the same contract as a broadcast var)
+    val bloomAgg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(col("gh")), 1000000L)
+    val bloom = evalGrams
+      .select(GraftColumnBridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(new BloomFilterMightContain(
+      GraftColumnBridge.expression(lit(bloom)),
+      GraftColumnBridge.expression(col("gh"))))
+    val contaminated = grams(docs.filter(col("source") =!= lit("src0")))
+      .filter(mightContain) // map-side: no corpus shuffle before the confirm
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi") // exact confirm
+      .select(col("doc_id"), col("source")).distinct()
+    contaminated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
 
   // ---------------------------------------------------------------------
   // d8_span_dedup — repeated-span (boilerplate) profiling, the
@@ -449,6 +486,74 @@ object DedupQueries {
       |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d10_kept_corpus — keeper MATERIALIZATION: the step a real pipeline
+  // runs after LSH + clustering — elect one canonical document per
+  // near-dup cluster (highest quality score, ties → lowest doc_id) and
+  // emit the kept corpus row set. Composes d5's connected components
+  // with t2's quality score; the gate row set is every surviving doc
+  // with its role ('canonical' = won its cluster, 'unique' = never
+  // clustered) and how many dups its election removed.
+  //
+  // Scale shape: quality is projected map-side BEFORE the membership
+  // join (only (doc_id, q) scalars shuffle, never text); the election
+  // window partitions by component over CLUSTERED docs only (bounded by
+  // the dup set, not the corpus); the full corpus then joins the ranked
+  // membership ONCE (left) and filters rn IS NULL OR rn = 1 — one
+  // corpus-wide join, no global window, no second anti-join pass.
+  def d10(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    val clustered = ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val memberQ = docs
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .join(clustered, Seq("doc_id"))
+    val w = Window.partitionBy(col("component")).orderBy(col("q").desc, col("doc_id"))
+    val ranked = memberQ
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nm", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("rn"), col("nm"))
+    docs.select(col("doc_id"), col("source"))
+      .join(ranked, Seq("doc_id"), "left")
+      .filter(col("rn").isNull || col("rn") === 1)
+      .select(col("doc_id"), col("source"),
+        when(col("rn") === 1, lit("canonical")).otherwise(lit("unique")).as("role"),
+        coalesce(col("nm") - 1, lit(0L)).cast("long").as("n_dups_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d10Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |scored AS (
+       |  SELECT doc_id,
+       |    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |    + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |       / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE)) * 0.4
+       |    + (1.0 - least((CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+       |                    / CAST(greatest(length(text),1) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS q
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT s.doc_id, c.component, s.q,
+       |    row_number() OVER (PARTITION BY c.component ORDER BY s.q DESC, s.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.component) AS nm
+       |  FROM scored s JOIN comp c ON s.doc_id = c.id)
+       |SELECT d.doc_id, d.source,
+       |  CASE WHEN r.rn = 1 THEN 'canonical' ELSE 'unique' END AS role,
+       |  CAST(COALESCE(r.nm - 1, 0) AS BIGINT) AS n_dups_removed
+       |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+       |WHERE r.rn IS NULL OR r.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
@@ -457,8 +562,10 @@ object DedupQueries {
     "d5_dedup_clusters" -> (d5 _),
     "d6_simhash_pairs" -> (d6 _),
     "d7_contamination" -> (d7 _),
+    "d7b_bloom_contamination" -> (d7b _),
     "d8_span_dedup" -> (d8 _),
-    "d9_winnowing" -> (d9 _))
+    "d9_winnowing" -> (d9 _),
+    "d10_kept_corpus" -> (d10 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -468,6 +575,10 @@ object DedupQueries {
     "d5_dedup_clusters" -> d5Sql,
     "d6_simhash_pairs" -> d6Sql,
     "d7_contamination" -> d7Sql,
+    // the Bloom variant's oracle IS the exact result: false positives are
+    // removed by the confirm join, so d7 and d7b must agree bit-for-bit
+    "d7b_bloom_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
-    "d9_winnowing" -> d9Sql)
+    "d9_winnowing" -> d9Sql,
+    "d10_kept_corpus" -> d10Sql)
 }

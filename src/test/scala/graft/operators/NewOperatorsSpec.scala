@@ -132,4 +132,22 @@ class NewOperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("d10: every d5 cluster contributes exactly one keeper; counts reconcile") {
+    val clusters = graft.SparkEntry.queries("d5_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // component -> n_members
+    val kept = graft.SparkEntry.queries("d10_kept_corpus")(spark, dir).collect()
+    val canonicals = kept.filter(_.getString(2) == "canonical")
+    // one canonical per cluster, removing exactly n_members - 1 dups
+    assert(canonicals.length === clusters.size)
+    assert(canonicals.map(_.getLong(3)).sorted.toSeq ===
+      clusters.values.map(_ - 1).toSeq.sorted)
+    // kept = corpus - sum(n_members - 1); uniques removed nothing
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(kept.length === nDocs - clusters.values.map(_ - 1).sum)
+    assert(kept.filter(_.getString(2) == "unique").forall(_.getLong(3) == 0L))
+    // the elected keeper really is a member of the cluster it won:
+    // every kept doc appears in the corpus exactly once
+    assert(kept.map(_.getLong(0)).distinct.length === kept.length)
+  }
 }

@@ -129,6 +129,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.isEmpty, streamed.toString)
   }
 
+  test("d7b: bloom prefilter is map-side — corpus reaches the confirm join with zero Exchange") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = physical("d7b_bloom_contamination")
+    assert(plan.toString.contains("might_contain"), plan.toString)
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, plan.toString)
+    val streamed = semis.head.buildSide match {
+      case BuildRight => semis.head.left
+      case BuildLeft  => semis.head.right
+    }
+    // the filtered gram stream flows map-side into the confirm join —
+    // any Exchange here would mean the corpus shuffled before confirm
+    assert(streamed.collect { case e: Exchange => e }.isEmpty, streamed.toString)
+    // and the bloom prefilter sits below the join, not above it
+    assert(streamed.toString.contains("might_contain"), streamed.toString)
+  }
+
   test("sk1: certification scan prunes the fingerprint (md5 computed on profile side only)") {
     val plan = executed("sk1_sketches")
     // two scans of documents, but the regex+md5 fingerprint must be
