@@ -28,6 +28,44 @@ object SimilarityQueries {
   private def cosSql(dot: String, na: String, nb: String) =
     s"round(CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))), 6)"
 
+  /** ADAPTIVE sign-LSH width for the all-pairs operators (s3/s8): with a
+    * fixed bucket count, doubling the data doubles every bucket and
+    * QUADRUPLES the within-bucket self-join — measured 35× runtime at
+    * 10× data on the scaling probe. Growing bits with n pins expected
+    * bucket occupancy at ~250 vectors, so candidate work stays ~linear.
+    * The width is derived with pure integer arithmetic (no log2 — IEEE
+    * rounding at exact powers of two could disagree across engines):
+    * smallest b with n <= 250·2^b, i.e. bitlength(ceil(n/250) − 1),
+    * clamped to [3, 24]. At every gate sf (≤ 2000 vectors) this stays 3,
+    * so gate results are identical to the fixed-width formulation.
+    * Memoized per dir — one metadata-only parquet rowcount. */
+  private val bitsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def adaptiveBits(spark: SparkSession, dir: String): Int =
+    bitsCache.getOrElseUpdate(dir, {
+      val n = Tables.embeddings(spark, dir).count()
+      val k = (n + 249L) / 250L
+      val b = if (k <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(k - 1L)
+      math.max(3, math.min(24, b))
+    })
+
+  /** `scaledCte` with the bucket recomputed at [[adaptiveBits]] width —
+    * the oracle restates the same integer bit-length derivation. */
+  private def scaledCteAdaptive =
+    """bits AS (
+      |  SELECT GREATEST(3, LEAST(24,
+      |    CASE WHEN k <= 1 THEN 0 ELSE length(bin(k - 1)) END)) AS b
+      |  FROM (SELECT (COUNT(*) + 249) // 250 AS k FROM embeddings)),
+      |v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv,
+      |    CAST(list_aggregate(
+      |      [CASE WHEN embedding[i + 1] > 0 THEN 1 << (b - 1 - i) ELSE 0 END
+      |       for i in range(b)], 'sum') AS INTEGER) AS bucket
+      |  FROM embeddings, bits),
+      |n AS (SELECT vec_id, label, sv, bucket,
+      |        list_aggregate(list_transform(sv, x -> x * x), 'sum') AS nrm
+      |      FROM v)""".stripMargin
+
   // ---------------------------------------------------------------------
   // s1_topk_brute — brute-force cosine top-10 for query vectors vec_id<5.
   def s1(spark: SparkSession, dir: String): DataFrame = {
@@ -90,7 +128,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, dir)
     val v = e.select(col("vec_id"),
       Similarity.scaled(col("embedding")).as("sv"),
-      Similarity.signBucket(col("embedding"), 3).as("bucket"))
+      Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
       .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
     val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("nrm").as("na"), col("bucket"))
     val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
@@ -106,7 +144,7 @@ object SimilarityQueries {
     neardupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
   private val s3Sql =
-    s"""WITH $scaledCte,
+    s"""WITH $scaledCteAdaptive,
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
@@ -130,7 +168,7 @@ object SimilarityQueries {
       .orderBy(col("component"))
 
   private val s8Sql =
-    s"""WITH RECURSIVE $scaledCte,
+    s"""WITH RECURSIVE $scaledCteAdaptive,
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

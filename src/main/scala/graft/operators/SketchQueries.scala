@@ -95,11 +95,56 @@ object SketchQueries {
       |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** sk2_hll_union — MERGEABLE Datasketches HLL: per-source sketches
+    * over the doc fingerprint, then `hll_union_agg` merges the sketch
+    * COLUMN into the global sketch — the two-level sketch→merge pattern
+    * that replaces a terabyte distinct-shuffle with KB-sized state at
+    * 100 TB (each executor sketches locally; only sketches move).
+    * Gate: exact per-source/global distincts are hash anchors;
+    * `est_ok` pins |estimate − exact| ≤ 3·rsd·exact with
+    * rsd = 1.04/√2^12 (default lgConfigK = 12), which the oracle
+    * asserts TRUE. Global exact ≠ sum of per-source exacts
+    * (fingerprints span sources), so it takes its own aggregate — the
+    * honest anchor cost, paid once.
+    */
+  def sk2(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val per = base.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("fp")).as("sk"),
+        countDistinct(col("fp")).as("n_unique"))
+    val perOut = per.select(col("source"), col("n_unique"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_unique")) <=
+        lit(3 * rsd) * col("n_unique")).as("est_ok"))
+    val globalExact = base.agg(countDistinct(col("fp")).as("n_unique"))
+    val merged = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val globalOut = globalExact.crossJoin(merged)
+      .select(lit("~all").as("source"), col("n_unique"),
+        (abs(col("est") - col("n_unique")) <= lit(3 * rsd) * col("n_unique"))
+          .as("est_ok"))
+    perOut.unionAll(globalOut).orderBy(col("source"))
+  }
+
+  private val sk2Sql =
+    """WITH f AS (
+      |  SELECT source, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(DISTINCT fp) AS n_unique, TRUE AS est_ok
+      |  FROM f GROUP BY source),
+      |tot AS (
+      |  SELECT '~all' AS source, COUNT(DISTINCT fp) AS n_unique, TRUE AS est_ok
+      |  FROM f)
+      |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk1_sketches" -> (sk1 _))
+    "sk1_sketches" -> (sk1 _),
+    "sk2_hll_union" -> (sk2 _))
 
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
-    "sk1_sketches" -> sk1Sql)
+    "sk1_sketches" -> sk1Sql,
+    "sk2_hll_union" -> sk2Sql)
 }

@@ -14,6 +14,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object BucketedSink {
 
+  /** Sorted buckets additionally remove the per-task Sort below every
+    * SortMergeJoin — but only when (a) each bucket lands in ONE file,
+    * which the repartition-on-key below guarantees (each task holds
+    * exactly one bucket's rows; Spark distrusts multi-file buckets), and
+    * (b) the reading session sets
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (since
+    * Spark 3.1 the planner skips the planning-time file listing that
+    * proves per-bucket sortedness unless asked; the shuffle elimination
+    * itself needs no flag). */
   def write(
       df: DataFrame,
       table: String,
@@ -21,7 +30,8 @@ object BucketedSink {
       buckets: Int,
       sortCol: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).bucketBy(buckets, bucketCol)
+    val one = df.repartition(buckets, df.col(bucketCol))
+    val w = one.write.mode(mode).bucketBy(buckets, bucketCol)
     sortCol.fold(w)(s => w.sortBy(s)).format("parquet").saveAsTable(table)
   }
 }

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: builds an N× perf-scaling dataset from an existing sf dir by
+  * replication with per-replica DECORRELATION, so dedup/similarity
+  * structure scales linearly (each replica is an isometric, disjoint copy)
+  * instead of quadratically (naive replication makes every copy of a doc
+  * a near-dup of every other copy — candidate pairs would grow N²):
+  *
+  *  - documents: replica k > 0 suffixes every token with `_k` — all
+  *    shingles change, so no cross-replica MinHash/SimHash collisions,
+  *    while within-replica near-dup structure is exactly the original;
+  *  - embeddings: replica k applies a deterministic ±1 sign pattern per
+  *    component — an isometry (all within-replica dot products and norms
+  *    preserved) that decorrelates cross-replica cosines;
+  *  - events: replica k shifts user_id/event_id — N× concurrent users in
+  *    the same event-time range, which is exactly how streaming state
+  *    grows at scale.
+  *
+  * `runMain graft.tools.MakeScaleData [srcDir] [outDir] [copies]`.
+  * Perf harness only — never an oracle input.
+  */
+object MakeScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/sf1_synth"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map(k => f(base, k)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] wrote $table x$copies")
+    }
+
+    replicate("documents") { (df, k) =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ")
+      df.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+
+    replicate("embeddings") { (df, k) =>
+      // deterministic ±1 pattern per (replica, component): an isometry
+      val pattern = (0 until 64).map { i =>
+        if ((((i * 2654435761L + k * 40503L) >>> 16) & 1L) == 1L) -1.0f else 1.0f
+      }
+      df.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        zip_with(col("embedding"), typedlit(pattern), (x, s) => x * s).as("embedding"),
+        col("label"))
+    }
+
+    replicate("events") { (df, k) =>
+      df.select((col("event_id") + lit(k * 100000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+
+    // relational tables pass through untouched (scaling probes target the
+    // documents/embeddings/events operators; TPC-H tables have real SF
+    // generators upstream)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    println(s"[scale] done -> $out")
+    spark.stop()
+  }
+}
