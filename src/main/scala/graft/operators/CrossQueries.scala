@@ -257,6 +257,134 @@ object CrossQueries {
       |FROM g ORDER BY o_custkey, run_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x8_bloom_join — Bloom-pruned big-to-big join (semi-join reduction):
+  // lineitem rows joined to a filtered slice of orders, with a
+  // `BloomFilterAggregate` over the build-side keys prefiltering the
+  // probe side MAP-SIDE before any shuffle. At gate scale the orders
+  // slice could simply broadcast; the Bloom shape is for when the build
+  // side outgrows a broadcast but its KEY SET still fits a few MB of
+  // bits — then the probe stream drops ~(1 − selectivity) of its rows
+  // before the exchange, which at 100 TB is the difference between
+  // shuffling the full fact table and shuffling the matching trickle.
+  // False positives only let extra rows through; the real join removes
+  // them, so the result is exactly the plain join's (= the oracle).
+  def x8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val build = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1998 && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // one-row driver fetch of the serialized filter — bounded by numBits
+    // (the same contract as a broadcast variable), not by build rows
+    val bloomAgg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(col("o_orderkey")), 1000000L)
+    val bloom = build
+      .select(GraftColumnBridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(new BloomFilterMightContain(
+      GraftColumnBridge.expression(lit(bloom)),
+      GraftColumnBridge.expression(col("l_orderkey"))))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(mightContain) // map-side prune: probe shuffles only survivors
+      .join(build, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        RelationalQueries.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val x8Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE year(o_orderdate) = 1998 AND o_totalprice > 150000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x9_scd2_merge — INCREMENTAL SCD2: apply a CDC batch (orders from
+  // 1999 on) to an existing dimension history (built from orders through
+  // 1998) and produce the merged history. The correctness contract is
+  // the strongest one available: the merged result must hash-equal the
+  // FULL REBUILD (x7's gaps-and-islands plan over all data — the oracle
+  // is x7's SQL verbatim). Merge semantics at the boundary: the open
+  // (latest) interval of each customer absorbs the batch's first island
+  // iff the status continues unchanged; otherwise the batch opens a new
+  // interval; batch islands renumber on top of the old maximum. Interval
+  // money totals stay DECIMAL(18,4) until the final projection so the
+  // boundary merge adds exactly (double + double would drift from the
+  // rebuild's single decimal sum). Every join and window partitions by
+  // o_custkey — one shuffle key end to end, and the incremental path
+  // touches only the batch plus one open row per active customer, which
+  // at 100 TB is the difference between reprocessing seven years of
+  // history and reprocessing a day.
+  def x9(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // gaps-and-islands with DECIMAL sums (x7's plan, pre-cast)
+    def scd2Dec(orders: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("chg",
+          when(!(lag(col("o_orderstatus"), 1).over(w) <=> col("o_orderstatus")), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(run))
+        .groupBy(col("o_custkey"), col("island"), col("o_orderstatus").as("status"))
+        .agg(
+          min(col("o_orderdate")).as("eff_from"),
+          max(col("o_orderdate")).as("eff_to"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sum_dec"))
+    }
+    val all = Tables.orders(spark, dir)
+    val hist = scd2Dec(all.filter(year(col("o_orderdate")) <= 1998))
+    val batch = scd2Dec(all.filter(year(col("o_orderdate")) >= 1999))
+    val wc = Window.partitionBy(col("o_custkey"))
+    val hist2 = hist.withColumn("old_max", max(col("island")).over(wc))
+    val closedOld = hist2.filter(col("island") < col("old_max"))
+      .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
+        col("eff_from"), col("eff_to"), col("n_orders"), col("sum_dec"))
+    // the one open interval per customer, joined to the batch's first
+    // island; null-safe compare so a customer with no batch keeps its row
+    val first = batch.filter(col("island") === 1L)
+      .select(col("o_custkey"), col("status").as("b_status"),
+        col("eff_to").as("b_to"), col("n_orders").as("b_n"),
+        col("sum_dec").as("b_sum"))
+    val openJ = hist2.filter(col("island") === col("old_max"))
+      .join(first, Seq("o_custkey"), "left")
+      .withColumn("merged", col("b_status") <=> col("status"))
+    val openRows = openJ.select(col("o_custkey"), col("island").as("run_idx"),
+      col("status"), col("eff_from"),
+      when(col("merged"), col("b_to")).otherwise(col("eff_to")).as("eff_to"),
+      when(col("merged"), col("n_orders") + col("b_n")).otherwise(col("n_orders"))
+        .as("n_orders"),
+      when(col("merged"), col("sum_dec") + col("b_sum")).otherwise(col("sum_dec"))
+        .as("sum_dec"))
+    // remaining batch islands shift onto the old numbering; island 1
+    // disappears when the open interval absorbed it
+    val shifts = openJ.select(col("o_custkey"), col("old_max"),
+      when(col("merged"), 1L).otherwise(0L).as("consumed"))
+    val batchRest = batch.join(shifts, Seq("o_custkey"), "left")
+      .filter(col("island") > coalesce(col("consumed"), lit(0L)))
+      .select(col("o_custkey"),
+        (col("island") + coalesce(col("old_max"), lit(0L))
+          - coalesce(col("consumed"), lit(0L))).as("run_idx"),
+        col("status"), col("eff_from"), col("eff_to"), col("n_orders"),
+        col("sum_dec"))
+    closedOld.unionAll(openRows).unionAll(batchRest)
+      .withColumn("is_current", col("run_idx") === max(col("run_idx")).over(wc))
+      .select(col("o_custkey"), col("run_idx"), col("status"), col("eff_from"),
+        col("eff_to"), col("n_orders"),
+        col("sum_dec").cast(DoubleType).as("sum_total"), col("is_current"))
+      .orderBy(col("o_custkey"), col("run_idx"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_docs_embeddings" -> (x1 _),
@@ -265,7 +393,9 @@ object CrossQueries {
     "x4_skyline" -> (x4 _),
     "x5_asof_attribution" -> (x5 _),
     "x6_range_join" -> (x6 _),
-    "x7_scd2_history" -> (x7 _))
+    "x7_scd2_history" -> (x7 _),
+    "x8_bloom_join" -> (x8 _),
+    "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
     "x1_docs_embeddings" -> x1Sql,
@@ -274,5 +404,9 @@ object CrossQueries {
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
     "x6_range_join" -> x6Sql,
-    "x7_scd2_history" -> x7Sql)
+    "x7_scd2_history" -> x7Sql,
+    "x8_bloom_join" -> x8Sql,
+    // the incremental merge must reproduce the full rebuild bit-for-bit,
+    // so its oracle IS x7's full-history SQL
+    "x9_scd2_merge" -> x7Sql)
 }

@@ -408,7 +408,55 @@ object SimilarityQueries {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s10_knn_graph — k-nearest-neighbor GRAPH construction (the index
+  // behind graph-based dedup, label propagation, and diversity
+  // sampling): every vector's top-3 neighbors among its sign-LSH bucket
+  // mates. Two scale decisions: candidates come from the ADAPTIVE-width
+  // bucket join (occupancy pinned ~250, so candidate work stays linear
+  // in n), and the per-vector top-k runs through the typed
+  // [[graft.functions.TopKAggregator]] — the partial aggregate keeps a
+  // k-bounded buffer per vector per map task, so the exchange carries at
+  // most k (score, id) pairs per vector instead of every candidate pair
+  // (the window-rank form would shuffle the full candidate set; at ~250
+  // candidates/vector that is an 80× heavier exchange for k = 3).
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"),
+      Similarity.scaled(col("embedding")).as("sv"),
+      Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"),
+      col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"),
+      col("nrm").as("nb"), col("bucket"))
+    val topk = udaf(graft.functions.TopKAggregator.TopK(3))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
+      .groupBy(col("vec_a"))
+      .agg(topk(col("cos"), col("vec_b")).as("nbrs"))
+      .select(col("vec_a").as("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("nbr.id").as("nbr_id"), col("nbr.score").as("cos"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  private val s10Sql =
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, cand_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS nbr_id, cos FROM r
+       |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_knn_graph" -> (s10 _),
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
     "s3_neardup_pairs" -> (s3 _),
@@ -420,6 +468,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s10_knn_graph" -> s10Sql,
     "s1_topk_brute" -> s1Sql,
     "s2_topk_bucketed" -> s2Sql,
     "s3_neardup_pairs" -> s3Sql,

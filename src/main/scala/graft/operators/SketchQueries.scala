@@ -138,13 +138,62 @@ object SketchQueries {
       |  FROM f)
       |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin
 
+  /** sk3_heavy_hitters — frequency estimation via Count–Min Sketch, the
+    * third member of the sketch family (HLL = distinct, KLL = quantiles,
+    * CMS = frequencies): the token-frequency profile a tokenizer-training
+    * or stopword-analysis pass needs without ever shuffling the token
+    * stream. The sketch is built DISTRIBUTED (one pass, mergeable
+    * per-partition tables, driver holds only the w×d counter array);
+    * the exact top-20 token counts are the hash anchors, and `cms_ok`
+    * pins the CMS contract — `exact ≤ estimate ≤ exact + ε·N` (the CMS
+    * never under-counts; over-count is bounded by ε·total with
+    * probability 1−δ) — which the oracle asserts TRUE.
+    *
+    * ε = 1e-4 ⇒ width 27 183 counters ≈ 0.2 MB/partition partial: the
+    * 100 TB plan is this sketch per executor merged once, vs an exact
+    * groupBy shuffling every token occurrence. The driver-side estimate
+    * loop touches exactly the 20 anchor tokens (bounded, like the IVF
+    * codebook collect); memoized per dir for re-entrant constructors. */
+  private val cmsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Boolean)]]
+  def sk3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1e-4
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+    val checks = cmsCache.getOrElseUpdate(dir, {
+      val cms = toks.stat.countMinSketch(
+        "token", eps = eps, confidence = 0.999, seed = 42)
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      top.collect().toSeq.map { r =>
+        val (t, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(t)
+        t -> (est >= n && est <= n + slack)
+      }
+    })
+    top.join(broadcast(checks.toDF("token", "cms_ok")), Seq("token"))
+      .select(col("token"), col("n"), col("cms_ok"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  private val sk3Sql =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token)
+      |SELECT token, n, TRUE AS cms_ok FROM c
+      |ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_sketches" -> (sk1 _),
-    "sk2_hll_union" -> (sk2 _))
+    "sk2_hll_union" -> (sk2 _),
+    "sk3_heavy_hitters" -> (sk3 _))
 
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
     "sk1_sketches" -> sk1Sql,
-    "sk2_hll_union" -> sk2Sql)
+    "sk2_hll_union" -> sk2Sql,
+    "sk3_heavy_hitters" -> sk3Sql)
 }

@@ -164,7 +164,19 @@ object StreamingQueries {
       |WHERE (hidx + 1) * 3600000000 <= wm
       |GROUP BY hidx, event_type ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st8_tws_sessions — st6's completed-session emission re-expressed on
+  // Spark 4's transformWithState (typed ValueState + explicit event-time
+  // timers, RocksDB store), run as a real streaming query. Same output,
+  // same batch oracle as st6: the legacy flatMapGroupsWithState path and
+  // the TWS path must agree row for row — the migration-safety gate for
+  // the new API.
+  def st8(spark: SparkSession, dir: String): DataFrame =
+    Streaming.sessionFlowCountsTws(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"), col("start_tsu"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_tws_sessions" -> (st8 _),
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
     "st3_stream_join" -> (st3 _),
@@ -174,6 +186,8 @@ object StreamingQueries {
     "st7_distinct_users" -> (st7 _))
 
   val oracleSql: Map[String, String] = Map(
+    // TWS formulation shares st6's oracle: same semantics, new API
+    "st8_tws_sessions" -> st6Sql,
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
     "st3_stream_join" -> st3Sql,

@@ -619,7 +619,43 @@ object TextQueries {
       |WHERE b.c_xy >= 5
       |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t17_bpe_pairs — the inner loop of BPE tokenizer training: count
+  // adjacent symbol-pair frequencies inside each whitespace token (the
+  // statistic a merge round maximizes), reported as the top-50 character
+  // pairs. One explode per token position via sequence+transform HOFs
+  // (no UDF, stays in codegen), one partial-aggregated groupBy on the
+  // 2-char pair key, TakeOrderedAndProject for the top-k — map-side
+  // combine means the exchange carries one row per distinct pair per
+  // task (vocabulary-bounded, ~1k pairs), not one per occurrence: the
+  // same plan shape a full BPE trainer iterates. Tokens shorter than 2
+  // chars are filtered BEFORE the sequence HOF — Spark's sequence(1, 0)
+  // would generate a DESCENDING sequence, not an empty one (DuckDB's
+  // range(1, 1) is empty); the filter keeps the engines aligned.
+  def t17(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+
+  private val t17Sql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT unnest([substr(t, i, 2) for i in range(1, len(t))]) AS pair
+      |  FROM tok WHERE len(t) >= 2)
+      |SELECT pair, COUNT(*) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_pairs" -> (t17 _),
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
     "t3_langid_confusion" -> (t3 _),
@@ -638,6 +674,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t17_bpe_pairs" -> t17Sql,
     "t1_token_stats" -> t1Sql,
     "t2_quality_buckets" -> t2Sql,
     "t3_langid_confusion" -> t3Sql,

@@ -376,6 +376,112 @@ object Streaming {
     spark.table(name)
   }
 
+  /** [[sessionFlows]] re-expressed on Spark 4's `transformWithState` —
+    * the arbitrary-stateful API that supersedes flatMapGroupsWithState:
+    * typed state handles (`ValueState` here; List/Map state for bigger
+    * shapes), EXPLICIT timers instead of a single per-key timeout slot,
+    * and a separate expired-timer callback. Semantics are st6's exactly:
+    * a session closes when a later event breaks the gap (emitted from
+    * `handleInputRows`) or when the event-time timer at `end + gap`
+    * fires (emitted from `handleExpiredTimer`, state cleared — bounded
+    * by active users, not key cardinality). One comparator subtlety:
+    * TWS timers fire on `timer <= watermark` (INCLUSIVE — unlike the
+    * GroupState timeout's strict `<`), so the timer registers at
+    * `end + gap + 1 ms` to reproduce the legacy boundary exactly
+    * (`TwsSessionFlowsSpec` pins it); that is what lets st8 share st6's
+    * batch oracle verbatim. Requires the RocksDB state-store provider
+    * (the only provider implementing TWS's schema'd column families) —
+    * forced for this query only; the HDFS-store default stays for the
+    * legacy-API queries where it measures faster at gate sizes. */
+  class SessionFlowProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEventW, SessionFlow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    private val gapMicros = gapMinutes * 60L * 1000000L
+    private val gapMillis = gapMinutes * 60L * 1000L
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", E.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEventW],
+        timers: TimerValues): Iterator[SessionFlow] = {
+      val sorted = rows.toArray.sortBy(e => (e.tsu, e.event_id))
+      val closed = List.newBuilder[SessionFlow]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(o) if e.tsu - o.lastTs <= gapMicros =>
+            cur = Some(o.copy(lastTs = e.tsu, events = o.events + 1))
+          case Some(o) =>
+            closed += SessionFlow(uid, o.start, o.lastTs, o.events)
+            cur = Some(OpenSession(e.tsu, e.tsu, 1))
+          case None =>
+            cur = Some(OpenSession(e.tsu, e.tsu, 1))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        // one live timer per key: re-arming at the new session end means
+        // dropping the stale one (TWS keeps every registered timer,
+        // unlike the single GroupState timeout slot)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // +1: TWS fires on timer <= watermark; the legacy timeout fires
+        // on timeout < watermark — shifting one ms makes "fires iff
+        // end+gap < wm" hold for both. Clamp past the watermark so a
+        // late-data proposal is deliverable (same guard as
+        // armEventTimeout).
+        getHandle.registerTimer(
+          math.max(o.lastTs / 1000 + gapMillis + 1, timers.getCurrentWatermarkInMs + 1))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionFlow] =
+      if (open.exists()) {
+        val o = open.get()
+        open.clear()
+        Iterator.single(SessionFlow(uid, o.start, o.lastTs, o.events))
+      } else Iterator.empty
+  }
+
+  /** [[SessionFlowProcessor]] run as a REAL streaming query (append
+    * mode, AvailableNow, RocksDB store). Output contract identical to
+    * [[sessionFlowCounts]] — the legacy-API and TWS formulations must
+    * hash-match the same batch oracle. */
+  def sessionFlowCountsTws(
+      spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_tws_${queryCounter.incrementAndGet()}"
+    val events = watermarkedSessionEvents(spark, sfDir, schema)
+    val flows = events.groupByKey(_.user_id)
+      .transformWithState(
+        new SessionFlowProcessor(gapMinutes), TimeMode.EventTime(), OutputMode.Append)
+    withStreamShufflePartitions(spark) {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = flows.toDF().writeStream
+          .outputMode(OutputMode.Append)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name)
+  }
+
   /** Stream–stream inner join with an event-time interval condition:
     * views matched to the same user's purchases within the following 30
     * minutes — attribution as a continuously-running query.

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+/** Specs for the round-4 additions: Bloom-pruned join (x8), incremental
+  * SCD2 merge (x9), CMS heavy hitters (sk3), k-NN graph (s10), BPE pair
+  * counting (t17).
+  */
+class Round4OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // -------------------------------------------------------------------
+  // x8_bloom_join
+
+  test("x8 equals the plain join (Bloom prune is result-transparent)") {
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === 1998 && col("o_totalprice") > 150000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        RelationalQueries.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toString).toSeq
+    val bloomed = CrossQueries.x8(spark, dir).collect().map(_.toString).toSeq
+    assert(bloomed === plain)
+    assert(bloomed.nonEmpty)
+  }
+
+  test("x8 plan: might_contain prefilters the probe side below the join") {
+    val plan = CrossQueries.x8(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // the prune must sit in the scan-side filter, i.e. appear together
+    // with the lineitem scan, not above the join
+    val joinIdx = plan.indexOf("Join")
+    val mcIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && mcIdx > joinIdx,
+      "might_contain should be below (printed after) the join operator")
+  }
+
+  // -------------------------------------------------------------------
+  // x9_scd2_merge
+
+  test("x9 incremental merge equals the x7 full rebuild") {
+    val rebuild = CrossQueries.x7(spark, dir).collect().map(_.toString).toSeq
+    val merged = CrossQueries.x9(spark, dir).collect().map(_.toString).toSeq
+    assert(merged === rebuild)
+    assert(merged.nonEmpty)
+  }
+
+  test("x9 exercises the absorb and break merge paths at gate scale") {
+    // the equality test is only meaningful if the data actually contains
+    // customers that (a) continue their status across the 1998/1999
+    // boundary (absorb) and (b) change status at it (new interval)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val marked = o
+      .withColumn("era", when(year(col("o_orderdate")) <= 1998, 0).otherwise(1))
+      .withColumn("prev_era", lag(col("era"), 1).over(w))
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("era") === 1 && col("prev_era") === 0)
+    val absorb = marked.filter(col("o_orderstatus") === col("prev_status")).count()
+    val break = marked.filter(col("o_orderstatus") =!= col("prev_status")).count()
+    assert(absorb > 0, "no boundary-continuing customer in the data")
+    assert(break > 0, "no boundary-changing customer in the data")
+  }
+
+  test("x9 merge == rebuild on synthetic data covering every path") {
+    // gate data has no customer whose FIRST order is in the batch era, so
+    // that path (old_max null → islands numbered from 1) gets a synthetic
+    // table: absorb (cust 1), break (cust 2), old-only (cust 3),
+    // batch-only (cust 4), batch-only with an in-batch change (cust 5)
+    val tmp = java.nio.file.Files.createTempDirectory("x9_synth").toString
+    Seq(
+      (1L, 10L, "1998-03-01", "O", 10.50), (1L, 11L, "1999-02-01", "O", 20.25),
+      (2L, 20L, "1998-05-01", "O", 30.00), (2L, 21L, "1999-03-01", "F", 40.00),
+      (3L, 30L, "1997-01-01", "F", 50.00), (3L, 31L, "1998-01-01", "O", 60.00),
+      (4L, 40L, "1999-06-01", "O", 70.00),
+      (5L, 50L, "1999-07-01", "O", 80.00), (5L, 51L, "2000-01-01", "F", 90.00))
+      .toDF("o_custkey", "o_orderkey", "d", "o_orderstatus", "o_totalprice")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_timestamp(col("d")).as("o_orderdate"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val rebuild = CrossQueries.x7(spark, tmp).collect().map(_.toString).toSeq
+    val merged = CrossQueries.x9(spark, tmp).collect().map(_.toString).toSeq
+    assert(merged === rebuild)
+    // sanity on the synthetic shape itself: cust 1 collapses to one
+    // interval, cust 2 to two, cust 5's batch-only history has two
+    assert(merged.count(_.startsWith("[1,")) === 1)
+    assert(merged.count(_.startsWith("[2,")) === 2)
+    assert(merged.count(_.startsWith("[5,")) === 2)
+  }
+
+  // -------------------------------------------------------------------
+  // sk3_heavy_hitters
+
+  test("sk3 anchors the exact top-20 and every CMS bound holds") {
+    val rows = SketchQueries.sk3(spark, dir).collect()
+    assert(rows.length === 20)
+    // cms_ok pinned TRUE for every row (the oracle's contract)
+    assert(rows.forall(_.getBoolean(2)))
+    // anchors equal an independent exact count
+    val exact = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === exact)
+  }
+
+  // -------------------------------------------------------------------
+  // s10_knn_graph
+
+  test("s10 TopK-aggregator graph equals the window-rank formulation") {
+    val viaAgg = SimilarityQueries.s10(spark, dir)
+      .collect().map(_.toString).toSeq
+    // independent formulation: same candidates, row_number window
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"),
+      graft.similarity.Similarity.scaled(col("embedding")).as("sv"),
+      graft.similarity.Similarity.signBucket(col("embedding"), 3).as("bucket"))
+      .withColumn("nrm", graft.similarity.Similarity.dotScaled(col("sv"), col("sv")))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"),
+      col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"),
+      col("nrm").as("nb"), col("bucket"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+    val viaWindow = a.join(b, Seq("bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.similarity.Similarity.cosineWithNorms(
+          graft.similarity.Similarity.dotScaled(col("sa"), col("sb")),
+          col("na"), col("nb")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_a").as("vec_id"), col("rnk"),
+        col("vec_b").as("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rnk"))
+      .collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
+  // -------------------------------------------------------------------
+  // t17_bpe_pairs
+
+  test("t17 pair counts match a naive recomputation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("text")).filter(col("text").isNotNull)
+      .as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { text =>
+      text.split(" ", -1).foreach { t =>
+        if (t.length >= 2)
+          (0 until t.length - 1).foreach(i => counts(t.substring(i, i + 2)) += 1)
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = TextQueries.t17(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+import graft.SparkSpec
+
+/** Pins the transformWithState session operator (st8) to the legacy
+  * flatMapGroupsWithState semantics it replaces: identical emissions on
+  * multi-batch input, state removal + fresh epoch after a timer fires,
+  * and the strict-< timer comparator (a timer exactly AT the watermark
+  * does not fire) that st6's shared batch oracle encodes.
+  */
+class TwsSessionFlowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Write one file per batch and run the TWS session processor with
+    * AvailableNow (RocksDB store — the only provider TWS supports). */
+  private def run(name: String, gapMinutes: Int,
+      files: Seq[Seq[String]]): Seq[(Long, Long, Long, Long)] = {
+    val in = Files.createTempDirectory(s"tws_$name").toString
+    files.zipWithIndex.foreach { case (lines, i) =>
+      Files.writeString(java.nio.file.Paths.get(in, f"b$i%03d.json"), lines.mkString("\n"))
+      java.nio.file.Paths.get(in, f"b$i%03d.json").toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(in)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("ts").as("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+      .as[Streaming.SessionEventW]
+    val flows = events.groupByKey(_.user_id)
+      .transformWithState(new Streaming.SessionFlowProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksdb)
+    try {
+      val q = flows.toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(s"tws_out_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    spark.table(s"tws_out_$name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+  }
+
+  private def ev(uid: Long, eid: Long, ts: String): String =
+    s"""{"user_id":$uid,"event_id":$eid,"ts":"$ts"}"""
+
+  private def us(ts: String): Long =
+    java.time.Instant.parse(ts + "Z").toEpochMilli * 1000L
+
+  test("timer fires emit the open session, clear state; re-entry starts fresh") {
+    // the same multi-batch scenario SessionFlowsSpec pins for the legacy
+    // operator — TWS must reproduce it exactly
+    val out = run("removal", 30, Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00"), ev(1, 2, "2024-01-01T00:10:00")),
+      Seq(ev(2, 3, "2024-01-01T02:00:00")),
+      Seq(ev(3, 4, "2024-01-01T02:01:00")),
+      Seq(ev(1, 5, "2024-01-01T02:02:00")),
+      Seq(ev(4, 6, "2024-01-01T10:00:00"))))
+    val user1 = out.filter(_._1 == 1L)
+    assert(user1 === Seq(
+      (1L, us("2024-01-01T00:00:00"), us("2024-01-01T00:10:00"), 2L),
+      (1L, us("2024-01-01T02:02:00"), us("2024-01-01T02:02:00"), 1L)))
+    assert(out.filter(_._1 == 2L).map(_._4) === Seq(1L))
+    assert(out.filter(_._1 == 3L).map(_._4) === Seq(1L))
+    // user 4 still open at end-of-stream: not emitted
+    assert(out.filter(_._1 == 4L).isEmpty)
+  }
+
+  test("timer boundary: watermark exactly AT end+gap does not fire (strict <)") {
+    // same comparator as GroupStateTimeout — the property that lets st8
+    // share st6's batch oracle verbatim
+    val out = run("boundary", 30, Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00")),
+      Seq(ev(2, 2, "2024-01-01T00:30:00")),
+      Seq(ev(3, 3, "2024-01-01T00:30:00"))))
+    assert(out.filter(_._1 == 1L).isEmpty)
+
+    val out2 = run("boundary2", 30, Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00")),
+      Seq(ev(2, 2, "2024-01-01T00:30:00.001")),
+      Seq(ev(3, 3, "2024-01-01T00:30:00.001"))))
+    assert(out2.filter(_._1 == 1L).map(_._4) === Seq(1L))
+  }
+
+  test("st8 equals st6 row-for-row on the gate directory") {
+    val dir = "/root/testdata/sf0.001"
+    val legacy = graft.operators.StreamingQueries.st6(spark, dir)
+      .collect().map(_.toString).toSeq
+    val tws = graft.operators.StreamingQueries.st8(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(tws === legacy)
+    assert(tws.nonEmpty)
+    // the RocksDB provider override was restored after the TWS query
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+}
