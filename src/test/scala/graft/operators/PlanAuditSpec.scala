@@ -157,6 +157,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("regexp_replace".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("s10: TopK aggregates map-side (partial_topk) — exchange carries answers, not candidates") {
+    val plan = executed("s10_knn_graph")
+    // the typed aggregator must run in partial mode below the exchange,
+    // or the shuffle reverts to carrying every candidate pair
+    assert(plan.contains("partial_topk"), plan.take(3000))
+  }
+
+  test("t17: pair counts combine map-side before the exchange") {
+    val plan = executed("t17_bpe_pairs")
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("x9: island groupBys reuse the o_custkey window partitioning (no composite-key exchange)") {
+    val plan = executed("x9_scd2_merge")
+    // HashPartitioning(o_custkey) satisfies the (o_custkey, island,
+    // status) clustering, so the aggregates after each window must NOT
+    // introduce an exchange hashed on the composite key
+    assert(!"hashpartitioning\\(o_custkey#\\d+L?, island".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert(plan.contains("Window"), plan.take(500))
+  }
+
   test("v6: partition-column re-padding survives a schema-inference change") {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val orig = spark.conf.get(key)
