@@ -75,9 +75,10 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The MinHash+LSH candidate-pair CTE chain, shared by d2 (the pairs
-    * themselves) and d5 (connected components over the pairs). No WITH
-    * keyword so d5 can prepend WITH RECURSIVE. */
-  private val pairCtes =
+    * themselves), d5 (connected components over the pairs) and t18 (the
+    * cluster-aware split). No WITH keyword so consumers can prepend
+    * WITH RECURSIVE. */
+  private[operators] val pairCtes =
     """sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(

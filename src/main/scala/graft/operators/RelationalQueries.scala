@@ -482,7 +482,47 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, status, priority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q21_rolling_window — RANGE-frame windowed aggregation (q8 covers the
+  // ROWS frame; RANGE is the other §2.7 frame kind and the one rolling
+  // time-series metrics need): per customer, total spend and order count
+  // over the trailing 30 DAYS of each order — peers at the same day all
+  // enter every frame they fall in, which only a RANGE frame expresses
+  // (a ROWS frame would cut same-day peers by arbitrary tie order). The
+  // order date becomes an integer day index so the frame bound is exact
+  // integer arithmetic on both engines; one shuffle on the partition
+  // key, one sort, no self-join (the naive form is a range self-join —
+  // O(n·window) at 100 TB; the RANGE frame is one sorted pass).
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast(LongType).as("day"),
+        col("o_totalprice"))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  private val q21Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, day, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_30d,
+      |  COUNT(*) OVER w AS n_30d
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_rolling_window" -> (q21 _),
     "q1_agg" -> (q1 _),
     "q2_filter_project" -> (q2 _),
     "q3_join_broadcast" -> (q3 _),
@@ -505,6 +545,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_rolling_window" -> q21Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_broadcast" -> q3Sql,

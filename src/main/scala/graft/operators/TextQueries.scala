@@ -654,7 +654,63 @@ object TextQueries {
       |SELECT pair, COUNT(*) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t18_leakage_split — CLUSTER-AWARE train/val/test split: t6's
+  // deterministic hash split leaks near-duplicates across splits (a doc
+  // in train and its near-copy in test inflates eval), so the split key
+  // here is the near-dup GROUP — the MinHash-LSH connected component
+  // (d5's engine), singletons falling back to their own doc_id. Every
+  // member of a cluster hashes the same gid, so a cluster lands in
+  // exactly one split BY CONSTRUCTION (Round4OperatorsSpec pins it and
+  // pins that the naive split actually does leak on this data — the op
+  // is not vacuous). Scale shape: the component table is bounded by the
+  // dup set; the corpus joins it once (left) on doc_id and everything
+  // after is a hash of a scalar — no text ever shuffles.
+  def t18(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    val comp = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val bucket = substring(md5(concat(lit("grp:"), col("gid").cast("string"))), 1, 2)
+    docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < lit("cc"), lit("train"))
+          .when(bucket < lit("e6"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gid")).as("n_groups"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  private val t18Sql =
+    s"""WITH RECURSIVE ${DedupQueries.pairCtes},
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |g AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gid
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+       |s AS (
+       |  SELECT doc_id, gid,
+       |    CASE WHEN substr(md5('grp:' || CAST(gid AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substr(md5('grp:' || CAST(gid AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM g)
+       |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gid) AS n_groups,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_leakage_split" -> (t18 _),
     "t17_bpe_pairs" -> (t17 _),
     "t1_token_stats" -> (t1 _),
     "t2_quality_buckets" -> (t2 _),
@@ -674,6 +730,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t18_leakage_split" -> t18Sql,
     "t17_bpe_pairs" -> t17Sql,
     "t1_token_stats" -> t1Sql,
     "t2_quality_buckets" -> t2Sql,

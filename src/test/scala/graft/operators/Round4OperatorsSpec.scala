@@ -151,6 +151,74 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // q21_rolling_window
+
+  test("q21 RANGE frame equals the naive range self-join") {
+    val viaWindow = RelationalQueries.q21(spark, dir)
+      .collect().map(_.toString).toSeq
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day"),
+        col("o_totalprice"))
+    val p = o.select(col("o_custkey").as("ck"), col("day").as("pday"),
+      col("o_totalprice").as("pprice"))
+    val viaJoin = o.join(p,
+        col("o_custkey") === col("ck") &&
+          col("pday") >= col("day") - 29 && col("pday") <= col("day"))
+      .groupBy(col("o_custkey"), col("o_orderkey"), col("day"), col("o_totalprice"))
+      .agg(RelationalQueries.dsum(col("pprice")).as("spend_30d"),
+        count(lit(1)).as("n_30d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      .collect().map(_.toString).toSeq
+    assert(viaWindow === viaJoin)
+    assert(viaWindow.nonEmpty)
+  }
+
+  test("q21's RANGE frame is exercised: same-day same-customer peers exist") {
+    // with no same-day peers a ROWS frame would coincidentally agree;
+    // this guards the test data keeps the distinguishing case
+    val dupDays = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("date"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dupDays > 0, "no same-day peers — RANGE vs ROWS is untested")
+  }
+
+  // -------------------------------------------------------------------
+  // t18_leakage_split
+
+  test("t18: every near-dup cluster lands in exactly one split; naive split leaks") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    val comp = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    def splitOf(key: org.apache.spark.sql.Column) = {
+      val b = substring(md5(key), 1, 2)
+      when(b < lit("cc"), lit("train")).when(b < lit("e6"), lit("val"))
+        .otherwise(lit("test"))
+    }
+    // group-keyed split: one split per component
+    val grouped = comp
+      .withColumn("split", splitOf(concat(lit("grp:"), col("component").cast("string"))))
+      .groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(grouped.filter(col("n_splits") =!= 1).count() === 0)
+    // the doc-keyed (t6-style) split must actually leak on this data,
+    // otherwise the cluster-aware op is vacuous
+    val leaked = comp
+      .withColumn("split", splitOf(col("doc_id").cast("string")))
+      .groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaked > 0, "doc-keyed split does not leak — data too small to test")
+    // totals reconcile with the corpus
+    val out = TextQueries.t18(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum === docs.count())
+  }
+
+  // -------------------------------------------------------------------
   // t17_bpe_pairs
 
   test("t17 pair counts match a naive recomputation") {
