@@ -385,8 +385,73 @@ object CrossQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x10_overlap_join — interval × interval OVERLAP join (x6 covers
+  // point-in-interval; this is the other range-join kind): user sessions
+  // (gaps-and-islands over events, 30-min gap) overlapped against promo
+  // windows, aggregated per window. Runs through
+  // [[graft.joins.RangeJoin.intervalOverlap]]: both interval sets
+  // explode onto a 6-hour bin grid, the join is a plain hash join on the
+  // bin id (a raw inequality join would plan BroadcastNestedLoopJoin —
+  // O(|sessions|·|windows|)), and the OWNER-BIN rule (keep the pair only
+  // in the bin of `greatest(session_start, window_start)`) emits every
+  // overlapping pair exactly once with no distinct — at 100 TB the
+  // distinct would be the dominant shuffle, the owner comparison is
+  // free. The promo dimension is a deterministic literal table (15
+  // five-hour windows stepping every 48h), restated verbatim by the
+  // oracle.
+  def x10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    // sessions as [start,end] intervals
+    val sessions = graft.streaming.Streaming
+      .sessionize(Tables.events(spark, dir), gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("tsu")).as("s_lo"), max(col("tsu")).as("s_hi"))
+    // deterministic promo dimension: window w covers
+    // [base + 48h·w + 3.5h, +5h), epoch micros (base = 2024-01-01T00:00Z)
+    val windows = (0 until 15).map { w =>
+      val lo = 1704067200000000L + w * 48 * hourUs + 12600L * 1000000L
+      (w.toLong, lo, lo + 5 * hourUs)
+    }.toDF("promo_id", "w_lo", "w_hi")
+    graft.joins.RangeJoin
+      .intervalOverlap(sessions, windows, "s_lo", "s_hi", "w_lo", "w_hi",
+        binWidth = 6 * hourUs)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("s_hi"), col("w_hi")) - greatest(col("s_lo"), col("w_lo")))
+          .as("sum_overlap_us"))
+      .orderBy(col("promo_id"))
+  }
+
+  private val x10Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |    SUM(CASE WHEN prev IS NULL OR tsu - prev > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, seq, min(tsu) AS s_lo, max(tsu) AS s_hi
+      |  FROM s GROUP BY user_id, seq),
+      |w AS (
+      |  SELECT CAST(t.w AS BIGINT) AS promo_id,
+      |    1704067200000000 + t.w * 172800000000 + 12600000000 AS w_lo,
+      |    1704067200000000 + t.w * 172800000000 + 12600000000 + 18000000000 AS w_hi
+      |  FROM (SELECT unnest(range(15)) AS w) t)
+      |SELECT promo_id, COUNT(*) AS n_sessions,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(least(s_hi, w_hi) - greatest(s_lo, w_lo)) AS BIGINT) AS sum_overlap_us
+      |FROM g JOIN w ON s_lo <= w_hi AND w_lo <= s_hi
+      |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_overlap_join" -> (x10 _),
     "x1_docs_embeddings" -> (x1 _),
     "x2_funnel" -> (x2 _),
     "x3_intersect" -> (x3 _),
@@ -398,6 +463,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x10_overlap_join" -> x10Sql,
     "x1_docs_embeddings" -> x1Sql,
     "x2_funnel" -> x2Sql,
     "x3_intersect" -> x3Sql,

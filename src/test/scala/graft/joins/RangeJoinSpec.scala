@@ -36,4 +36,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("HashJoin"), plan)
   }
+
+  test("intervalOverlap: owner-bin rule emits each overlapping pair EXACTLY once") {
+    // intervals chosen so many pairs share several bins at width 10 —
+    // without the owner filter the bin join would duplicate those pairs
+    val a = Seq(
+      (1L, 0L, 35L),    // spans bins 0..3
+      (2L, 18L, 22L),   // spans bins 1..2
+      (3L, 40L, 40L),   // zero-length
+      (4L, 100L, 130L)) // disjoint from b except b4
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 5L, 28L),   // spans bins 0..2: overlaps a1 (shares 3 bins), a2 (2 bins)
+      (11L, 30L, 45L),  // overlaps a1, a3
+      (12L, 40L, 40L),  // zero-length touching a3 exactly
+      (13L, 129L, 200L))// overlaps a4 at the tail
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val want = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    // SEQUENCE equality after sort — multiplicity matters (a distinct
+    // would mask duplicate emissions, the thing the owner rule prevents)
+    assert(got.sorted === want.sorted)
+    assert(got.size === got.toSet.size, "duplicate pair emitted")
+    // the fixture really exercises multi-bin sharing
+    assert(want.contains((1L, 10L)) && want.contains((3L, 12L)) && want.contains((4L, 13L)))
+  }
 }
