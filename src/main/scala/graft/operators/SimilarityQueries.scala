@@ -420,7 +420,10 @@ object SimilarityQueries {
   // most k (score, id) pairs per vector instead of every candidate pair
   // (the window-rank form would shuffle the full candidate set; at ~250
   // candidates/vector that is an 80× heavier exchange for k = 3).
-  def s10(spark: SparkSession, dir: String): DataFrame = {
+  /** The k-NN edge list behind s10 (the graph itself) and s11 (label
+    * propagation over it) — one definition so the graph the two gates
+    * see can never diverge. */
+  private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val v = e.select(col("vec_id"),
       Similarity.scaled(col("embedding")).as("sv"),
@@ -430,7 +433,7 @@ object SimilarityQueries {
       col("nrm").as("na"), col("bucket"))
     val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"),
       col("nrm").as("nb"), col("bucket"))
-    val topk = udaf(graft.functions.TopKAggregator.TopK(3))
+    val topk = udaf(graft.functions.TopKAggregator.TopK(k))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
@@ -440,8 +443,10 @@ object SimilarityQueries {
       .select(col("vec_a").as("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("nbr.id").as("nbr_id"), col("nbr.score").as("cos"))
-      .orderBy(col("vec_id"), col("rnk"))
   }
+
+  def s10(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir, k = 3).orderBy(col("vec_id"), col("rnk"))
 
   private val s10Sql =
     s"""WITH $scaledCteAdaptive,
@@ -455,8 +460,63 @@ object SimilarityQueries {
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS nbr_id, cos FROM r
        |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s11_label_prop — one synchronous round of LABEL PROPAGATION over the
+  // s10 k-NN graph (the semi-supervised labeling / label-denoising step
+  // a curation pipeline runs once embeddings carry noisy labels): each
+  // vector's proposed label is the MAJORITY among its ≤k neighbors'
+  // labels, ties to the smallest label, isolated vectors keep their own.
+  // Scale shape: the graph is the k-bounded edge list (≤ k rows per
+  // vector), the vote is one (vec, label) partial-agg + a k-bounded rank
+  // window — labels shuffle, never vectors. Iterating the round is a
+  // loop over this same plan (as with d5's CC rounds); the gate pins one
+  // round exactly.
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val g = knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id"))
+    val nb = g.join(
+      lbl.select(col("vec_id").as("nbr_id"), col("label").as("nl")), Seq("nbr_id"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
+    val maj = nb.groupBy(col("vec_id"), col("nl"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nl"), col("c"))
+    lbl.join(maj, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("old_label"),
+        coalesce(col("nl"), col("label")).as("new_label"),
+        coalesce(col("c"), lit(0L)).as("n_votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s11Sql =
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs),
+       |nb AS (
+       |  SELECT r.vec_id, e.label AS nl FROM r
+       |  JOIN n e ON r.cand_id = e.vec_id WHERE r.rnk <= 3),
+       |cnt AS (SELECT vec_id, nl, COUNT(*) AS c FROM nb GROUP BY 1, 2),
+       |maj AS (
+       |  SELECT vec_id, nl, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS rn
+       |  FROM cnt)
+       |SELECT v.vec_id, v.label AS old_label,
+       |  COALESCE(m.nl, v.label) AS new_label,
+       |  CAST(COALESCE(m.c, 0) AS BIGINT) AS n_votes
+       |FROM n v LEFT JOIN (SELECT vec_id, nl, c FROM maj WHERE rn = 1) m
+       |  ON v.vec_id = m.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_knn_graph" -> (s10 _),
+    "s11_label_prop" -> (s11 _),
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
     "s3_neardup_pairs" -> (s3 _),
@@ -469,6 +529,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s10_knn_graph" -> s10Sql,
+    "s11_label_prop" -> s11Sql,
     "s1_topk_brute" -> s1Sql,
     "s2_topk_bucketed" -> s2Sql,
     "s3_neardup_pairs" -> s3Sql,

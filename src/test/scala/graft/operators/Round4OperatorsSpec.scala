@@ -151,6 +151,35 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // s11_label_prop
+
+  test("s11 majority vote matches an independent recomputation from s10's graph") {
+    val edges = SimilarityQueries.s10(spark, dir)
+      .select(col("vec_id"), col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = labels.map { case (v, own) =>
+      val nbrLabels = edges.filter(_._1 == v).map(e => labels(e._2))
+      if (nbrLabels.isEmpty) v -> ((own, 0L))
+      else {
+        val byLabel = nbrLabels.groupBy(identity).view.mapValues(_.length.toLong)
+        // majority: count desc, label asc
+        val (winner, votes) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+        v -> ((winner, votes))
+      }
+    }
+    val got = SimilarityQueries.s11(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the round is non-trivial: at least one vector flips label
+    val flips = SimilarityQueries.s11(spark, dir)
+      .filter(col("old_label") =!= col("new_label")).count()
+    assert(flips > 0, "label propagation is a no-op on this data")
+  }
+
+  // -------------------------------------------------------------------
   // q21_rolling_window
 
   test("q21 RANGE frame equals the naive range self-join") {
