@@ -521,8 +521,44 @@ object RelationalQueries {
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q22_corr_subquery — correlated subqueries, the planner path the rest
+  // of the library never exercises: a correlated scalar subquery
+  // (per-customer big-order count) and a correlated NOT EXISTS, written
+  // as SQL a warehouse user would. Catalyst DECORRELATES both — the
+  // scalar subquery becomes an aggregate + left outer join, NOT EXISTS
+  // a null-aware anti join — so what executes is the same join/agg
+  // machinery the rest of the library pins, not a per-row re-execution
+  // (the O(n·m) nested-loop a naive engine would run).
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0) AS n_big
+        |FROM customer c
+        |WHERE c_acctbal > 7000.0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q22Sql =
+    """SELECT c_custkey, c_acctbal,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0) AS n_big
+      |FROM customer c
+      |WHERE c_acctbal > 7000.0
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_rolling_window" -> (q21 _),
+    "q22_corr_subquery" -> (q22 _),
     "q1_agg" -> (q1 _),
     "q2_filter_project" -> (q2 _),
     "q3_join_broadcast" -> (q3 _),
@@ -546,6 +582,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q21_rolling_window" -> q21Sql,
+    "q22_corr_subquery" -> q22Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_broadcast" -> q3Sql,

@@ -179,6 +179,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(500))
   }
 
+  test("x10: interval overlap runs as a hash join on the bin key, not a nested loop") {
+    val plan = executed("x10_overlap_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin"), plan.take(3000))
+  }
+
+  test("q22: correlated subqueries decorrelate (no per-row subquery execution)") {
+    val plan = executed("q22_corr_subquery")
+    // scalar subquery → aggregate + outer join; NOT EXISTS → (null-aware)
+    // anti join. A surviving correlated-subquery node would mean per-row
+    // re-execution.
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("LeftOuter"), plan.take(3000))
+    assert(!plan.toLowerCase.contains("scalar-subquery"), plan.take(3000))
+  }
+
   test("v6: partition-column re-padding survives a schema-inference change") {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val orig = spark.conf.get(key)
