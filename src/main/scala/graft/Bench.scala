@@ -111,9 +111,20 @@ object Bench {
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    // full JSON string escaping — exception messages carry newlines and
+    // tabs (AnalysisException embeds plans); a raw control char would
+    // break the one-line machine-readable contract
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     // Full detail (all individual run times) to a file, immune to stdout
     // truncation.
     val detail = names.map { n =>

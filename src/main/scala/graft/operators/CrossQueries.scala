@@ -205,40 +205,60 @@ object CrossQueries {
   // sum — the standard distributed change-data-capture shape, no
   // self-join. Money totals go through the DECIMAL(18,4) sum so the
   // hash gate is order-independent.
-  def x7(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_custkey"))
+  /** The SCD2 gaps-and-islands collapse shared by x7 (full rebuild) and
+    * x9 (incremental merge) — ONE definition so the merge's "equals the
+    * rebuild" contract can never desynchronize. Money sums stay
+    * DECIMAL(18,4) (x9 adds them across the era boundary exactly; x7
+    * casts at the end). Edge conventions, chosen to keep the island
+    * arithmetic sound and both engines aligned:
+    *  - rows with a NULL effective date are excluded (Spark sorts nulls
+    *    FIRST in an ASC window, DuckDB LAST — a null date has no
+    *    well-defined place in a cross-engine-deterministic history);
+    *  - the change flag is row-1-aware (`lag(o_orderkey) IS NULL` — the
+    *    key is non-null, so a null previous KEY means "no previous
+    *    row", which `lag(status) <=> status` alone cannot distinguish
+    *    from a genuine NULL status): islands always number from 1, even
+    *    when a customer's first status is NULL. */
+  private def scd2Islands(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val run = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val flagged = Tables.orders(spark, dir)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    orders
+      .filter(col("o_orderdate").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_orderstatus"), col("o_totalprice"))
       .withColumn("chg",
-        when(!(lag(col("o_orderstatus"), 1).over(w) <=> col("o_orderstatus")), 1L)
+        when(lag(col("o_orderkey"), 1).over(w).isNull ||
+          !(lag(col("o_orderstatus"), 1).over(w) <=> col("o_orderstatus")), 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("chg")).over(run))
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
-    flagged
       .groupBy(col("o_custkey"), col("island"), col("o_orderstatus").as("status"))
       .agg(
         min(col("o_orderdate")).as("eff_from"),
         max(col("o_orderdate")).as("eff_to"),
         count(lit(1)).as("n_orders"),
-        RelationalQueries.dsum(col("o_totalprice")).as("sum_total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sum_dec"))
+  }
+
+  def x7(spark: SparkSession, dir: String): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    scd2Islands(Tables.orders(spark, dir))
       .withColumn("is_current", col("island") === max(col("island")).over(wc))
       .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
-        col("eff_from"), col("eff_to"), col("n_orders"), col("sum_total"),
-        col("is_current"))
+        col("eff_from"), col("eff_to"), col("n_orders"),
+        col("sum_dec").cast("double").as("sum_total"), col("is_current"))
       .orderBy(col("o_custkey"), col("run_idx"))
   }
 
   private val x7Sql =
     """WITH w AS (
       |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice,
-      |    CASE WHEN lag(o_orderstatus) OVER ord IS DISTINCT FROM o_orderstatus
+      |    CASE WHEN lag(o_orderkey) OVER ord IS NULL
+      |           OR lag(o_orderstatus) OVER ord IS DISTINCT FROM o_orderstatus
       |         THEN 1 ELSE 0 END AS chg
-      |  FROM orders
+      |  FROM orders WHERE o_orderdate IS NOT NULL
       |  WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
       |i AS (
       |  SELECT *, SUM(chg) OVER (
@@ -321,29 +341,10 @@ object CrossQueries {
   // history and reprocessing a day.
   def x9(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    // gaps-and-islands with DECIMAL sums (x7's plan, pre-cast)
-    def scd2Dec(orders: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val run = w.rowsBetween(Window.unboundedPreceding, 0)
-      orders
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("chg",
-          when(!(lag(col("o_orderstatus"), 1).over(w) <=> col("o_orderstatus")), 1L)
-            .otherwise(0L))
-        .withColumn("island", sum(col("chg")).over(run))
-        .groupBy(col("o_custkey"), col("island"), col("o_orderstatus").as("status"))
-        .agg(
-          min(col("o_orderdate")).as("eff_from"),
-          max(col("o_orderdate")).as("eff_to"),
-          count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sum_dec"))
-    }
+    import org.apache.spark.sql.types.DoubleType
     val all = Tables.orders(spark, dir)
-    val hist = scd2Dec(all.filter(year(col("o_orderdate")) <= 1998))
-    val batch = scd2Dec(all.filter(year(col("o_orderdate")) >= 1999))
+    val hist = scd2Islands(all.filter(year(col("o_orderdate")) <= 1998))
+    val batch = scd2Islands(all.filter(year(col("o_orderdate")) >= 1999))
     val wc = Window.partitionBy(col("o_custkey"))
     val hist2 = hist.withColumn("old_max", max(col("island")).over(wc))
     val closedOld = hist2.filter(col("island") < col("old_max"))

@@ -124,21 +124,32 @@ object SimilarityQueries {
     * pair pipeline behind s3 (the pairs) and s8 (components over them).
     * One definition so a threshold/rounding/blocking change can never
     * desynchronize the two gates. */
-  private def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** All same-bucket ORDERED candidate pairs (a ≠ b) with their rounded
+    * cosine — the one definition of "LSH candidate + scored pair" behind
+    * the near-dup gates (s3/s8, via the `<` half) and the k-NN gates
+    * (s10/s11, via the full ordered set). A bucketing or rounding change
+    * lands in every consumer or in none. */
+  private def candidateCosines(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val v = e.select(col("vec_id"),
       Similarity.scaled(col("embedding")).as("sv"),
       Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
       .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
-    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"), col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"), col("nrm").as("nb"), col("bucket"))
+    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"),
+      col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
         Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
+  }
+
+  private def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    candidateCosines(spark, dir)
+      .filter(col("vec_a") < col("vec_b"))
       .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
       .filter(col("cos") >= 0.4)
-  }
 
   def s3(spark: SparkSession, dir: String): DataFrame =
     neardupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
@@ -424,20 +435,8 @@ object SimilarityQueries {
     * propagation over it) — one definition so the graph the two gates
     * see can never diverge. */
   private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val v = e.select(col("vec_id"),
-      Similarity.scaled(col("embedding")).as("sv"),
-      Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
-      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
-    val a = v.select(col("vec_id").as("vec_a"), col("sv").as("sa"),
-      col("nrm").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("vec_b"), col("sv").as("sb"),
-      col("nrm").as("nb"), col("bucket"))
     val topk = udaf(graft.functions.TopKAggregator.TopK(k))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(Similarity.cosineWithNorms(
-        Similarity.dotScaled(col("sa"), col("sb")), col("na"), col("nb")), 6).as("cos"))
+    candidateCosines(spark, dir)
       .groupBy(col("vec_a"))
       .agg(topk(col("cos"), col("vec_b")).as("nbrs"))
       .select(col("vec_a").as("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))

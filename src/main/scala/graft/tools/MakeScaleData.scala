@@ -53,10 +53,15 @@ object MakeScaleData {
     }
 
     replicate("embeddings") { (df, k) =>
-      // deterministic ±1 pattern per (replica, component): an isometry
-      val pattern = (0 until 64).map { i =>
-        if ((((i * 2654435761L + k * 40503L) >>> 16) & 1L) == 1L) -1.0f else 1.0f
-      }
+      // deterministic ±1 pattern per (replica, component): an isometry.
+      // Replica 0 is the IDENTITY (like the documents branch) so the
+      // baseline replica is bit-identical to the source data and 1×-vs-N×
+      // spot checks compare the same vectors.
+      val pattern =
+        if (k == 0) Seq.fill(64)(1.0f)
+        else (0 until 64).map { i =>
+          if ((((i * 2654435761L + k * 40503L) >>> 16) & 1L) == 1L) -1.0f else 1.0f
+        }
       df.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
         zip_with(col("embedding"), typedlit(pattern), (x, s) => x * s).as("embedding"),
         col("label"))

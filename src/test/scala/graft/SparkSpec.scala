@@ -13,4 +13,19 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Drop managed tables AND their warehouse directories — a crashed
+    * prior JVM leaves the dir behind with no catalog entry, which blocks
+    * the next CREATE TABLE. Shared by the bucketing specs. */
+  def dropManagedTables(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 }

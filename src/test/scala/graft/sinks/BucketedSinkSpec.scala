@@ -7,19 +7,7 @@ class BucketedSinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed-by-key tables join with zero shuffle exchanges") {
-    // clear stale warehouse locations a crashed prior JVM may have left
-    // (its in-memory catalog died, but the managed-table dir survives)
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(loc)
-      }
-    }
+    dropManagedTables("b_orders", "b_lineitem")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 

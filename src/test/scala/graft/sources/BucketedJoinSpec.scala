@@ -14,19 +14,7 @@ class BucketedJoinSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropManaged(tables: String*): Unit = tables.foreach { t =>
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    // a stale warehouse dir without a catalog entry (e.g. a previous JVM's
-    // metastore) blocks CREATE TABLE — remove the location too
-    val loc = new java.io.File(s"spark-warehouse/$t")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(loc)
-    }
-  }
+  private def dropManaged(tables: String*): Unit = dropManagedTables(tables: _*)
 
   test("same-bucket-count tables join with zero ShuffleExchange; sorted buckets skip the Sort") {
     dropManaged("bj_orders", "bj_customer")
