@@ -175,7 +175,28 @@ object StreamingQueries {
     Streaming.sessionFlowCountsTws(spark, dir, gapMinutes = 30)
       .orderBy(col("user_id"), col("start_tsu"))
 
+  // ---------------------------------------------------------------------
+  // st9_tws_profiles — transformWithState with MAP state: per-user
+  // event-type counters in a MapState (only touched entries read/write,
+  // vs the single-slot GroupState blob), finalized on an event-time
+  // timer once the watermark passes the user's last event. The SUM
+  // downstream makes the result epoch-proof: if a user's events ever
+  // straddle a mid-stream finalize (multi-batch run), each epoch emits
+  // its own partial rows and the sum restores the batch total — the
+  // same monotone-counter trick as st5's max().
+  def st9(spark: SparkSession, dir: String): DataFrame =
+    Streaming.userProfileCountsTws(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val st9Sql =
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_tws_profiles" -> (st9 _),
     "st8_tws_sessions" -> (st8 _),
     "st1_stream_hourly" -> (st1 _),
     "st2_sessions" -> (st2 _),
@@ -188,6 +209,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     // TWS formulation shares st6's oracle: same semantics, new API
     "st8_tws_sessions" -> st6Sql,
+    "st9_tws_profiles" -> st9Sql,
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
     "st3_stream_join" -> st3Sql,

@@ -709,7 +709,56 @@ object TextQueries {
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t19_df_score — token-commonness scoring (the statistical-LM half of
+  // a Gopher-style quality filter): each document's MEAN corpus document
+  // frequency of its tokens, in basis points of the corpus size —
+  // boilerplate-heavy docs score high (their tokens are everywhere),
+  // unusual docs low — histogrammed at 250 bp per bucket. Everything is
+  // integer-exact: `sum(df)·10000 div (n_toks·n_docs)` in both engines.
+  // Scale shape: the DF table is vocabulary-bounded and BROADCASTS back
+  // onto the token stream (the corpus size rides along via a 1-row
+  // cross join — no driver collect); per-doc scoring is one
+  // partial-agg pass over the exploded tokens.
+  def t19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTab = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(nd)
+    toks.join(broadcast(dfTab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("df")).as("sum_df"),
+        max(col("n_docs")).as("n_docs"))
+      .select(col("doc_id"),
+        expr("sum_df * 10000 div (n_toks * n_docs)").as("mean_df_bp"))
+      .groupBy(expr("mean_df_bp div 250").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("bucket"))
+  }
+
+  private val t19Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM d),
+      |df AS (
+      |  SELECT token, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_toks, SUM(df) AS sum_df
+      |  FROM tk JOIN df USING (token) GROUP BY doc_id),
+      |bp AS (
+      |  SELECT doc_id, (sum_df * 10000) // (n_toks * n_docs) AS mean_df_bp
+      |  FROM per, nd)
+      |SELECT CAST(mean_df_bp // 250 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM bp GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_df_score" -> (t19 _),
     "t18_leakage_split" -> (t18 _),
     "t17_bpe_pairs" -> (t17 _),
     "t1_token_stats" -> (t1 _),
@@ -730,6 +779,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t19_df_score" -> t19Sql,
     "t18_leakage_split" -> t18Sql,
     "t17_bpe_pairs" -> t17Sql,
     "t1_token_stats" -> t1Sql,

@@ -448,6 +448,95 @@ object Streaming {
       } else Iterator.empty
   }
 
+  final case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+  /** Typed event with its type, for the profile processor (the
+    * event-time Timestamp rides inside — same encoder rule as
+    * [[SessionEventW]]). */
+  final case class ProfileEventW(
+      user_id: Long, tsu: Long, event_type: String, event_ts: java.sql.Timestamp)
+
+  /** transformWithState with MAP state (st8 covers ValueState): per-user
+    * event-type counters held in a `MapState[String, Long]` — the keyed
+    * sub-structure (profile counters, per-entity tallies) that the
+    * single-slot GroupState API forces into one serialized blob,
+    * rewritten per batch; MapState reads/writes only the touched
+    * entries. Emission is the FINALIZE-ON-TIMER pattern: each batch
+    * re-arms one timer at the key's latest event time; the timer can
+    * only fire once the watermark has passed every event of the key
+    * (inclusive comparator — the trailing AvailableNow batch advances
+    * the watermark to global max event time, so every key finalizes
+    * exactly once), emitting the profile rows and clearing state. The
+    * result is order-independent, so it hash-matches the batch GROUP BY
+    * oracle. */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ProfileEventW, UserTypeCount] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", E.STRING, E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[ProfileEventW],
+        timers: TimerValues): Iterator[UserTypeCount] = {
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        val t = e.event_type
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1)
+        maxMs = math.max(maxMs, e.tsu / 1000)
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(maxMs, timers.getCurrentWatermarkInMs + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserTypeCount] = {
+      val out = counts.iterator().map { case (t, n) => UserTypeCount(uid, t, n) }.toArray
+      counts.clear()
+      out.iterator
+    }
+  }
+
+  /** [[UserProfileProcessor]] as a real streaming query (append mode,
+    * AvailableNow, RocksDB). */
+  def userProfileCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_twsmap_${queryCounter.incrementAndGet()}"
+    val events = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_type"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[ProfileEventW]
+    val profiles = events.groupByKey(_.user_id)
+      .transformWithState(
+        new UserProfileProcessor, TimeMode.EventTime(), OutputMode.Append)
+    withStreamShufflePartitions(spark) {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = profiles.toDF().writeStream
+          .outputMode(OutputMode.Append)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name)
+  }
+
   /** [[SessionFlowProcessor]] run as a REAL streaming query (append
     * mode, AvailableNow, RocksDB store). Output contract identical to
     * [[sessionFlowCounts]] — the legacy-API and TWS formulations must

@@ -248,6 +248,31 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // t19_df_score
+
+  test("t19 mean-DF scores match an independent BigInt recomputation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .as[(Long, String)].collect()
+    val dfMap = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, text) =>
+      text.split(" ", -1).distinct.foreach(t => dfMap(t) += 1)
+    }
+    val nDocs = docs.length.toLong
+    val buckets = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (_, text) =>
+      val toks = text.split(" ", -1)
+      val sumDf = toks.map(t => BigInt(dfMap(t))).sum
+      val bp = (sumDf * 10000 / (BigInt(toks.length) * nDocs)).toLong
+      buckets(bp / 250) += 1
+    }
+    val got = TextQueries.t19(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === buckets.toMap)
+    assert(got.size > 1, "degenerate histogram — one bucket only")
+  }
+
+  // -------------------------------------------------------------------
   // t17_bpe_pairs
 
   test("t17 pair counts match a naive recomputation") {

@@ -94,6 +94,54 @@ class TwsSessionFlowsSpec extends SparkSpec {
     assert(out2.filter(_._1 == 1L).map(_._4) === Seq(1L))
   }
 
+  test("st9 MapState profiles: mid-stream finalize splits epochs; SUM restores totals") {
+    // user 1 has events in B1 and (after the watermark passes its B1
+    // timer) again in B4 — the MapState finalizes twice, one partial
+    // profile row per epoch; the downstream SUM must equal the batch
+    // count. Run the raw processor (no SUM) to see the epochs.
+    val in = Files.createTempDirectory("tws_profile").toString
+    val files = Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00"), ev(1, 2, "2024-01-01T00:01:00")),
+      Seq(ev(2, 3, "2024-01-01T05:00:00")), // watermark jumps past user 1's timer
+      Seq(ev(3, 4, "2024-01-01T05:01:00")), // user 1's epoch-1 profile emits here
+      Seq(ev(1, 5, "2024-01-01T05:02:00")), // user 1 epoch 2
+      Seq(ev(4, 6, "2024-01-01T10:00:00"))) // finalizes the stragglers
+    files.zipWithIndex.foreach { case (lines, i) =>
+      Files.writeString(java.nio.file.Paths.get(in, f"b$i%03d.json"), lines.mkString("\n"))
+      java.nio.file.Paths.get(in, f"b$i%03d.json").toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    val events = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").json(in)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        lit("view").as("event_type"), col("ts").as("event_ts"))
+      .withWatermark("event_ts", "0 seconds")
+      .as[Streaming.ProfileEventW]
+    val profiles = events.groupByKey(_.user_id)
+      .transformWithState(new Streaming.UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksdb)
+    try {
+      val q = profiles.toDF().writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_profile_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val rows = spark.table("tws_profile_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // user 1: TWO epoch rows (2 events, then 1); their sum is the batch count
+    val u1 = rows.filter(_._1 == 1L).map(_._3).sorted
+    assert(u1 === Seq(1L, 2L))
+    // user 4's events are at the final watermark (inclusive comparator):
+    // finalized in the trailing batch
+    assert(rows.filter(_._1 == 4L).map(_._3) === Seq(1L))
+  }
+
   test("st8 equals st6 row-for-row on the gate directory") {
     val dir = "/root/testdata/sf0.001"
     val legacy = graft.operators.StreamingQueries.st6(spark, dir)
