@@ -74,6 +74,49 @@ object DedupQueries {
       Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ---------------------------------------------------------------------
+  // d11_dedup_merge — INCREMENTAL exact-dedup admission (the dedup
+  // family's x9: apply a batch to an already-shipped corpus instead of
+  // re-deduplicating the world): docs with doc_id < 400 are the
+  // existing kept corpus (first-arrival keepers, already materialized —
+  // a shipped corpus is never re-elected); the rest are the incoming
+  // batch, admitted only when their fingerprint was never seen, with a
+  // min-doc_id election among the batch's new fingerprints. Because
+  // existing ids precede batch ids, first-arrival-wins equals the
+  // global min-id election, so the merged roster must hash-equal the
+  // FULL REBUILD — which is exactly what the oracle states. Scale
+  // shape: the unseen-fp check is a null-safe LEFT ANTI join on the
+  // fingerprint (at 100 TB: the shipped corpus ships its fp set, not
+  // its text), elections are min_by partial aggregates, no join-back.
+  def d11(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("f"))
+    def keepers(df: DataFrame) = df.groupBy(col("f"))
+      .agg(min_by(struct(col("doc_id"), col("source")), col("doc_id")).as("k"))
+      .select(col("f"), col("k.doc_id").as("doc_id"), col("k.source").as("source"))
+    val existing = keepers(fp.filter(col("doc_id") < 400))
+    val batchNew = fp.filter(col("doc_id") >= 400)
+      .join(existing.select(col("f").as("ef")), col("f") <=> col("ef"), "left_anti")
+    val admitted = keepers(batchNew)
+    existing.withColumn("role", lit("existing"))
+      .unionAll(admitted.withColumn("role", lit("admitted")))
+      .select(col("doc_id"), col("source"), col("role"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle is the FULL REBUILD: global min-doc_id keeper per
+    * fingerprint (null fingerprints form one group, same as d1). */
+  private val d11Sql =
+    """WITH fp AS (
+      |  SELECT source, doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |k AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f)
+      |SELECT fp.doc_id, fp.source,
+      |  CASE WHEN fp.doc_id < 400 THEN 'existing' ELSE 'admitted' END AS role
+      |FROM fp JOIN k ON fp.f IS NOT DISTINCT FROM k.f AND fp.doc_id = k.keeper
+      |ORDER BY doc_id""".stripMargin
+
   /** The MinHash+LSH candidate-pair CTE chain, shared by d2 (the pairs
     * themselves), d5 (connected components over the pairs) and t18 (the
     * cluster-aware split). No WITH keyword so consumers can prepend
@@ -566,7 +609,8 @@ object DedupQueries {
     "d7b_bloom_contamination" -> (d7b _),
     "d8_span_dedup" -> (d8 _),
     "d9_winnowing" -> (d9 _),
-    "d10_kept_corpus" -> (d10 _))
+    "d10_kept_corpus" -> (d10 _),
+    "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -581,5 +625,8 @@ object DedupQueries {
     "d7b_bloom_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
     "d9_winnowing" -> d9Sql,
-    "d10_kept_corpus" -> d10Sql)
+    "d10_kept_corpus" -> d10Sql,
+    // the incremental admission must reproduce the full rebuild, so its
+    // oracle IS the global min-id election
+    "d11_dedup_merge" -> d11Sql)
 }

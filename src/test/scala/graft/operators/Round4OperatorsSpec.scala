@@ -100,6 +100,39 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // d11_dedup_merge
+
+  test("d11 incremental admission == full rebuild on a fixture with every path") {
+    // gate data has almost no exact duplicates, so the reject path gets
+    // a synthetic corpus: cross-era dup (doc 401 rejected), in-batch dup
+    // (410 kept, 411 rejected), existing-only dup (2 kept, 3 rejected),
+    // unique batch doc (420 admitted), null-text in both eras (keeper 5,
+    // batch 430 rejected)
+    val tmp = java.nio.file.Files.createTempDirectory("d11_synth").toString
+    Seq[(Long, Option[String], String)](
+      (1L, Some("alpha beta"), "s0"), (2L, Some("gamma"), "s0"),
+      (3L, Some("gamma"), "s1"), (5L, None, "s1"),
+      (401L, Some("alpha  beta"), "s1"),   // whitespace-normalized dup of 1
+      (410L, Some("delta"), "s0"), (411L, Some("delta"), "s1"),
+      (420L, Some("epsilon"), "s1"), (430L, None, "s0"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.d11(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got === Seq((1L, "existing"), (2L, "existing"), (5L, "existing"),
+      (410L, "admitted"), (420L, "admitted")))
+    // and on the gate dir the roster equals a Spark-side full rebuild
+    val fp = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("f"))
+    val rebuild = fp.groupBy(col("f")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val inc = DedupQueries.d11(spark, dir).select(col("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(inc === rebuild)
+  }
+
+  // -------------------------------------------------------------------
   // sk3_heavy_hitters
 
   test("sk3 anchors the exact top-20 and every CMS bound holds") {
