@@ -714,8 +714,11 @@ object TextQueries {
   // a Gopher-style quality filter): each document's MEAN corpus document
   // frequency of its tokens, in basis points of the corpus size —
   // boilerplate-heavy docs score high (their tokens are everywhere),
-  // unusual docs low — histogrammed at 250 bp per bucket. Everything is
-  // integer-exact: `sum(df)·10000 div (n_toks·n_docs)` in both engines.
+  // unusual docs low — histogrammed at 250 bp per bucket. The score is
+  // exact in both engines at ANY scale: the products route through
+  // DECIMAL(38,0) (DuckDB promotes SUM to HUGEINT; a plain Long
+  // `sum_df * 10000` would wrap past ~1e15 doc·token products) with an
+  // integral `div`.
   // Scale shape: the DF table is vocabulary-bounded and BROADCASTS back
   // onto the token stream (the corpus size rides along via a 1-row
   // cross join — no driver collect); per-doc scoring is one
@@ -733,7 +736,9 @@ object TextQueries {
         sum(col("df")).as("sum_df"),
         max(col("n_docs")).as("n_docs"))
       .select(col("doc_id"),
-        expr("sum_df * 10000 div (n_toks * n_docs)").as("mean_df_bp"))
+        expr("""(CAST(sum_df AS DECIMAL(38,0)) * 10000)
+               | div (CAST(n_toks AS DECIMAL(38,0)) * n_docs)""".stripMargin)
+          .as("mean_df_bp"))
       .groupBy(expr("mean_df_bp div 250").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

@@ -34,7 +34,8 @@ object Streaming {
     * carrying big state, RAISE it via the conf. The value is captured
     * into the query's checkpoint at first start, which is why it must be
     * set before `.start()` rather than mid-query. */
-  private def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withStreamShufflePartitions[T](
+      spark: SparkSession, forceRocksDb: Boolean = false)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
@@ -50,7 +51,10 @@ object Streaming {
     // micro-batch — measured warm at sf0.1: st4 3.2s→3.9s, st5
     // 1.7s→1.9s, st6 1.8s→4.4s), and flipping it is a conf, not a code
     // change, because the provider is captured per query at start().
-    if (spark.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb") {
+    // `forceRocksDb` overrides for the transformWithState queries —
+    // TWS supports only the RocksDB provider.
+    if (forceRocksDb ||
+      spark.conf.get("spark.graft.streaming.stateStore", "hdfs") == "rocksdb") {
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
@@ -517,22 +521,13 @@ object Streaming {
     val profiles = events.groupByKey(_.user_id)
       .transformWithState(
         new UserProfileProcessor, TimeMode.EventTime(), OutputMode.Append)
-    withStreamShufflePartitions(spark) {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = profiles.toDF().writeStream
-          .outputMode(OutputMode.Append)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally prev match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
+    withStreamShufflePartitions(spark, forceRocksDb = true) {
+      val q = profiles.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
     spark.table(name)
   }
@@ -551,22 +546,13 @@ object Streaming {
     val flows = events.groupByKey(_.user_id)
       .transformWithState(
         new SessionFlowProcessor(gapMinutes), TimeMode.EventTime(), OutputMode.Append)
-    withStreamShufflePartitions(spark) {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = flows.toDF().writeStream
-          .outputMode(OutputMode.Append)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally prev match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
+    withStreamShufflePartitions(spark, forceRocksDb = true) {
+      val q = flows.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
     spark.table(name)
   }

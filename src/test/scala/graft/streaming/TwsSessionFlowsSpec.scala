@@ -102,9 +102,12 @@ class TwsSessionFlowsSpec extends SparkSpec {
     val in = Files.createTempDirectory("tws_profile").toString
     val files = Seq(
       Seq(ev(1, 1, "2024-01-01T00:00:00"), ev(1, 2, "2024-01-01T00:01:00")),
-      Seq(ev(2, 3, "2024-01-01T05:00:00")), // watermark jumps past user 1's timer
-      Seq(ev(3, 4, "2024-01-01T05:01:00")), // user 1's epoch-1 profile emits here
-      Seq(ev(1, 5, "2024-01-01T05:02:00")), // user 1 epoch 2
+      // B2 processes with the watermark already at 00:01:00 (computed
+      // from B1's data); user 1's timer at 00:01:00 satisfies the
+      // inclusive comparator and fires HERE — epoch-1 profile emits
+      Seq(ev(2, 3, "2024-01-01T05:00:00")),
+      Seq(ev(3, 4, "2024-01-01T05:01:00")),
+      Seq(ev(1, 5, "2024-01-01T05:02:00")), // user 1 re-opens: epoch 2
       Seq(ev(4, 6, "2024-01-01T10:00:00"))) // finalizes the stragglers
     files.zipWithIndex.foreach { case (lines, i) =>
       Files.writeString(java.nio.file.Paths.get(in, f"b$i%03d.json"), lines.mkString("\n"))
