@@ -195,7 +195,40 @@ object StreamingQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st10_session_window — the BUILT-IN session_window aggregation (the
+  // engine's own gap-merge state store; no custom state code),
+  // completing the sessionization triple: st2 relational, st5/6/8
+  // custom state, st10 built-in. Window bounds are gap-extended
+  // ([first, last + gap)); append mode finalizes once the watermark
+  // reaches the extended end — INCLUSIVE in watermark milliseconds,
+  // pinned by the oracle's cutoff.
+  def st10(spark: SparkSession, dir: String): DataFrame =
+    Streaming.sessionWindowCounts(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"), col("start_tsu"))
+
+  private val st10Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |    SUM(CASE WHEN prev IS NULL OR tsu - prev > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, seq, min(tsu) AS start_tsu,
+      |    max(tsu) + 30 * 60 * 1000000 AS end_gap_tsu, COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, seq),
+      |m AS (SELECT max(tsu) // 1000 AS wm_ms FROM e)
+      |SELECT user_id, start_tsu, end_gap_tsu, n_events
+      |FROM g, m
+      |WHERE end_gap_tsu // 1000 <= wm_ms
+      |ORDER BY user_id, start_tsu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_session_window" -> (st10 _),
     "st9_tws_profiles" -> (st9 _),
     "st8_tws_sessions" -> (st8 _),
     "st1_stream_hourly" -> (st1 _),
@@ -210,6 +243,7 @@ object StreamingQueries {
     // TWS formulation shares st6's oracle: same semantics, new API
     "st8_tws_sessions" -> st6Sql,
     "st9_tws_profiles" -> st9Sql,
+    "st10_session_window" -> st10Sql,
     "st1_stream_hourly" -> st1Sql,
     "st2_sessions" -> st2Sql,
     "st3_stream_join" -> st3Sql,

@@ -452,6 +452,41 @@ object Streaming {
       } else Iterator.empty
   }
 
+  /** Sessionization via the BUILT-IN `session_window` aggregation — the
+    * third formulation next to the window-function plan (st2) and the
+    * custom-state operators (st5/st6/st8): the engine merges per-key
+    * gap-bounded windows in its session-window state store, no user
+    * state code at all. Emitted sessions carry
+    * `[first event, last event + gap)` bounds (the built-in's window
+    * end INCLUDES the gap extension, unlike the custom operators'
+    * last-event end — the oracle adds the gap explicitly). Append mode
+    * finalizes a session once the watermark reaches its (gap-extended)
+    * end, which is the same `end + gap <= wm` cutoff st6 pins, here
+    * INCLUSIVE (the window closes when the watermark touches it). */
+  def sessionWindowCounts(
+      spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_swin_${queryCounter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "0 seconds")
+      .groupBy(session_window(col("event_ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_tsu"),
+        unix_micros(col("session_window.end")).as("end_gap_tsu"),
+        col("n_events"))
+    withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   final case class UserTypeCount(user_id: Long, event_type: String, n: Long)
   /** Typed event with its type, for the profile processor (the
     * event-time Timestamp rides inside — same encoder rule as

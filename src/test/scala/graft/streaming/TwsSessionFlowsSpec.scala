@@ -145,6 +145,45 @@ class TwsSessionFlowsSpec extends SparkSpec {
     assert(rows.filter(_._1 == 4L).map(_._3) === Seq(1L))
   }
 
+  test("session_window boundary: watermark exactly AT the gap-extended end DOES emit (inclusive)") {
+    // the built-in closes a session when the watermark reaches window.end
+    // (= last event + gap) — INCLUSIVE, unlike the GroupState timeout's
+    // strict < — which is why st10's oracle cutoff is `<=` where st6's
+    // is `<`. This test is the tripwire for that comparator.
+    def run(name: String, files: Seq[Seq[String]]): Seq[(Long, Long)] = {
+      val in = Files.createTempDirectory(s"swin_$name").toString
+      files.zipWithIndex.foreach { case (lines, i) =>
+        Files.writeString(java.nio.file.Paths.get(in, f"b$i%03d.json"), lines.mkString("\n"))
+        java.nio.file.Paths.get(in, f"b$i%03d.json").toFile.setLastModified(1700000000000L + i * 1000L)
+      }
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(in)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"))
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(s"swin_out_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(s"swin_out_$name")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    // user 1's session [00:00, 00:30): watermark lands exactly at 00:30
+    val atBoundary = run("at", Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00")),
+      Seq(ev(2, 2, "2024-01-01T00:30:00")),
+      Seq(ev(3, 3, "2024-01-01T00:30:00"))))
+    assert(atBoundary.filter(_._1 == 1L).map(_._2) === Seq(1L),
+      s"inclusive close expected; got $atBoundary")
+    // one ms SHORT of the boundary: still open, not emitted
+    val shortOf = run("short", Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00")),
+      Seq(ev(2, 2, "2024-01-01T00:29:59.999")),
+      Seq(ev(3, 3, "2024-01-01T00:29:59.999"))))
+    assert(shortOf.filter(_._1 == 1L).isEmpty, s"premature close: $shortOf")
+  }
+
   test("st8 equals st6 row-for-row on the gate directory") {
     val dir = "/root/testdata/sf0.001"
     val legacy = graft.operators.StreamingQueries.st6(spark, dir)
