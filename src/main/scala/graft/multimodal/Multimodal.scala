@@ -114,4 +114,39 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(synthesizeMedia(docs).as[MediaRecord])
   }
+
+  /** Resized media (small row per blob — the shape a thumbnail/resample
+    * stage emits downstream). */
+  final case class MediaResized(
+      media_id: Long, kind: String, n_resized: Long, checksum: Long)
+
+  /** Per-kind stride: image thumbnails drop more than audio resample;
+    * video keeps the least. A real pipeline derives this from target
+    * resolution/rate — here it only needs to be deterministic. */
+  def strideFor(kind: String): Int = kind match {
+    case "image" => 4
+    case "audio" => 2
+    case _ => 8
+  }
+
+  /** The resize stage as its own typed mapPartitions pass: decode →
+    * stride-resize → checksum over the RESIZED samples. Same batch
+    * shape as [[extractFeatures]] (per-partition setup, iterator
+    * streaming, blobs never shuffled — only the small resized summary
+    * rows leave the stage). */
+  def resizeFeatures(media: Dataset[MediaRecord]): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val resized = FakeCodec.resize(FakeCodec.decode(r.content), strideFor(r.kind))
+        var checksum = 0L
+        var i = 0
+        while (i < resized.length) {
+          checksum = (checksum * 31 + (resized(i) & 0xff)) % ChecksumMod
+          i += 1
+        }
+        MediaResized(r.media_id, r.kind, resized.length.toLong, checksum)
+      }
+    }
+  }
 }

@@ -94,11 +94,59 @@ object MultimodalQueries {
       |  MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m3_media_resize — the resize/resample stage as its own typed
+  // mapPartitions pass: per-kind stride (image 4 / audio 2 / video 8),
+  // checksum over the RESIZED samples, per-kind stats. Blobs never
+  // shuffle — only the small resized-summary rows leave the stage.
+  def m3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.resizeFeatures(
+      Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+        .as[Multimodal.MediaRecord])
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_resized")).as("sum_resized"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+      .orderBy(col("kind"))
+  }
+
+  /** Resize restated in SQL: every stride-th byte starting at offset 0
+    * (ASCII corpus, so ascii(char) == byte), then the same modular
+    * base-31 fold as m2 over the resized sequence. */
+  private val m3Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |         WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+      |  FROM documents),
+      |s AS (
+      |  SELECT kind,
+      |    CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN 2 ELSE 8 END AS stride,
+      |    text, length(text) AS len
+      |  FROM media),
+      |r AS (
+      |  SELECT kind,
+      |    (len + stride - 1) // stride AS n_resized,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, (len + stride - 1) // stride),
+      |        j -> CAST(ascii(substr(text, j * stride + 1, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+      |  FROM s)
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(n_resized) AS BIGINT) AS sum_resized,
+      |  MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
+      |FROM r GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> (m1 _),
-    "m2_media_features" -> (m2 _))
+    "m2_media_features" -> (m2 _),
+    "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_meta" -> m1Sql,
-    "m2_media_features" -> m2Sql)
+    "m2_media_features" -> m2Sql,
+    "m3_media_resize" -> m3Sql)
 }

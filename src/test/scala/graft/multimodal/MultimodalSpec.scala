@@ -40,4 +40,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 2) // frames 0 and 2 of ceil(1000/256)=4
     assert(frames.head.length === 256)
   }
+
+  test("resizeFeatures: per-kind stride + checksum match a local recomputation") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val media = Multimodal.synthesizeMedia(docs).as[Multimodal.MediaRecord].collect()
+    val expected = media.map { r =>
+      val resized = Multimodal.FakeCodec.resize(r.content, Multimodal.strideFor(r.kind))
+      val ck = resized.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % Multimodal.ChecksumMod)
+      r.media_id -> ((r.kind, resized.length.toLong, ck))
+    }.toMap
+    val got = Multimodal.resizeFeatures(
+      Multimodal.synthesizeMedia(docs).as[Multimodal.MediaRecord])
+      .collect().map(f => f.media_id -> ((f.kind, f.n_resized, f.checksum))).toMap
+    assert(got === expected)
+    // strides really differ per kind (the oracle's CASE is exercised)
+    assert(got.values.map(_._1).toSet.size === 3)
+  }
 }
