@@ -257,8 +257,38 @@ object ValidationQueries {
        |FROM final GROUP BY opco_id ORDER BY opco_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // v7_orc_roundtrip — the OTHER columnar format (§2.1 breadth beyond
+  // CSV/parquet): documents → partitioned ORC write (one directory per
+  // source) → read back → per-source stats. The oracle computes the
+  // same stats straight from the parquet table, so any round-trip loss
+  // (type mangling, partition-value re-typing, dropped rows, encoding)
+  // breaks the hash. DuckDB cannot read ORC — the round-trip-vs-origin
+  // equality IS the check, same pattern as v6's CSV round trip. ORC
+  // scans support the same predicate pushdown as parquet
+  // (Round4OperatorsSpec pins PushedFilters on the read-back).
+  def v7(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v7_orc").toString
+    docs.write.mode("overwrite").partitionBy("source").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val v7Sql =
+    """SELECT source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_orc_roundtrip" -> (v7 _),
     "v1_rule_flags" -> (v1 _),
     "v2_failed_groups" -> (v2 _),
     "v3_valid_by_opco" -> (v3 _),
@@ -272,5 +302,6 @@ object ValidationQueries {
     "v3_valid_by_opco" -> v3Sql,
     "v4_final_records" -> v4Sql,
     "v5_pa_route" -> v5Sql,
-    "v6_roundtrip" -> v6Sql)
+    "v6_roundtrip" -> v6Sql,
+    "v7_orc_roundtrip" -> v7Sql)
 }

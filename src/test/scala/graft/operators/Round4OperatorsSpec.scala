@@ -133,6 +133,23 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // v7_orc_roundtrip
+
+  test("v7: ORC read-back pushes filters and prunes partitions") {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("orc_pushdown").toString
+    docs.write.mode("overwrite").partitionBy("source").orc(tmp)
+    val q = spark.read.orc(tmp)
+      .filter(col("source") === "src1" && col("n_chars") > 100)
+      .select(col("doc_id"), col("n_chars"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"), plan)
+    // the partition filter prunes directories, it is not a data filter
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(q.count() === docs.filter(col("source") === "src1" && col("n_chars") > 100).count())
+  }
+
+  // -------------------------------------------------------------------
   // sk3_heavy_hitters
 
   test("sk3 anchors the exact top-20 and every CMS bound holds") {
