@@ -39,6 +39,18 @@ object Multimodal {
     * BIGINT math, making the value inexpressible in a SQL oracle). */
   val ChecksumMod = 1000000007L
 
+  /** The ONE definition of the base-31 modular byte fold, shared by the
+    * feature and resize stages (and restated by their SQL oracles). */
+  def checksum31(bytes: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum * 31 + (bytes(i) & 0xff)) % ChecksumMod
+      i += 1
+    }
+    checksum
+  }
+
   /** STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg/etc.
     * A real deployment replaces the body of `decode` (and only it) with
     * the native codec call; the pipeline shape does not change. */
@@ -90,6 +102,9 @@ object Multimodal {
       records.map { r =>
         java.util.Arrays.fill(hist, 0L)
         val samples = FakeCodec.decode(r.content)
+        // one fused pass: histogram + running sum + the SAME fold as
+        // [[checksum31]] (kept inline to avoid a second byte scan — a
+        // change to either copy must land in both)
         var checksum = 0L
         var sum = 0L
         var i = 0
@@ -139,13 +154,7 @@ object Multimodal {
     media.mapPartitions { records =>
       records.map { r =>
         val resized = FakeCodec.resize(FakeCodec.decode(r.content), strideFor(r.kind))
-        var checksum = 0L
-        var i = 0
-        while (i < resized.length) {
-          checksum = (checksum * 31 + (resized(i) & 0xff)) % ChecksumMod
-          i += 1
-        }
-        MediaResized(r.media_id, r.kind, resized.length.toLong, checksum)
+        MediaResized(r.media_id, r.kind, resized.length.toLong, checksum31(resized))
       }
     }
   }

@@ -201,8 +201,12 @@ object StreamingQueries {
   // completing the sessionization triple: st2 relational, st5/6/8
   // custom state, st10 built-in. Window bounds are gap-extended
   // ([first, last + gap)); append mode finalizes once the watermark
-  // reaches the extended end — INCLUSIVE in watermark milliseconds,
-  // pinned by the oracle's cutoff.
+  // reaches the extended end. The comparison happens at MICROSECOND
+  // precision against the ms-quantized watermark (end_us <= wm_ms·1000,
+  // inclusive): a session whose extended end is even 1 µs past the
+  // watermark's millisecond stays open — the oracle must NOT truncate
+  // the session end to ms before comparing, or it admits sessions in
+  // the sub-ms band that Spark still holds.
   def st10(spark: SparkSession, dir: String): DataFrame =
     Streaming.sessionWindowCounts(spark, dir, gapMinutes = 30)
       .orderBy(col("user_id"), col("start_tsu"))
@@ -224,7 +228,7 @@ object StreamingQueries {
       |m AS (SELECT max(tsu) // 1000 AS wm_ms FROM e)
       |SELECT user_id, start_tsu, end_gap_tsu, n_events
       |FROM g, m
-      |WHERE end_gap_tsu // 1000 <= wm_ms
+      |WHERE end_gap_tsu <= wm_ms * 1000
       |ORDER BY user_id, start_tsu""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -223,7 +223,7 @@ object ValidationQueries {
   def v6(spark: SparkSession, dir: String): DataFrame = {
     val valid = PriceZoneTransform.finalize(
       Validator.validRows(synth(spark, dir), rules, "opco_id"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_v6_roundtrip").toString
+    val tmp = graft.control.Scratch.dir("graft_v6_roundtrip")
     // singleFilePerGroup: the reference's S5 one-CSV-per-opco contract
     // (pa_etl_script.py groupby→to_csv), and 8 files instead of
     // tasks×partitions splinters on the read-back
@@ -268,7 +268,7 @@ object ValidationQueries {
   // (Round4OperatorsSpec pins PushedFilters on the read-back).
   def v7(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_v7_orc").toString
+    val tmp = graft.control.Scratch.dir("graft_v7_orc")
     docs.write.mode("overwrite").partitionBy("source").orc(tmp)
     spark.read.orc(tmp)
       .groupBy(col("source"))

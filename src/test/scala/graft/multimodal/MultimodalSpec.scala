@@ -43,10 +43,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("resizeFeatures: per-kind stride + checksum match a local recomputation") {
     import spark.implicits._
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    // orderBy before limit: a bare LIMIT is not deterministic across the
+    // two executions this test runs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(30)
     val media = Multimodal.synthesizeMedia(docs).as[Multimodal.MediaRecord].collect()
     val expected = media.map { r =>
       val resized = Multimodal.FakeCodec.resize(r.content, Multimodal.strideFor(r.kind))
+      // independent foldLeft restatement ON PURPOSE (oracle-style), not
+      // a call to checksum31
       val ck = resized.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % Multimodal.ChecksumMod)
       r.media_id -> ((r.kind, resized.length.toLong, ck))
     }.toMap

@@ -182,6 +182,16 @@ class TwsSessionFlowsSpec extends SparkSpec {
       Seq(ev(2, 2, "2024-01-01T00:29:59.999")),
       Seq(ev(3, 3, "2024-01-01T00:29:59.999"))))
     assert(shortOf.filter(_._1 == 1L).isEmpty, s"premature close: $shortOf")
+    // SUB-MILLISECOND: session end is 500µs past the ms watermark — the
+    // eviction compares at µs precision, so the session stays open. An
+    // oracle that truncated the session end to ms before comparing
+    // would wrongly emit this one (the cutoff must be
+    // `end_us <= wm_ms * 1000`, not `end_us // 1000 <= wm_ms`).
+    val subMs = run("subms", Seq(
+      Seq(ev(1, 1, "2024-01-01T00:00:00.000500")),
+      Seq(ev(2, 2, "2024-01-01T00:30:00")),
+      Seq(ev(3, 3, "2024-01-01T00:30:00"))))
+    assert(subMs.filter(_._1 == 1L).isEmpty, s"sub-ms boundary leaked: $subMs")
   }
 
   test("st8 equals st6 row-for-row on the gate directory") {
