@@ -450,8 +450,59 @@ object CrossQueries {
       |GROUP BY promo_id ORDER BY promo_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x11_gapfill — time-series regularization: hourly event counts per
+  // type on a DENSE hour grid (hours with no events appear with 0) plus
+  // a trailing 3-hour rolling sum — the resample/gap-fill step that
+  // precedes any fixed-step time-series modeling. The dense axis is
+  // GENERATED, not scanned: one tiny aggregate finds the global
+  // [min, max] hour span, `sequence` explodes it (rows = types × hours,
+  // dimension-sized), and the observed counts LEFT-join onto the grid —
+  // the fact table is touched once, pre-aggregated; the join carries
+  // one row per non-empty (hour, type). Hour indexes are exact integer
+  // micros divisions, so both engines build bit-identical grids.
+  def x11(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // `div`, not `/`: long `/` routes through double division (exact
+    // here only by magnitude luck); integral div is the repo convention
+    // for epoch arithmetic (see Streaming.tsMicros)
+    val e = Tables.events(spark, dir)
+      .select(graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_type"))
+      .select(expr("tsu div 3600000000").as("h"), col("event_type"))
+    val counts = e.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val span = e.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+    val grid = span
+      .select(explode(sequence(col("h_lo"), col("h_hi"))).as("h"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-2, 0)
+    grid.join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("sum_3h", sum(col("n")).over(w))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  private val x11Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events),
+      |c AS (SELECT h, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |span AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM e),
+      |grid AS (
+      |  SELECT t.h, et.event_type
+      |  FROM (SELECT unnest(range(h_lo, h_hi + 1)) AS h FROM span) t
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM e) et)
+      |SELECT g.h, g.event_type, COALESCE(c.n, 0) AS n,
+      |  CAST(SUM(COALESCE(c.n, 0)) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.h
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_3h
+      |FROM grid g LEFT JOIN c ON g.h = c.h AND g.event_type = c.event_type
+      |ORDER BY g.h, g.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_gapfill" -> (x11 _),
     "x10_overlap_join" -> (x10 _),
     "x1_docs_embeddings" -> (x1 _),
     "x2_funnel" -> (x2 _),
@@ -464,6 +515,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x11_gapfill" -> x11Sql,
     "x10_overlap_join" -> x10Sql,
     "x1_docs_embeddings" -> x1Sql,
     "x2_funnel" -> x2Sql,

@@ -133,6 +133,29 @@ class Round4OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // x11_gapfill
+
+  test("x11 grid is dense, zeros fill real gaps, rolling sums recompute") {
+    val rows = CrossQueries.x11(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val types = rows.map(_._2).distinct.sorted
+    val hours = rows.map(_._1).distinct.sorted
+    // dense grid: every (hour, type) cell present exactly once
+    assert(rows.length === types.length * hours.length)
+    assert(hours === (hours.head to hours.last).toSeq, "hour axis has holes")
+    // the fill is exercised: some cells are genuine zeros
+    assert(rows.exists(_._3 == 0L), "no gap to fill — fixture degenerate")
+    // trailing 3-row sum recomputed independently per type
+    types.foreach { t =>
+      val series = rows.filter(_._2 == t).sortBy(_._1)
+      series.zipWithIndex.foreach { case ((_, _, _, sum3), i) =>
+        val expect = series.slice(math.max(0, i - 2), i + 1).map(_._3).sum
+        assert(sum3 === expect, s"type=$t idx=$i")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
   // v7_orc_roundtrip
 
   test("v7: ORC read-back pushes filters and prunes partitions") {
