@@ -556,9 +556,42 @@ object RelationalQueries {
       |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q23_rank_family — the remaining §2.7 window functions in one gate:
+  // ntile (decile bucketing — the quantile-binning step a feature
+  // pipeline runs), percent_rank (relative position), and lead (gap to
+  // the next order). All three ride ONE window definition, so one
+  // shuffle + one sort serves the whole family. percent_rank is
+  // (rank−1)/(n−1) — the same two integer operands divided by the same
+  // IEEE rules in both engines, so the doubles match bit-for-bit
+  // without decimal scaffolding. Restricted to one segment's orders to
+  // keep the gate row count bounded.
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q23Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |  percent_rank() OVER w AS pr,
+      |  lead(o_totalprice) OVER w AS next_price
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_rolling_window" -> (q21 _),
     "q22_corr_subquery" -> (q22 _),
+    "q23_rank_family" -> (q23 _),
     "q1_agg" -> (q1 _),
     "q2_filter_project" -> (q2 _),
     "q3_join_broadcast" -> (q3 _),
@@ -583,6 +616,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q21_rolling_window" -> q21Sql,
     "q22_corr_subquery" -> q22Sql,
+    "q23_rank_family" -> q23Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_broadcast" -> q3Sql,
