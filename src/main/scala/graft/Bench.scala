@@ -98,6 +98,22 @@ object Bench {
         i += 1
       }
       runsPerQuery(name) = times.toSeq
+      // Cross-query hygiene: each query's timing must not absorb the
+      // previous query's debris (r4 finding: t17/t18 showed 10×/2.6×
+      // run spreads sitting downstream of the streaming block). Between
+      // queries, drop any lingering temp views, unload cached
+      // state-store providers (heap maps / RocksDB handles from the
+      // streaming gates), clear the block-manager cache, and take a GC
+      // checkpoint so allocation debt lands HERE — in untimed
+      // housekeeping — instead of inside the next query's first run.
+      try {
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
+        spark.catalog.clearCache()
+      } catch { case NonFatal(_) => () }
+      System.gc()
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted

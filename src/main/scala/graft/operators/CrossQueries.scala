@@ -302,12 +302,17 @@ object CrossQueries {
     val bloom = build
       .select(GraftColumnBridge.column(bloomAgg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val mightContain = GraftColumnBridge.column(new BloomFilterMightContain(
-      GraftColumnBridge.expression(lit(bloom)),
-      GraftColumnBridge.expression(col("l_orderkey"))))
-    Tables.lineitem(spark, dir)
+    // an empty build side yields a NULL filter; skip the prefilter then
+    // (an absent Bloom filter means "no pruning", and the join below
+    // still produces the correct — empty — result) rather than feeding
+    // BloomFilterMightContain a NullType literal it refuses to analyze
+    val probe = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .filter(mightContain) // map-side prune: probe shuffles only survivors
+    val pruned = if (bloom == null) probe else probe.filter(
+      GraftColumnBridge.column(new BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(bloom)),
+        GraftColumnBridge.expression(col("l_orderkey")))))
+    pruned // map-side prune: probe shuffles only survivors
       .join(build, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
@@ -358,7 +363,13 @@ object CrossQueries {
         col("sum_dec").as("b_sum"))
     val openJ = hist2.filter(col("island") === col("old_max"))
       .join(first, Seq("o_custkey"), "left")
-      .withColumn("merged", col("b_status") <=> col("status"))
+      // presence guard (b_n non-null ⟺ the customer HAS a batch island):
+      // the bare null-safe status compare would conflate "no batch rows"
+      // with "batch continues a NULL status", merging against all-NULL
+      // batch columns and nulling eff_to/n_orders — scd2Islands
+      // documents NULL-status support, so the merge path must too
+      .withColumn("merged",
+        col("b_n").isNotNull && (col("b_status") <=> col("status")))
     val openRows = openJ.select(col("o_custkey"), col("island").as("run_idx"),
       col("status"), col("eff_from"),
       when(col("merged"), col("b_to")).otherwise(col("eff_to")).as("eff_to"),

@@ -173,8 +173,15 @@ object SketchQueries {
         t -> (est >= n && est <= n + slack)
       }
     })
-    top.join(broadcast(checks.toDF("token", "cms_ok")), Seq("token"))
-      .select(col("token"), col("n"), col("cms_ok"))
+    // LEFT join + coalesce(false): the memo assumes data under `dir` is
+    // immutable for the JVM lifetime. If it is ever regenerated
+    // in-process, fresh top-20 tokens missing from the stale cache must
+    // surface as a loud cms_ok=false — an inner join would silently
+    // drop those rows, which reads as a confusing rows_match failure
+    // instead of the sketch-contract failure it actually is
+    top.join(broadcast(checks.toDF("token", "cms_ok")), Seq("token"), "left")
+      .select(col("token"), col("n"),
+        coalesce(col("cms_ok"), lit(false)).as("cms_ok"))
       .orderBy(col("n").desc, col("token"))
   }
 
