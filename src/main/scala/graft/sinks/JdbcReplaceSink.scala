@@ -45,6 +45,26 @@ object JdbcReplaceSink {
   case object MySqlReplace extends ReplaceDialect
   case object DeleteThenInsert extends ReplaceDialect
 
+  /** True upserts — update-in-place on key conflict instead of
+    * REPLACE's delete-then-insert. What a production loader usually
+    * wants: REPLACE churns auto-increment ids and cascades FK deletes
+    * on every refresh, while an upsert leaves the conflicting row's
+    * identity intact and only rewrites the non-key columns.
+    *
+    *  - [[MySqlUpsert]]: one `INSERT ... ON DUPLICATE KEY UPDATE`
+    *    statement (MySQL dialect, same server family as the
+    *    reference's REPLACE).
+    *  - [[UpdateThenInsert]]: portable ANSI form (Derby, Postgres
+    *    pre-9.5, ...): an UPDATE batch first, then INSERT exactly the
+    *    rows whose update matched nothing, inside the per-partition
+    *    transaction.
+    *
+    * Both require `keyColumns` and are row-idempotent (replaying a
+    * partition converges to the same end state), so Spark task retries
+    * stay safe. */
+  case object MySqlUpsert extends ReplaceDialect
+  case object UpdateThenInsert extends ReplaceDialect
+
   final case class Config(
       table: String,
       columns: Seq[String],
@@ -56,9 +76,14 @@ object JdbcReplaceSink {
         * subset of `columns`). */
       keyColumns: Seq[String] = Seq.empty) {
     require(
-      dialect != DeleteThenInsert ||
+      (dialect != DeleteThenInsert && dialect != MySqlUpsert &&
+        dialect != UpdateThenInsert) ||
         (keyColumns.nonEmpty && keyColumns.forall(columns.contains)),
-      "DeleteThenInsert requires keyColumns ⊆ columns")
+      s"$dialect requires keyColumns ⊆ columns")
+    require(
+      dialect == MySqlReplace || dialect == DeleteThenInsert ||
+        (columns ++ auditColumns.map(_._1)).exists(c => !keyColumns.contains(c)),
+      s"$dialect requires at least one non-key column to update")
   }
 
   /** Valid unquoted SQL identifier or dotted pair (`db.table`). Config
@@ -96,6 +121,32 @@ object JdbcReplaceSink {
     name
   }
 
+  /** The `INSERT ... ON DUPLICATE KEY UPDATE` statement ([[MySqlUpsert]]):
+    * every non-key column (audit columns included — a refreshed row gets
+    * the new load's audit stamp) is rewritten from the incoming row via
+    * `VALUES(col)`; key columns are untouched, so the conflicting row
+    * keeps its identity. */
+  def upsertSql(cfg: Config): String = {
+    val cols = (cfg.columns ++ cfg.auditColumns.map(_._1)).map(quoteIdent)
+    val marks = Seq.fill(cols.size)("?")
+    val updates = (cfg.columns ++ cfg.auditColumns.map(_._1))
+      .filterNot(cfg.keyColumns.contains)
+      .map(c => s"${quoteIdent(c)} = VALUES(${quoteIdent(c)})")
+    s"INSERT INTO ${quoteIdent(cfg.table)} (${cols.mkString(", ")}) " +
+      s"VALUES (${marks.mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
+  }
+
+  /** UPDATE-by-key statement for [[UpdateThenInsert]]: SET every
+    * non-key column, WHERE every key column. */
+  def updateSql(cfg: Config): String = {
+    val sets = (cfg.columns ++ cfg.auditColumns.map(_._1))
+      .filterNot(cfg.keyColumns.contains)
+      .map(c => s"${ansiIdent(c)} = ?")
+    s"UPDATE ${ansiIdent(cfg.table)} SET ${sets.mkString(", ")} WHERE " +
+      cfg.keyColumns.map(k => s"${ansiIdent(k)} = ?").mkString(" AND ")
+  }
+
   /** DELETE-by-key statement for [[DeleteThenInsert]]. */
   def deleteSql(cfg: Config): String =
     s"DELETE FROM ${ansiIdent(cfg.table)} WHERE " +
@@ -112,12 +163,18 @@ object JdbcReplaceSink {
     * written. Exposed for direct testing. */
   def writePartition(rows: Iterator[Row], conn: Connection, cfg: Config): Long =
     cfg.dialect match {
-      case MySqlReplace => writeReplace(rows, conn, cfg)
+      case MySqlReplace => writeSingleStatement(rows, conn, cfg, replaceSql(cfg))
+      case MySqlUpsert => writeSingleStatement(rows, conn, cfg, upsertSql(cfg))
       case DeleteThenInsert => writeDeleteInsert(rows, conn, cfg)
+      case UpdateThenInsert => writeUpdateInsert(rows, conn, cfg)
     }
 
-  private def writeReplace(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
-    val stmt: PreparedStatement = conn.prepareStatement(replaceSql(cfg))
+  /** Batched single-statement path shared by the MySQL dialects (the
+    * server resolves the conflict; REPLACE and ON DUPLICATE KEY UPDATE
+    * bind identically). */
+  private def writeSingleStatement(
+      rows: Iterator[Row], conn: Connection, cfg: Config, sql: String): Long = {
+    val stmt: PreparedStatement = conn.prepareStatement(sql)
     val nData = cfg.columns.size
     var inBatch = 0
     var total = 0L
@@ -203,6 +260,74 @@ object JdbcReplaceSink {
       total
     } finally {
       del.close()
+      ins.close()
+    }
+  }
+
+  /** Portable upsert: per chunk, dedupe keeping the last occurrence per
+    * key (two same-key rows would otherwise both miss the UPDATE and
+    * collide on INSERT), run the UPDATE batch, then INSERT exactly the
+    * rows the driver reported as matching nothing. Update-in-place on
+    * hit — the conflicting row keeps its identity (no delete, no
+    * auto-increment churn), which is the semantic difference from
+    * [[DeleteThenInsert]]. Relies on the driver reporting real update
+    * counts (Derby and Postgres do; MySQL should use [[MySqlUpsert]]).
+    * Returns INPUT row count like every other dialect. */
+  private def writeUpdateInsert(rows: Iterator[Row], conn: Connection, cfg: Config): Long = {
+    val upd = conn.prepareStatement(updateSql(cfg))
+    val ins = conn.prepareStatement(insertSql(cfg))
+    val dataCols = cfg.columns
+    val nonKey = (dataCols ++ cfg.auditColumns.map(_._1)).filterNot(cfg.keyColumns.contains)
+    val auditVals = cfg.auditColumns.toMap
+    var total = 0L
+    try {
+      conn.setAutoCommit(false)
+      rows.grouped(cfg.batchSize).foreach { chunk =>
+        total += chunk.size
+        def comparable(v: Any): Any = v match {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
+        val byKey = new scala.collection.mutable.LinkedHashMap[Seq[Any], Row]
+        chunk.foreach { row =>
+          val key = cfg.keyColumns.map(k => comparable(row.get(row.fieldIndex(k))))
+          byKey.remove(key)
+          byKey.put(key, row)
+        }
+        val deduped = byKey.values.toSeq
+        deduped.foreach { row =>
+          var i = 0
+          nonKey.foreach { c =>
+            i += 1
+            upd.setObject(i,
+              auditVals.getOrElse(c, row.get(row.fieldIndex(c))))
+          }
+          cfg.keyColumns.foreach { k =>
+            i += 1
+            upd.setObject(i, row.get(row.fieldIndex(k)))
+          }
+          upd.addBatch()
+        }
+        val counts = upd.executeBatch()
+        deduped.zip(counts.toSeq).foreach { case (row, n) =>
+          if (n == 0) {
+            var i = 0
+            while (i < dataCols.size) {
+              ins.setObject(i + 1, row.get(row.fieldIndex(dataCols(i))))
+              i += 1
+            }
+            cfg.auditColumns.zipWithIndex.foreach { case ((_, v), j) =>
+              ins.setObject(dataCols.size + j + 1, v)
+            }
+            ins.addBatch()
+          }
+        }
+        ins.executeBatch()
+      }
+      conn.commit()
+      total
+    } finally {
+      upd.close()
       ins.close()
     }
   }
