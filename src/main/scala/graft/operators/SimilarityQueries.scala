@@ -513,7 +513,113 @@ object SimilarityQueries {
        |  ON v.vec_id = m.vec_id
        |ORDER BY v.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s12_label_prop_fixpoint — s11's propagation round ITERATED TO
+  // CONVERGENCE (the actual semi-supervised labeling loop): synchronous
+  // majority updates over the fixed k-NN graph until a round flips no
+  // label, capped at 10 rounds (synchronous majority dynamics can
+  // 2-cycle; the cap bounds the oscillating case). Coverage trick:
+  // isolated vectors get a SELF-edge — one self-vote reproduces
+  // "isolated keeps its own label" inside the same majority aggregate,
+  // no per-round left-join fallback. Iteration discipline is d5's CC
+  // pattern: the edge list checkpoints once (vectors never shuffle
+  // after that — per round only (vec_id, label) pairs move), each
+  // round's state lazily localCheckpoints (truncating lineage — on a
+  // cluster this is checkpoint-to-storage), and the driver sees ONE
+  // scalar per round (the flip count, which is also the convergence
+  // test). Output pins the whole trajectory: per-vector initial +
+  // fixpoint label and the converged round count.
+  /** The propagation loop behind s12, reusable on any (labels, edges)
+    * pair — specs drive it on fixtures with known diameter. `labels` =
+    * (vec_id, label); `edges` = directed (vec_id, nbr_id). Returns
+    * (vec_id, init_label, final_label, n_rounds) where n_rounds is the
+    * first round that flipped nothing (= fixpoint), or `maxRounds` if
+    * the dynamics still oscillate at the cap. */
+  def propagateToFixpoint(
+      labels: DataFrame, knn: DataFrame, maxRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = labels.select(col("vec_id"), col("label"))
+    val iso = lbl.select(col("vec_id"))
+      .join(knn.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("nbr_id"))
+    val edges = knn.select(col("vec_id"), col("nbr_id")).unionAll(iso)
+      .localCheckpoint(eager = false)
+    var state = lbl.localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
+      val next = edges
+        .join(state.select(col("vec_id").as("nbr_id"), col("label").as("nl")),
+          Seq("nbr_id"))
+        .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nl").as("label"))
+        .localCheckpoint(eager = false)
+      val flips = next
+        .join(state.withColumnRenamed("label", "prev"), Seq("vec_id"))
+        .filter(col("label") =!= col("prev")).count()
+      state.unpersist()
+      state = next
+      rounds += 1
+      converged = flips == 0
+    }
+    lbl.select(col("vec_id"), col("label").as("init_label"))
+      .join(state.select(col("vec_id"), col("label").as("final_label")), Seq("vec_id"))
+      .withColumn("n_rounds", lit(rounds))
+      .orderBy(col("vec_id"))
+  }
+
+  def s12(spark: SparkSession, dir: String): DataFrame =
+    propagateToFixpoint(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+      knnEdges(spark, dir, k = 3),
+      maxRounds = 10)
+
+  /** s12 oracle: the same iteration as a bounded recursive CTE. The
+    * majority-with-tie-break rides a single `arg_min` whose key encodes
+    * (count desc, label asc) as a padded string — valid because the
+    * vote count is bounded by k+1 ≤ 10. Convergence round = first round
+    * whose state equals its predecessor (0 flips), capped like the
+    * engine's loop. */
+  private val s12Sql =
+    s"""WITH RECURSIVE $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |e2 AS (SELECT * FROM knn UNION ALL
+       |       SELECT vec_id, vec_id FROM n
+       |       WHERE vec_id NOT IN (SELECT vec_id FROM knn)),
+       |it(round, vec_id, label) AS (
+       |  SELECT 0, vec_id, label FROM n
+       |  UNION ALL
+       |  SELECT round + 1, vec_id,
+       |    arg_min(nl, lpad(CAST(10 - c AS VARCHAR), 2, '0') || '|' || nl)
+       |  FROM (
+       |    SELECT it.round AS round, e.vec_id AS vec_id, it.label AS nl, COUNT(*) AS c
+       |    FROM e2 e JOIN it ON e.nbr = it.vec_id
+       |    GROUP BY 1, 2, 3) t
+       |  WHERE round < 10
+       |  GROUP BY round, vec_id),
+       |flips AS (
+       |  SELECT a.round AS r, SUM(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END) AS f
+       |  FROM it a JOIN it b ON a.vec_id = b.vec_id AND b.round = a.round - 1
+       |  GROUP BY 1),
+       |conv AS (SELECT CAST(COALESCE(MIN(r), 10) AS INTEGER) AS rstar
+       |         FROM flips WHERE f = 0)
+       |SELECT it.vec_id, v.label AS init_label, it.label AS final_label,
+       |  c.rstar AS n_rounds
+       |FROM it JOIN conv c ON it.round = c.rstar
+       |JOIN n v ON v.vec_id = it.vec_id
+       |ORDER BY it.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_label_prop_fixpoint" -> (s12 _),
     "s10_knn_graph" -> (s10 _),
     "s11_label_prop" -> (s11 _),
     "s1_topk_brute" -> (s1 _),
@@ -527,6 +633,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s12_label_prop_fixpoint" -> s12Sql,
     "s10_knn_graph" -> s10Sql,
     "s11_label_prop" -> s11Sql,
     "s1_topk_brute" -> s1Sql,

@@ -762,7 +762,95 @@ object TextQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM bp GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t20_bpe_train — the ITERATED BPE trainer loop (t17 counts one
+  // round's pairs; this runs the actual merge iteration): 3 rounds of
+  // count pairs → pick the max-frequency pair (lexicographic
+  // tie-break) → apply the merge corpus-wide → recount. Output is the
+  // learned merge table (round, pair, frequency at selection) — what a
+  // tokenizer trainer persists.
+  //
+  // Merge application without a UDF: each token rides as a string of
+  // delimiter-wrapped symbols (\u0001 sym \u0002 per symbol), so applying
+  // merge (a, b) is ONE literal `replace` of "<1>a<2><1>b<2>"
+  // with "<1>ab<2>" (angle brackets = the \u0001/\u0002 wrappers) — string replace scans left-to-right
+  // non-overlapping, which IS the BPE in-round merge rule ("aaa" with
+  // pair (a,a) → ["aa","a"]), and the wrappers make adjacent matches
+  // share no characters (a bare space-joined form drops every second
+  // merge: the shared separator is consumed by the previous match).
+  // Both engines' replace has identical scan semantics, which is what
+  // makes the gate hash-matchable.
+  //
+  // Scale shape: per round, one vocabulary-bounded pair groupBy
+  // (map-side combined — the exchange carries distinct pairs, not
+  // occurrences) and one map-only replace over the corpus. The
+  // driver sees exactly ONE ROW per round (the argmax pair — bounded
+  // by construction, the CMS-anchor/IVF-codebook pattern); broadcast
+  // back as a literal, it keeps the merge inside codegen. No caching:
+  // round r recomputes the replace chain — at 100 TB, re-reading the
+  // scan beats materializing a corpus-sized intermediate.
+  def t20(spark: SparkSession, dir: String): DataFrame = {
+    val x1 = "\u0001"; val x2 = "\u0002"
+    var toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to 3) {
+      val top = toks
+        .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((round, a, b, n))
+      toks = toks.select(call_function("replace", col("s"),
+        lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"))
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_round", "left_sym", "right_sym", "n")
+      .orderBy(col("merge_round"))
+  }
+
+  private def t20Round(prev: String, p: String, m: String, s: String): String =
+    s"""$p AS (
+       |  SELECT u.a, u.b, COUNT(*) AS n FROM (
+       |    SELECT unnest([struct_pack(a := syms[i], b := syms[i + 1])
+       |                   for i in range(1, len(syms))], recursive := true)
+       |    FROM (SELECT string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS syms
+       |          FROM $prev)
+       |    WHERE len(syms) >= 2) u(a, b)
+       |  GROUP BY 1, 2),
+       |$m AS (SELECT a, b, n FROM $p ORDER BY n DESC, a, b LIMIT 1),
+       |$s AS (
+       |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+       |                 chr(1) || m.a || m.b || chr(2)) AS s
+       |  FROM $prev CROSS JOIN $m m)""".stripMargin
+
+  private val t20Sql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |s0 AS (
+       |  SELECT regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  FROM tok WHERE len(t) >= 2),
+       |${t20Round("s0", "p1", "m1", "s1")},
+       |${t20Round("s1", "p2", "m2", "s2")},
+       |${t20Round("s2", "p3", "m3", "s3")}
+       |SELECT * FROM (
+       |  SELECT 1 AS merge_round, a AS left_sym, b AS right_sym, n FROM m1
+       |  UNION ALL SELECT 2, a, b, n FROM m2
+       |  UNION ALL SELECT 3, a, b, n FROM m3)
+       |ORDER BY merge_round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bpe_train" -> (t20 _),
     "t19_df_score" -> (t19 _),
     "t18_leakage_split" -> (t18 _),
     "t17_bpe_pairs" -> (t17 _),
@@ -784,6 +872,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t20_bpe_train" -> t20Sql,
     "t19_df_score" -> t19Sql,
     "t18_leakage_split" -> t18Sql,
     "t17_bpe_pairs" -> t17Sql,
