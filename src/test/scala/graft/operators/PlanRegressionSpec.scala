@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BinaryComparison, EqualTo, In, IsNotNull, Literal}
+import graft.SparkSpec
+
+/** Automated plan-regression gate (VERDICT r4 item 4): PLANS.md pins
+  * plans by prose; this suite pins them by assertion, so an edit that
+  * silently de-optimizes a plan fails the build instead of waiting for
+  * a human diff. Three rules over EVERY gate query's pre-AQE physical
+  * plan (planner output is deterministic; AQE can only improve on it):
+  *
+  *  1. No CartesianProduct / BroadcastNestedLoopJoin — except the
+  *     whitelisted queries whose nested-loop join is a deliberate
+  *     1-row-or-bounded scalar/codebook broadcast (the "ride a scalar
+  *     along" pattern), each with its bound stated.
+  *  2. Every parquet/orc scan carrying a pushable attribute predicate
+  *     (IsNotNull / comparison / In against a literal) must have
+  *     pushed at least one filter into the scan.
+  *  3. The dimension-join gates must plan a BroadcastHashJoin — a
+  *     size-misestimate regressing one to SortMergeJoin is exactly the
+  *     silent 100×-scale cost this gate exists to catch.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** query → max allowed nested-loop joins (CartesianProduct or
+    * BroadcastNestedLoopJoin), each justified by a bounded build side. */
+  private val nestedLoopWhitelist: Map[String, Int] = Map(
+    "s1_topk_brute" -> 1,     // 1-row query vector × corpus
+    "s7_topk_ivf" -> 1,       // codebook broadcast: 2^bits centroid rows
+    "sk2_hll_union" -> 1,     // 1-row global HLL-merge aggregate
+    "t14_temperature_mix" -> 1, // per-source rate table: #sources rows
+    "t16_pmi_bigrams" -> 2,   // two 1-row corpus-total aggregates
+    "t19_df_score" -> 1,      // 1-row corpus doc-count aggregate
+    "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
+    "x4_skyline" -> 1)        // dominance anti-join over per-customer
+                              // aggregates (dimension-sized by design;
+                              // Skyline.twoPhase is the big-input path)
+
+  /** Queries that MUST broadcast their dimension join. */
+  private val mustBroadcast = Seq(
+    "q3_join_broadcast", // nation/region dims vs customer
+    "v5_pa_route",       // opco routing dim
+    "d7_contamination",  // eval-set fingerprints vs corpus
+    "t19_df_score")      // vocabulary DF table vs token stream
+
+  // Building a gate DF executes any driver-side bounded collects the
+  // query performs (streaming drains, IVF training, BPE rounds) — this
+  // lazy map is the suite's one expensive step, shared by all tests.
+  private lazy val plans: Map[String, SparkPlan] =
+    graft.SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.sparkPlan
+    }
+
+  private def countNodes(p: SparkPlan, names: String*): Int =
+    p.collect { case n if names.contains(n.nodeName) => n }.size +
+      p.subqueries.map(countNodes(_, names: _*)).sum
+
+  test("no unintended cartesian or nested-loop joins anywhere in the gate") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      val n = countNodes(p, "CartesianProduct", "BroadcastNestedLoopJoin")
+      val allowed = nestedLoopWhitelist.getOrElse(name, 0)
+      if (n > allowed) Some(s"$name: $n nested-loop joins (allowed $allowed)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  private def pushableOn(scan: FileSourceScanExec): Boolean = {
+    val outs = scan.output.map(_.exprId).toSet
+    def isScanAttr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case a: AttributeReference => outs.contains(a.exprId)
+        case _ => false
+      }
+    scan.dataFilters.exists {
+      case IsNotNull(a) => isScanAttr(a)
+      case b: BinaryComparison =>
+        (isScanAttr(b.left) && b.right.isInstanceOf[Literal]) ||
+          (isScanAttr(b.right) && b.left.isInstanceOf[Literal])
+      case In(a, vs) => isScanAttr(a) && vs.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+  }
+
+  test("every scan with a pushable predicate actually pushed a filter down") {
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => f } ++
+        p.subqueries.flatMap(scans)
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      scans(p).filter(s => pushableOn(s) &&
+          s.metadata.get("PushedFilters").forall(_ == "[]"))
+        .map(s => s"$name: pushable predicate not pushed at ${s.nodeName} " +
+          s"(DataFilters=${s.dataFilters.mkString(",")})")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("dimension-join gates plan a BroadcastHashJoin") {
+    val offenders = mustBroadcast.flatMap { name =>
+      if (countNodes(plans(name), "BroadcastHashJoin") == 0)
+        Some(s"$name: no BroadcastHashJoin in plan") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
