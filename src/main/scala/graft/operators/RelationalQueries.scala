@@ -588,7 +588,32 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q24_unpivot — the inverse of q18's pivot (§2.7 reshape breadth):
+  // melt the wide (qty_f, qty_o) columns back to long form with the
+  // native `unpivot` operator, recovering exactly the direct GROUP BY —
+  // the oracle IS that direct aggregation, so the gate proves
+  // pivot → unpivot is lossless. Absent (flag, status) combinations
+  // surface as NULL cells in the wide form; unpivot emits them as NULL
+  // rows, filtered here because the long-form truth never had them.
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    q18(spark, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_f"), col("qty_o")),
+        "linestatus", "qty")
+      .filter(col("qty").isNotNull)
+      .withColumn("linestatus",
+        when(col("linestatus") === "qty_f", lit("F")).otherwise(lit("O")))
+      .orderBy(col("l_returnflag"), col("linestatus"))
+
+  private val q24Sql =
+    """SELECT l_returnflag, l_linestatus AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_unpivot" -> (q24 _),
     "q21_rolling_window" -> (q21 _),
     "q22_corr_subquery" -> (q22 _),
     "q23_rank_family" -> (q23 _),
@@ -614,6 +639,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q24_unpivot" -> q24Sql,
     "q21_rolling_window" -> q21Sql,
     "q22_corr_subquery" -> q22Sql,
     "q23_rank_family" -> q23Sql,

@@ -818,7 +818,11 @@ object TextQueries {
       .orderBy(col("merge_round"))
   }
 
-  private def t20Round(prev: String, p: String, m: String, s: String): String =
+  /** One oracle BPE round: pair counts → argmax merge → corpus-wide
+    * replace. `carry` prefixes extra columns (e.g. "source, ") through
+    * the replace stage for queries that report per-group stats. */
+  private def t20Round(
+      prev: String, p: String, m: String, s: String, carry: String = ""): String =
     s"""$p AS (
        |  SELECT u.a, u.b, COUNT(*) AS n FROM (
        |    SELECT unnest([struct_pack(a := syms[i], b := syms[i + 1])
@@ -829,7 +833,7 @@ object TextQueries {
        |  GROUP BY 1, 2),
        |$m AS (SELECT a, b, n FROM $p ORDER BY n DESC, a, b LIMIT 1),
        |$s AS (
-       |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+       |  SELECT ${carry}replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
        |                 chr(1) || m.a || m.b || chr(2)) AS s
        |  FROM $prev CROSS JOIN $m m)""".stripMargin
 
@@ -849,7 +853,70 @@ object TextQueries {
        |  UNION ALL SELECT 3, a, b, n FROM m3)
        |ORDER BY merge_round""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t21_bpe_encode — APPLY the trained tokenizer (t20 learns the
+  // merges; this encodes the corpus with them): after 3 merge rounds,
+  // report per-source token/symbol statistics — the compression a
+  // tokenizer actually buys, the number a data-mixture planner needs
+  // per source. Encoding is the same map-only replace chain; per-token
+  // symbol count = array length of the split, character count =
+  // string length minus the two wrapper chars per symbol (exact
+  // algebra on the wrapped form, no re-tokenization). sum_syms <
+  // sum_chars by exactly the number of merge applications.
+  def t21(spark: SparkSession, dir: String): DataFrame = {
+    val x1 = "\u0001"; val x2 = "\u0002"
+    var toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("source"), regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"))
+    for (_ <- 1 to 3) {
+      val top = toks
+        .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b) = (top.getString(0), top.getString(1))
+      toks = toks.select(col("source"), call_function("replace", col("s"),
+        lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"))
+    }
+    toks
+      .withColumn("n_syms",
+        size(split(trim(col("s"), x1 + x2), x2 + x1)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(length(col("s")) - lit(2) * col("n_syms")).as("sum_chars"),
+        sum(col("n_syms")).as("sum_syms"))
+      .orderBy(col("source"))
+  }
+
+  private val t21Sql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |s0 AS (
+       |  SELECT source, regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  FROM tok WHERE len(t) >= 2),
+       |${t20Round("s0", "p1", "m1", "s1", carry = "source, ")},
+       |${t20Round("s1", "p2", "m2", "s2", carry = "source, ")},
+       |${t20Round("s2", "p3", "m3", "s3", carry = "source, ")},
+       |enc AS (
+       |  SELECT source,
+       |    len(string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1))) AS n_syms,
+       |    len(s) AS len_s
+       |  FROM s3)
+       |SELECT source, COUNT(*) AS n_toks,
+       |  CAST(SUM(len_s - 2 * n_syms) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_syms) AS BIGINT) AS sum_syms
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_encode" -> (t21 _),
     "t20_bpe_train" -> (t20 _),
     "t19_df_score" -> (t19 _),
     "t18_leakage_split" -> (t18 _),
@@ -872,6 +939,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t21_bpe_encode" -> t21Sql,
     "t20_bpe_train" -> t20Sql,
     "t19_df_score" -> t19Sql,
     "t18_leakage_split" -> t18Sql,

@@ -287,7 +287,41 @@ object ValidationQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v8_json_roundtrip — JSON-lines source + sink (§2.1 breadth: the
+  // interchange format of every ingestion pipeline): documents →
+  // partitioned JSON-lines write → schema-pinned read-back →
+  // per-source stats, oracled against the parquet origin like v6/v7.
+  // Two JSON-specific hazards this pins: (a) read-back uses the
+  // ORIGINAL schema, not inference — inference would widen/reorder
+  // types and, at 100 TB, pay a full extra pass over the data;
+  // (b) text survives JSON string escaping byte-exactly (the md5
+  // distinct-count breaks on any mangling). lang rides as a data
+  // column; source is the partition column, re-typed on read — its
+  // use as a group key pins that re-typing too.
+  def v8(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = graft.control.Scratch.dir("graft_v8_json")
+    docs.write.mode("overwrite").partitionBy("source").json(tmp)
+    val back = spark.read.schema(docs.schema).json(tmp)
+    back.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val v8Sql =
+    """SELECT source, lang, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_json_roundtrip" -> (v8 _),
     "v7_orc_roundtrip" -> (v7 _),
     "v1_rule_flags" -> (v1 _),
     "v2_failed_groups" -> (v2 _),
@@ -303,5 +337,6 @@ object ValidationQueries {
     "v4_final_records" -> v4Sql,
     "v5_pa_route" -> v5Sql,
     "v6_roundtrip" -> v6Sql,
-    "v7_orc_roundtrip" -> v7Sql)
+    "v7_orc_roundtrip" -> v7Sql,
+    "v8_json_roundtrip" -> v8Sql)
 }
