@@ -612,7 +612,52 @@ object RelationalQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q25_outer_join — FULL OUTER join with genuine null extension on
+  // both sides (§2.6: the one join type no other gate exercises):
+  // high-balance customers vs high-balance suppliers aggregated per
+  // nation — the filters leave nations present on only one side, so
+  // both null-extension paths materialize. Count columns coalesce to 0
+  // (the analytics convention); balance columns stay NULL where the
+  // side is absent, pinning the engines' null semantics through the
+  // hash compare. The join key is coalesced before ORDER BY (null
+  // sort placement differs between engines — never sort a nullable
+  // key). Plan note: both sides are nation-cardinality aggregates, so
+  // the outer join is a broadcast-able 25-row join at any corpus size.
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("cust_bal"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("supp_bal"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"), col("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"), col("supp_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q25Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS cust_bal
+      |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_supp,
+      |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS supp_bal
+      |  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey)
+      |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, cust_bal,
+      |  COALESCE(n_supp, 0) AS n_supp, supp_bal
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_outer_join" -> (q25 _),
     "q24_unpivot" -> (q24 _),
     "q21_rolling_window" -> (q21 _),
     "q22_corr_subquery" -> (q22 _),
@@ -639,6 +684,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q25_outer_join" -> q25Sql,
     "q24_unpivot" -> q24Sql,
     "q21_rolling_window" -> q21Sql,
     "q22_corr_subquery" -> q22Sql,

@@ -17,6 +17,10 @@ object CollectProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // scale-path probes: SPARK_GRAFT_STATESTORE=rocksdb flips the
+      // streaming state store the same way a cluster conf would
+      .config("spark.graft.streaming.stateStore",
+        sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
