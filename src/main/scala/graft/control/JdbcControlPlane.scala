@@ -126,6 +126,87 @@ object JdbcControlPlane {
     }
   }
 
+  /** [[TableRouter.Store]] backed by DB metadata — the reference's
+    * actual lookups (`/root/reference/src/price_zone/load_job.py:
+    * 252-303`: table-name registry, COUNT-based emptiness probe, the
+    * full-export-in-progress status row). One registry row per opco;
+    * emptiness probes the routed table itself, so the store works
+    * against whatever tables the loader actually writes. The
+    * soft-validation level is a constructor setting (an SSM parameter
+    * in the reference — deployment config, not DB state). */
+  final class JdbcRouterStore(
+      connFactory: () => Connection,
+      metaTable: String = "OPCO_TABLE_META",
+      override val softValidationLevel: Int = 0) extends TableRouter.Store {
+
+    private val ident = "[A-Za-z_][A-Za-z0-9_$]*".r
+    require(ident.matches(metaTable), s"invalid SQL identifier: '$metaTable'")
+
+    def createTable(): Unit = withConn { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $metaTable (opco VARCHAR(16) PRIMARY KEY, " +
+          "active_table VARCHAR(128) NOT NULL, future_table VARCHAR(128) NOT NULL, " +
+          "full_export_in_progress SMALLINT NOT NULL)")
+      finally st.close()
+    }
+
+    def register(opco: String, active: String, future: String,
+        fullExport: Boolean = false): Unit = withConn { conn =>
+      val st = conn.prepareStatement(
+        s"INSERT INTO $metaTable VALUES (?, ?, ?, ?)")
+      try {
+        st.setString(1, opco); st.setString(2, active)
+        st.setString(3, future); st.setInt(4, if (fullExport) 1 else 0)
+        st.executeUpdate(); ()
+      } finally st.close()
+    }
+
+    def setFullExport(opco: String, inProgress: Boolean): Unit = withConn { conn =>
+      val st = conn.prepareStatement(
+        s"UPDATE $metaTable SET full_export_in_progress = ? WHERE opco = ?")
+      try { st.setInt(1, if (inProgress) 1 else 0); st.setString(2, opco); st.executeUpdate(); () }
+      finally st.close()
+    }
+
+    private def metaRow(opco: String): (String, String, Boolean) = withConn { conn =>
+      val st = conn.prepareStatement(
+        s"SELECT active_table, future_table, full_export_in_progress " +
+          s"FROM $metaTable WHERE opco = ?")
+      try {
+        st.setString(1, opco)
+        val rs = st.executeQuery()
+        require(rs.next(), s"opco '$opco' not registered")
+        val out = (rs.getString(1), rs.getString(2), rs.getInt(3) != 0)
+        rs.close()
+        out
+      } finally st.close()
+    }
+
+    override def activeTable(opco: String): String = metaRow(opco)._1
+    override def futureTable(opco: String): String = metaRow(opco)._2
+    override def fullExportInProgress(opco: String): Boolean = metaRow(opco)._3
+
+    /** COUNT probe against the ROUTED table (a name from the registry,
+      * not caller input — still identifier-validated before splicing). */
+    override def isEmpty(opco: String, table: String): Boolean = withConn { conn =>
+      require(ident.matches(table), s"invalid SQL identifier: '$table'")
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next()
+        val n = rs.getLong(1)
+        rs.close()
+        n == 0L
+      } finally st.close()
+    }
+
+    private def withConn[T](body: Connection => T): T = {
+      val conn = connFactory()
+      try body(conn) finally conn.close()
+    }
+  }
+
   /** [[Notifier.StatusStore]] persisted to a DB row per run, keyed by
     * (file_name, etl_timestamp) — the reference's etl_status table
     * write, here an idempotent upsert (a Step-Function retry of the

@@ -81,6 +81,38 @@ class JdbcControlPlaneSpec extends AnyFunSuite {
       Some(("Succeeded", "", 1000L, 0L)))
   }
 
+  test("JDBC router store drives TableRouter's decision tree end-to-end") {
+    val store = new JdbcRouterStore(factory, "ROUTER_META", softValidationLevel = 1)
+    store.createTable()
+    val c = DerbyDb.conn()
+    val st = c.createStatement()
+    st.execute("CREATE TABLE PZ_068_ACTIVE (supc INT)")
+    st.execute("CREATE TABLE PZ_068_FUTURE (supc INT)")
+    st.close(); c.close()
+    store.register("068", "PZ_068_ACTIVE", "PZ_068_FUTURE")
+
+    // partial load, FUTURE empty, no full export → active + skip
+    assert(TableRouter.plan(partialLoad = true, "068", store) === Seq(
+      TableRouter.Load("PZ_068_ACTIVE"),
+      TableRouter.Skip("future empty and no full export in progress")))
+    // full-export flag flips the same branch to loading FUTURE
+    store.setFullExport("068", inProgress = true)
+    assert(TableRouter.plan(partialLoad = true, "068", store) === Seq(
+      TableRouter.Load("PZ_068_ACTIVE"), TableRouter.Load("PZ_068_FUTURE")))
+    // full load, FUTURE empty → load + effective-date update
+    assert(TableRouter.plan(partialLoad = false, "068", store) === Seq(
+      TableRouter.Load("PZ_068_FUTURE"),
+      TableRouter.UpdateEffectiveDate("PZ_068_FUTURE")))
+    // rows appearing in FUTURE (real COUNT probe) switch the full-load
+    // branch to the soft-validation escalation (level 1 = skip)
+    val c2 = DerbyDb.conn()
+    val st2 = c2.createStatement()
+    st2.execute("INSERT INTO PZ_068_FUTURE VALUES (1)")
+    st2.close(); c2.close()
+    assert(TableRouter.plan(partialLoad = false, "068", store) === Seq(
+      TableRouter.Skip("future non-empty, soft validation skips opco 068")))
+  }
+
   test("status store plugs into Notifier.run as the StatusStore") {
     val store = new JdbcStatusStore(factory, "STATUS_WIRED")
     store.createTable()
