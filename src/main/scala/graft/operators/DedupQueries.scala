@@ -598,7 +598,85 @@ object DedupQueries {
        |WHERE r.rn IS NULL OR r.rn = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d12_cdc_chunks — CONTENT-DEFINED CHUNKING dedup (the
+  // shifted-content-robust half of chunk-level dedup): boundaries fall
+  // where a 16-char window's hash hits a 1/8 condition, so an
+  // insertion at a document's head shifts FIXED chunk frames (t12)
+  // but CDC boundaries re-synchronize within one window — shared tails
+  // still dedup. Per source: chunk counts, distinct chunk mass, and
+  // the cross-document shared mass (chunks whose hash appears in >1
+  // source — the bytes chunk-level dedup would reclaim).
+  //
+  // Scale shape: boundary detection is map-only HOFs over each doc
+  // (O(n·w) md5 window hashes at gate fidelity — the production path
+  // is an O(n) rolling Gear/Rabin kernel, same slot as d9's
+  // `winnow_fps`); only (source, chunk-hash, len) rows shuffle, never
+  // text. The `length < 16` guard matters: Spark's `sequence(16, n)`
+  // for n < 16 is a DESCENDING sequence, not empty.
+  def d12(spark: SparkSession, dir: String): DataFrame = {
+    val cw = 16
+    val chunks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text"))
+      .withColumn("bnd", expr(
+        s"""CASE WHEN length(text) < $cw THEN CAST(array() AS ARRAY<INT>)
+           |ELSE filter(transform(sequence($cw, length(text)), i ->
+           |  CASE WHEN substring(md5(substring(text, i - ${cw - 1}, $cw)), 32, 1)
+           |       IN ('0', '1') THEN i END), x -> x IS NOT NULL) END""".stripMargin))
+      .withColumn("bs", expr("concat(array(0), bnd, array(length(text)))"))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(bs) - 1), j ->
+          |  substring(text, element_at(bs, j) + 1,
+          |            element_at(bs, j + 1) - element_at(bs, j)))""".stripMargin))
+        .as("chunk"))
+      .filter(length(col("chunk")) > 0)
+      .select(col("source"), md5(col("chunk")).as("h"), length(col("chunk")).as("l"))
+    val per = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("l")).as("sum_chars"))
+    val multi = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("source")).as("ns"))
+      .filter(col("ns") > 1)
+      .select(col("h"))
+    val shared = chunks.join(multi, Seq("h"), "left_semi")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("shared_chunks"))
+    per.join(shared, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"),
+        col("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val d12Sql =
+    """WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT source, text,
+      |  [i for i in range(16, len(text) + 1)
+      |   if substr(md5(substr(text, i - 15, 16)), 32, 1) IN ('0','1')] AS bnd
+      |  FROM d),
+      |withbs AS (SELECT source, text,
+      |  list_concat(list_concat([0], bnd), [len(text)]) AS bs FROM b),
+      |c AS (SELECT source,
+      |  unnest([substr(text, bs[j] + 1, bs[j + 1] - bs[j])
+      |          for j in range(1, len(bs))]) AS chunk
+      |  FROM withbs),
+      |ch AS (SELECT source, md5(chunk) AS h, len(chunk) AS l
+      |       FROM c WHERE len(chunk) > 0),
+      |per AS (SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct,
+      |        CAST(SUM(l) AS BIGINT) AS sum_chars FROM ch GROUP BY source),
+      |multi AS (SELECT h FROM (SELECT h, COUNT(DISTINCT source) AS ns
+      |                         FROM ch GROUP BY h) WHERE ns > 1),
+      |shared AS (SELECT source, COUNT(DISTINCT h) AS shared_chunks
+      |           FROM ch WHERE h IN (SELECT h FROM multi) GROUP BY source)
+      |SELECT p.source, n_chunks, n_distinct,
+      |  COALESCE(s.shared_chunks, 0) AS shared_chunks, sum_chars
+      |FROM per p LEFT JOIN shared s ON p.source = s.source
+      |ORDER BY p.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_cdc_chunks" -> (d12 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -613,6 +691,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d12_cdc_chunks" -> d12Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
     "d3_simhash" -> d3Sql,
