@@ -512,7 +512,50 @@ object CrossQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // x12_cogroup_reconcile — typed COGROUP (KeyValueGroupedDataset), the
+  // per-key merge escape hatch for logic a join can't express: both
+  // sides co-partition on the key in ONE shuffle each, then arbitrary
+  // Scala sees each key's two row groups together. Here it reconciles
+  // every order against its lineitems (count + exact cent total —
+  // floor(price*100) is the same IEEE double op in both engines),
+  // emitting zero-line orders too; orphan lineitems are dropped
+  // (none exist in the data — the branch is the referential guard).
+  // The oracle is the relational equivalent (LEFT JOIN + GROUP BY),
+  // pinning that the typed path loses nothing vs the declarative one.
+  // Use a join when the logic fits one — Catalyst can't see inside a
+  // cogroup function; this gate exists for the cases that don't.
+  def x12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val os = Tables.orders(spark, dir)
+      .select(col("o_orderkey")).as[Long]
+      .groupByKey(identity)
+    val ls = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    os.cogroup(ls) { (k, oIt, lIt) =>
+      if (oIt.isEmpty) Iterator.empty
+      else {
+        var n = 0L
+        var s = 0L
+        lIt.foreach { case (_, c) => n += 1; s += c }
+        Iterator.single((k, n, s))
+      }
+    }.toDF("o_orderkey", "n_lines", "sum_cents")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val x12Sql =
+    """SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines,
+      |  CAST(COALESCE(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)), 0)
+      |       AS BIGINT) AS sum_cents
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_cogroup_reconcile" -> (x12 _),
     "x11_gapfill" -> (x11 _),
     "x10_overlap_join" -> (x10 _),
     "x1_docs_embeddings" -> (x1 _),
@@ -526,6 +569,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x12_cogroup_reconcile" -> x12Sql,
     "x11_gapfill" -> x11Sql,
     "x10_overlap_join" -> x10Sql,
     "x1_docs_embeddings" -> x1Sql,
