@@ -781,41 +781,52 @@ object TextQueries {
   // Both engines' replace has identical scan semantics, which is what
   // makes the gate hash-matchable.
   //
-  // Scale shape: per round, one vocabulary-bounded pair groupBy
-  // (map-side combined — the exchange carries distinct pairs, not
-  // occurrences) and one map-only replace over the corpus. The
-  // driver sees exactly ONE ROW per round (the argmax pair — bounded
-  // by construction, the CMS-anchor/IVF-codebook pattern); broadcast
-  // back as a literal, it keeps the merge inside codegen. No caching:
-  // round r recomputes the replace chain — at 100 TB, re-reading the
-  // scan beats materializing a corpus-sized intermediate.
+  // Scale shape — the weighted-vocabulary trick real BPE trainers use:
+  // pair statistics are IDENTICAL whether counted over token
+  // occurrences or over DISTINCT tokens weighted by occurrence count
+  // (a merge never crosses a token boundary, so every occurrence of
+  // the same token contributes the same pairs). So the corpus is
+  // scanned ONCE — a map-side-combined groupBy(token) whose exchange
+  // carries the vocabulary, not occurrences — and the 3-round merge
+  // loop (pair count → argmax → replace) iterates on the persisted
+  // vocabulary-bounded table. At 100 TB: one corpus pass total, and
+  // each round's pair-explode touches |vocab| strings, not |corpus|.
+  // The driver still sees exactly ONE ROW per round (the argmax pair —
+  // bounded by construction, the CMS-anchor/IVF-codebook pattern);
+  // broadcast back as a literal, the merge stays inside codegen.
   def t20(spark: SparkSession, dir: String): DataFrame = {
     val x1 = "\u0001"; val x2 = "\u0002"
-    var toks = Tables.documents(spark, dir)
+    val vocab = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) >= 2)
-      .select(regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"))
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (round <- 1 to 3) {
-      val top = toks
-        .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
-            "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).head()
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((round, a, b, n))
-      toks = toks.select(call_function("replace", col("s"),
-        lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"))
-    }
-    import spark.implicits._
-    merges.result().toDF("merge_round", "left_sym", "right_sym", "n")
-      .orderBy(col("merge_round"))
+      .groupBy(col("t")).agg(count(lit(1)).as("w"))
+      .select(regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"), col("w"))
+      .persist()
+    try {
+      var toks = vocab
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (round <- 1 to 3) {
+        val top = toks
+          .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"), col("w"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+              "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"),
+            col("w"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("w")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).head()
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((round, a, b, n))
+        toks = toks.select(call_function("replace", col("s"),
+          lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"), col("w"))
+      }
+      import spark.implicits._
+      merges.result().toDF("merge_round", "left_sym", "right_sym", "n")
+        .orderBy(col("merge_round"))
+    } finally vocab.unpersist()
   }
 
   /** One oracle BPE round: pair counts → argmax merge → corpus-wide
@@ -865,34 +876,51 @@ object TextQueries {
   // sum_chars by exactly the number of merge applications.
   def t21(spark: SparkSession, dir: String): DataFrame = {
     val x1 = "\u0001"; val x2 = "\u0002"
-    var toks = Tables.documents(spark, dir)
+    // Same weighted-vocabulary shape as t20, keyed (source, token) so
+    // the final per-source stats stay exact; merge selection
+    // re-aggregates the per-source weights to the global pair count
+    // (still vocabulary-bounded). The corpus is scanned once.
+    val vocab = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("source"), regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"))
-    for (_ <- 1 to 3) {
-      val top = toks
-        .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
-            "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).head()
-      val (a, b) = (top.getString(0), top.getString(1))
-      toks = toks.select(col("source"), call_function("replace", col("s"),
-        lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"))
-    }
-    toks
-      .withColumn("n_syms",
-        size(split(trim(col("s"), x1 + x2), x2 + x1)).cast("long"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(length(col("s")) - lit(2) * col("n_syms")).as("sum_chars"),
-        sum(col("n_syms")).as("sum_syms"))
-      .orderBy(col("source"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("w"))
+      .select(col("source"),
+        regexp_replace(col("t"), "(.)", s"$x1$$1$x2").as("s"), col("w"))
+      .persist()
+    try {
+      var toks = vocab
+      for (_ <- 1 to 3) {
+        val top = toks
+          .select(split(trim(col("s"), x1 + x2), x2 + x1).as("syms"), col("w"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+              "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"),
+            col("w"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("w")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).head()
+        val (a, b) = (top.getString(0), top.getString(1))
+        toks = toks.select(col("source"), call_function("replace", col("s"),
+          lit(x1 + a + x2 + x1 + b + x2), lit(x1 + a + b + x2)).as("s"), col("w"))
+      }
+      // The per-source aggregate is bounded by #sources; materialize it
+      // before releasing the vocabulary cache (the drainToLocal pattern
+      // — the lazy plan must not outlive the persist that feeds it).
+      val agg = toks
+        .withColumn("n_syms",
+          size(split(trim(col("s"), x1 + x2), x2 + x1)).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("w")).as("n_toks"),
+          sum(col("w") * (length(col("s")) - lit(2) * col("n_syms")))
+            .as("sum_chars"),
+          sum(col("w") * col("n_syms")).as("sum_syms"))
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(agg.collect(): _*)
+      spark.createDataFrame(rows, agg.schema)
+    } finally vocab.unpersist()
   }
 
   private val t21Sql =
