@@ -618,7 +618,102 @@ object SimilarityQueries {
        |JOIN n v ON v.vec_id = it.vec_id
        |ORDER BY it.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s13_pagerank — PageRank over the s10 k-NN graph (the graph-centrality
+  // score a curation pipeline uses to pick representative documents from
+  // a similarity graph, and the classic iterate-on-a-fixed-graph workload
+  // alongside d5's connected components). Cross-engine determinism comes
+  // from FIXED-POINT INTEGER arithmetic (t16's PMI trick applied to an
+  // iterative algorithm): ranks live in BIGINT units of 1e-12 of total
+  // mass, each per-edge contribution is an integer floor-division
+  // `rank div deg`, and the damped update is
+  // (15*S) div (100*N) + (85*sum_in) div 100 — floor division on
+  // nonnegative values is identical in both engines, so 5 iterations
+  // stay bit-exact with zero float drift. Sinks cannot occur: isolated
+  // vectors get a SELF-edge (the s12 trick), so every node has >= 1
+  // out-edge and no dangling-mass correction is needed.
+  // Scale shape: the k-bounded edge list is built ONCE (with its
+  // out-degree riding along) and localCheckpointed; each round shuffles
+  // only (vec_id, rank) pairs — vectors never move after the kNN build,
+  // and the driver sees no per-round data at all (fixed iteration count,
+  // unlike s12 there is no convergence scalar to collect).
+  /** The fixed-point PageRank loop behind s13, reusable on any
+    * (nodes, edges) pair — specs drive it on fixtures with known
+    * structure. `nodes` = (vec_id); `edges` = directed (vec_id,
+    * nbr_id); isolated nodes are self-edged internally. Returns
+    * (vec_id, rank_scaled) in BIGINT units of 1e-12 of total mass. */
+  def pageRank(nodes: DataFrame, knn: DataFrame, iters: Int): DataFrame = {
+    val S = 1000000000000L
+    val nodeIds = nodes.select(col("vec_id"))
+    val nv = nodeIds.count()
+    val iso = nodeIds
+      .join(knn.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("nbr_id"))
+    val edges = knn.select(col("vec_id"), col("nbr_id")).unionAll(iso)
+    val deg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("vec_id")).localCheckpoint(eager = false)
+    val base = 15L * S / (100L * nv)
+    var rank = nodeIds.select(col("vec_id"), lit(S / nv).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(rank, Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id"), expr("rank div deg").as("c"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("m"))
+      rank = nodeIds
+        .join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    rank.select(col("vec_id"), col("rank").as("rank_scaled"))
+  }
+
+  def s13(spark: SparkSession, dir: String): DataFrame =
+    pageRank(
+      Tables.embeddings(spark, dir).select(col("vec_id")),
+      knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id")),
+      iters = 5)
+      .orderBy(col("vec_id"))
+
+  /** One unrolled oracle PageRank round: every node LEFT-joins its
+    * in-edges' previous ranks; floor-division arithmetic mirrors the
+    * engine exactly. CAST back to BIGINT per round because DuckDB's
+    * SUM promotes to HUGEINT. */
+  private def prRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT v.vec_id,
+       |    CAST((15 * 1000000000000 // (100 * nn))
+       |      + (85 * COALESCE(SUM(p.rank // d.deg), 0)) // 100 AS BIGINT) AS rank
+       |  FROM n v CROSS JOIN c0
+       |  LEFT JOIN e2 e ON e.nbr = v.vec_id
+       |  LEFT JOIN $prev p ON p.vec_id = e.vec_id
+       |  LEFT JOIN dg d ON d.vec_id = e.vec_id
+       |  GROUP BY v.vec_id, nn)""".stripMargin
+
+  private val s13Sql =
+    s"""WITH $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |e2 AS (SELECT * FROM knn UNION ALL
+       |       SELECT vec_id, vec_id FROM n
+       |       WHERE vec_id NOT IN (SELECT vec_id FROM knn)),
+       |dg AS (SELECT vec_id, COUNT(*) AS deg FROM e2 GROUP BY 1),
+       |c0 AS (SELECT COUNT(*) AS nn FROM n),
+       |r0 AS (SELECT vec_id, 1000000000000 // nn AS rank FROM n, c0),
+       |${prRoundSql("r0", "r1")},
+       |${prRoundSql("r1", "r2")},
+       |${prRoundSql("r2", "r3")},
+       |${prRoundSql("r3", "r4")},
+       |${prRoundSql("r4", "r5")}
+       |SELECT vec_id, rank AS rank_scaled FROM r5 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_pagerank" -> (s13 _),
     "s12_label_prop_fixpoint" -> (s12 _),
     "s10_knn_graph" -> (s10 _),
     "s11_label_prop" -> (s11 _),
@@ -633,6 +728,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s13_pagerank" -> s13Sql,
     "s12_label_prop_fixpoint" -> s12Sql,
     "s10_knn_graph" -> s10Sql,
     "s11_label_prop" -> s11Sql,
