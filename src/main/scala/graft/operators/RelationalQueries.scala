@@ -641,6 +641,42 @@ object RelationalQueries {
       .orderBy(col("nationkey"))
   }
 
+  // ---------------------------------------------------------------------
+  // q26_median_disc — EXACT distributed median (lower/discrete form):
+  // per nation, the c_acctbal value at rank ceil(n/2) in (acctbal,
+  // custkey) order. Exact medians don't decompose into partial
+  // aggregates, so the honest distributed shape is one shuffle by group
+  // + a per-group sort with two windows fused over the same ordering
+  // (rank and group count share a single exchange — .explain shows one).
+  // The selected value is a STORED double (no arithmetic touches it),
+  // so the cross-engine compare is bit-exact; the tie-break on custkey
+  // makes the rank total. At corpus scale the sketch path (sk1's
+  // KLL quantiles) is the cheap alternative; this gate pins the exact
+  // one.
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("c_nationkey"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("c_nationkey").as("nationkey"), col("cnt").as("n_cust"),
+        col("c_acctbal").as("median_acctbal"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q26Sql =
+    """WITH r AS (
+      |  SELECT c_nationkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+      |  FROM customer)
+      |SELECT c_nationkey AS nationkey, CAST(cnt AS BIGINT) AS n_cust,
+      |  c_acctbal AS median_acctbal
+      |FROM r WHERE rn = (cnt + 1) // 2
+      |ORDER BY nationkey""".stripMargin
+
   private val q25Sql =
     """WITH c AS (
       |  SELECT c_nationkey, COUNT(*) AS n_cust,
@@ -657,6 +693,7 @@ object RelationalQueries {
       |ORDER BY nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
     "q24_unpivot" -> (q24 _),
     "q21_rolling_window" -> (q21 _),
@@ -684,6 +721,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,
     "q24_unpivot" -> q24Sql,
     "q21_rolling_window" -> q21Sql,

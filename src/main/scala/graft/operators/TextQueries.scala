@@ -943,7 +943,51 @@ object TextQueries {
        |  CAST(SUM(n_syms) AS BIGINT) AS sum_syms
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t22_stratified_sample — EXACT-QUOTA stratified sampling (up to 50
+  // docs per source), the mixture-construction primitive a data planner
+  // runs after fixing per-source token budgets. Two design points:
+  //   1. The "random" order is a deterministic multiplicative hash,
+  //      (doc_id * 2654435761) % 2^32 (Knuth's golden-ratio constant) —
+  //      products stay below 2^63 so BOTH engines compute the identical
+  //      BIGINT with plain arithmetic; no engine-hash parity needed, and
+  //      the sample is reproducible run over run (what a training-data
+  //      freeze requires). Bernoulli `sample()` gives neither exact
+  //      quotas nor cross-engine determinism.
+  //   2. The per-stratum quota rides the typed TopKAggregator, so each
+  //      map task's partial aggregate keeps at most 50 (key, id) pairs
+  //      per stratum and the exchange carries the SAMPLE, not the
+  //      corpus — the window-rank form would shuffle every row to its
+  //      stratum's partition (and skew with the biggest source). The
+  //      key is < 2^32 so its Double carrier is exact. Strata smaller
+  //      than the quota are taken whole.
+  def t22(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator.TopK(50))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(-((doc_id * 2654435761L) % 4294967296L) AS DOUBLE)").as("score"))
+      .groupBy(col("source"))
+      .agg(topk(col("score"), col("doc_id")).as("smp"))
+      .select(col("source"), posexplode(col("smp")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val t22Sql =
+    """WITH k AS (
+      |  SELECT source, doc_id,
+      |    (doc_id * 2654435761) % 4294967296 AS smpkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY smpkey, doc_id) AS rk
+      |  FROM k)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 50 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_stratified_sample" -> (t22 _),
     "t21_bpe_encode" -> (t21 _),
     "t20_bpe_train" -> (t20 _),
     "t19_df_score" -> (t19 _),
@@ -967,6 +1011,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t22_stratified_sample" -> t22Sql,
     "t21_bpe_encode" -> t21Sql,
     "t20_bpe_train" -> t20Sql,
     "t19_df_score" -> t19Sql,
