@@ -712,7 +712,93 @@ object SimilarityQueries {
        |${prRoundSql("r4", "r5")}
        |SELECT vec_id, rank AS rank_scaled FROM r5 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s14_triangle_count — per-node triangle counts on the (undirected)
+  // k-NN graph: the local-clustering signal that separates tight
+  // near-duplicate communities from chains, and the classic
+  // wedge-explosion stress test for distributed graph ops. The scale
+  // trick is DEGREE ORIENTATION: canonicalize each edge to (min, max),
+  // then orient every edge from its (degree, id)-smaller endpoint to
+  // the larger one. The oriented out-degree is O(sqrt(m)) regardless of
+  // hubs, so enumerating wedges as pairs of OUT-neighbors of one apex
+  // never explodes around a high-degree node (the naive neighbor-pair
+  // join does exactly that) — and each triangle is generated EXACTLY
+  // once, at its unique apex, so no /3 dedup pass is needed. The wedge
+  // list then semi-joins the canonical edge set (equi-join on the two
+  // endpoints) and the surviving triangles explode to their 3 member
+  // nodes for the per-node count. Joins shuffle (node, node) pairs
+  // only; vectors never move after the kNN build.
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnEdges(spark, dir, k = 3)
+    // canonical undirected edges (dedups the two directions)
+    val ecan = knn
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = ecan.select(col("u").as("x")).unionAll(ecan.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): apex -> other
+    val o = ecan
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(ecan,
+      least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"), "left_semi")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s14Sql =
+    s"""WITH $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |ecan AS (
+       |  SELECT DISTINCT LEAST(vec_id, nbr) AS u, GREATEST(vec_id, nbr) AS v
+       |  FROM knn WHERE vec_id <> nbr),
+       |dg AS (
+       |  SELECT x, COUNT(*) AS d FROM (
+       |    SELECT u AS x FROM ecan UNION ALL SELECT v AS x FROM ecan)
+       |  GROUP BY x),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+       |  FROM ecan
+       |  JOIN dg du ON du.x = u
+       |  JOIN dg dv ON dv.x = v),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  WHERE EXISTS (SELECT 1 FROM ecan
+       |                WHERE u = LEAST(e1.dst, e2.dst)
+       |                  AND v = GREATEST(e1.dst, e2.dst)))
+       |SELECT vec_id, COUNT(*) AS n_tri FROM (
+       |  SELECT a AS vec_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_triangle_count" -> (s14 _),
     "s13_pagerank" -> (s13 _),
     "s12_label_prop_fixpoint" -> (s12 _),
     "s10_knn_graph" -> (s10 _),
@@ -728,6 +814,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s14_triangle_count" -> s14Sql,
     "s13_pagerank" -> s13Sql,
     "s12_label_prop_fixpoint" -> s12Sql,
     "s10_knn_graph" -> s10Sql,

@@ -986,7 +986,58 @@ object TextQueries {
       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
       |FROM r WHERE rk <= 50 ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t23_tfidf_topk — top-3 TF-IDF terms per document (the keyword /
+  // topic-signal extraction step of a curation pipeline), INTEGER-EXACT:
+  // idf rides as (N * 1e6) div df — BIGINT floor division both engines
+  // compute identically — and score = tf * idf_scaled, so the ranking
+  // needs no transcendental log and no float tolerance (t16's PMI
+  // discipline). Scale shape: tf is one map-side-combined (doc, term)
+  // aggregate; df aggregates the tf table (vocabulary-bounded exchange);
+  // the df join shuffles on the term key; the per-doc top-3 is a window
+  // bounded by document length (thousands of terms, not corpus-sized
+  // partitions). N is one driver scalar (the CMS-anchor pattern).
+  def t23(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("t"))
+    tf.join(df, Seq("t"))
+      .withColumn("score_scaled", expr(s"tf * ((${n}L * 1000000L) div df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("t").as("term"), col("score_scaled"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val t23Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |tf AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d) u
+      |  WHERE len(t) >= 2 GROUP BY doc_id, t),
+      |dfx AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    CAST(tf.tf * ((nn.n * 1000000) // dfx.df) AS BIGINT) AS score_scaled
+      |  FROM tf JOIN dfx USING (t) CROSS JOIN nn),
+      |r AS (
+      |  SELECT doc_id, t, score_scaled,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_scaled DESC, t) AS rk
+      |  FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term, score_scaled
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_tfidf_topk" -> (t23 _),
     "t22_stratified_sample" -> (t22 _),
     "t21_bpe_encode" -> (t21 _),
     "t20_bpe_train" -> (t20 _),
@@ -1011,6 +1062,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t23_tfidf_topk" -> t23Sql,
     "t22_stratified_sample" -> t22Sql,
     "t21_bpe_encode" -> t21Sql,
     "t20_bpe_train" -> t20Sql,
