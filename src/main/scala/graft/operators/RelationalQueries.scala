@@ -642,6 +642,38 @@ object RelationalQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q27_setops_all — BAG-semantics set operations (q9 covers the
+  // DISTINCT forms): EXCEPT ALL keeps max(m−n, 0) copies per value,
+  // INTERSECT ALL keeps min(m, n). Spark plans both as aggregate-
+  // count-then-replicate (no sort-based dedup), which is the right
+  // distributed shape — the exchange carries one row per distinct
+  // value with its multiplicity, not the multiset. The gate reports
+  // the resulting multisets grouped (value, multiplicity) so the
+  // output is order-free and compact at any scale.
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(col("l_discount") > lit(0.05)).select(col("l_quantity"))
+    val b = li.filter(col("l_returnflag") === lit("R")).select(col("l_quantity"))
+    val ex = a.exceptAll(b).groupBy(col("l_quantity"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy(col("l_quantity"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionAll(in)
+      .select(col("op"), col("l_quantity"), col("n"))
+      .orderBy(col("op"), col("l_quantity"))
+  }
+
+  private val q27Sql =
+    """WITH a AS (SELECT l_quantity FROM lineitem WHERE l_discount > 0.05),
+      |b AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'except_all' AS op, l_quantity, COUNT(*) AS n
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all', l_quantity, COUNT(*)
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+      |ORDER BY op, l_quantity""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q26_median_disc — EXACT distributed median (lower/discrete form):
   // per nation, the c_acctbal value at rank ceil(n/2) in (acctbal,
   // custkey) order. Exact medians don't decompose into partial
@@ -693,6 +725,7 @@ object RelationalQueries {
       |ORDER BY nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_setops_all" -> (q27 _),
     "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
     "q24_unpivot" -> (q24 _),
@@ -721,6 +754,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q27_setops_all" -> q27Sql,
     "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,
     "q24_unpivot" -> q24Sql,
