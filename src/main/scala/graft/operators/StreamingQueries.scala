@@ -91,6 +91,62 @@ object StreamingQueries {
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st11_stream_outer — st4's interval join in LEFT OUTER form, the
+  // watermark-eviction-driven operator: unmatched views null-extend
+  // only when the watermark closes their 30-minute window (a window
+  // the final watermark never closes stays unemitted — bounded-state
+  // semantics the oracle reproduces with the same watermark
+  // arithmetic). Matched rows emit like the inner join, so the two
+  // paths compose in one result: per-user matched vs evicted-unmatched
+  // counts.
+  //
+  // Watermark subtlety the oracle MUST model (pinned empirically at
+  // all three sfs): each `withWatermark` operator tracks the max event
+  // time of ITS OWN filtered stream, and the query's global watermark
+  // is the MIN across watermark operators — so here
+  // wm = min(max view_ts, max purchase_ts) − 1h, NOT max(all events)
+  // − 1h. A view's null row emits iff view_ts + 30min < wm. Modeling
+  // wm from the unfiltered max over-evicts whenever the two event
+  // types' maxima diverge (they always do in real data).
+  def st11(spark: SparkSession, dir: String): DataFrame =
+    Streaming.viewPurchaseLeftOuter(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        min(col("view_id")).as("min_view"))
+      .orderBy(col("user_id"))
+
+  private val st11Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS tsu, event_type, user_id, event_id FROM events),
+      |m AS (SELECT LEAST(
+      |        MAX(CASE WHEN event_type = 'view' THEN tsu END),
+      |        MAX(CASE WHEN event_type = 'purchase' THEN tsu END))
+      |        // 1000 * 1000 - 3600000000 AS wm FROM e),
+      |v AS (SELECT user_id, tsu AS vts, event_id AS view_id
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, tsu AS pts, event_id AS purchase_id
+      |      FROM e WHERE event_type = 'purchase'),
+      |mt AS (
+      |  SELECT v.user_id, v.view_id, p.purchase_id
+      |  FROM v JOIN p ON v.user_id = p.pu
+      |    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000),
+      |um AS (
+      |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id
+      |  FROM v CROSS JOIN m
+      |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.pu = v.user_id
+      |                    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000)
+      |    AND v.vts + 1800000000 < m.wm),
+      |allr AS (SELECT * FROM mt UNION ALL SELECT * FROM um)
+      |SELECT user_id, COUNT(*) AS n_rows,
+      |  COUNT(purchase_id) AS n_matched,
+      |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched,
+      |  MIN(view_id) AS min_view
+      |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // st5_stateful_sessions — the custom-state streaming path
   // (KeyValueGroupedDataset.mapGroupsWithState) run as a REAL streaming
   // query, hash-matched against the SAME batch oracle as st2: the
@@ -241,7 +297,8 @@ object StreamingQueries {
     "st4_stream_stream" -> (st4 _),
     "st5_stateful_sessions" -> (st5 _),
     "st6_session_flows" -> (st6 _),
-    "st7_distinct_users" -> (st7 _))
+    "st7_distinct_users" -> (st7 _),
+    "st11_stream_outer" -> (st11 _))
 
   val oracleSql: Map[String, String] = Map(
     // TWS formulation shares st6's oracle: same semantics, new API
@@ -254,5 +311,6 @@ object StreamingQueries {
     "st4_stream_stream" -> st4Sql,
     "st5_stateful_sessions" -> st2Sql,
     "st6_session_flows" -> st6Sql,
-    "st7_distinct_users" -> st7Sql)
+    "st7_distinct_users" -> st7Sql,
+    "st11_stream_outer" -> st11Sql)
 }

@@ -593,4 +593,35 @@ object Streaming {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
     drainToLocal(spark, name, OutputMode.Append, joined)
   }
+
+  /** The interval join above in LEFT OUTER form — the semantically
+    * distinct streaming operator: a view with no purchase in its
+    * 30-minute window emits a null-extended row, and the EMISSION
+    * TRIGGER is state eviction — the row appears only once the
+    * watermark proves no matching purchase can still arrive. A view
+    * whose window the final watermark never closes is NOT emitted;
+    * that is the bounded-state contract, and the batch oracle models
+    * it explicitly with the same watermark arithmetic (the st7
+    * convention). Matched pairs emit immediately, exactly like the
+    * inner form. */
+  def viewPurchaseLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_ssoj_${queryCounter.incrementAndGet()}"
+    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+    val views = base.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("event_ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    drainToLocal(spark, name, OutputMode.Append, joined)
+  }
 }

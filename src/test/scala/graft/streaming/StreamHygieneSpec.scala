@@ -24,7 +24,8 @@ class StreamHygieneSpec extends SparkSpec {
     val runs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
       () => Streaming.hourlyEventCounts(spark, dir),
       () => Streaming.sessionFlowCounts(spark, dir, 30),
-      () => Streaming.userProfileCountsTws(spark, dir))
+      () => Streaming.userProfileCountsTws(spark, dir),
+      () => Streaming.viewPurchaseLeftOuter(spark, dir))
     runs.foreach { run =>
       val out = run()
       assert(graftViews().isEmpty,
