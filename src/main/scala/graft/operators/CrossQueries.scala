@@ -554,7 +554,53 @@ object CrossQueries {
       |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x13_zorder_layout — Morton-curve data layout (the lakehouse
+  // Z-ORDER BY primitive): bin two join/filter dimensions, interleave
+  // their bits into a z-value, and bucket rows by aligned z-ranges.
+  // Why it matters at 100 TB: files written in z-order admit data
+  // skipping on BOTH dimensions — every aligned 4^m-cell z-range is
+  // exactly a 2^m × 2^m tile, so each bucket's min/max span in EACH
+  // dimension is ≤ 2^m − 1 and a predicate on either column prunes to
+  // a contiguous run of buckets. The gate materializes that contract:
+  // per-bucket counts and per-dimension min/max (the file-skipping
+  // stats a manifest would store), which the oracle recomputes from
+  // the same integer bit arithmetic — and the ≤ 7 span bound (m = 3
+  // here) is additionally pinned by ZOrderSpec.
+  // Scale shape: z is a map-side integer expression inside codegen;
+  // the bucket aggregate is one map-side-combined groupBy on a
+  // 1024-value key. (A real layout job would `repartitionByRange` on
+  // the full z-value before writing; the stats table is the gate
+  // because file boundaries aren't SQL-observable.)
+  def x13(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 256).cast("int").as("ba"),
+        (col("l_suppkey") % 256).cast("int").as("bb"))
+      .withColumn("z", ZOrder.zValue2(col("ba"), col("bb"), bits = 8))
+      .withColumn("bucket", expr("z div 64"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ba")).as("min_a"), max(col("ba")).as("max_a"),
+        min(col("bb")).as("min_b"), max(col("bb")).as("max_b"))
+      .orderBy(col("bucket"))
+  }
+
+  private val x13Sql = {
+    val z = graft.functions.ZOrder.zValue2Sql("ba", "bb", 8)
+    s"""WITH b AS (
+       |  SELECT CAST(l_partkey % 256 AS INTEGER) AS ba,
+       |         CAST(l_suppkey % 256 AS INTEGER) AS bb
+       |  FROM lineitem),
+       |z AS (SELECT ba, bb, CAST($z AS BIGINT) // 64 AS bucket FROM b)
+       |SELECT bucket, COUNT(*) AS n,
+       |  MIN(ba) AS min_a, MAX(ba) AS max_a,
+       |  MIN(bb) AS min_b, MAX(bb) AS max_b
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_zorder_layout" -> (x13 _),
     "x12_cogroup_reconcile" -> (x12 _),
     "x11_gapfill" -> (x11 _),
     "x10_overlap_join" -> (x10 _),
@@ -569,6 +615,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x13_zorder_layout" -> x13Sql,
     "x12_cogroup_reconcile" -> x12Sql,
     "x11_gapfill" -> x11Sql,
     "x10_overlap_join" -> x10Sql,
