@@ -192,7 +192,74 @@ object SketchQueries {
       |SELECT token, n, TRUE AS cms_ok FROM c
       |ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** sk4_hll_intersect — SKETCH SET ALGEBRA: estimate the overlap of
+    * two distinct-sets (viewers ∩ purchasers) from their HLL sketches
+    * by inclusion–exclusion, est(∩) = est(V) + est(P) − est(V∪P) — the
+    * audience-overlap / snapshot-drift measurement that would otherwise
+    * need a distinct-shuffle of both sides. Exact anchors ride one
+    * extra pass (per-user event_type count: k≥1 ⇒ union member, k=2 ⇒
+    * intersection member — union AND intersection from a single
+    * aggregate); `est_ok` pins each estimate inside its 3σ band, the
+    * intersection's band being the SUM of the three constituent bands
+    * (errors add under inclusion–exclusion — the honest bound, which
+    * is also why sketch intersections degrade for small overlaps).
+    * Everything distributed: sketches merge, the driver sees only the
+    * 1-row pivot of per-side estimates (the CMS-anchor pattern). */
+  def sk4(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id"))
+    val per = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("nx"))
+    val perOut = per.select(col("event_type").as("set_name"),
+      col("nx").as("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("nx")) <=
+        lit(3 * rsd) * col("nx")).as("est_ok"))
+    val wide = per
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"),
+        col("nx"))
+      .groupBy().pivot("event_type", Seq("view", "purchase"))
+      .agg(first(col("est")).as("est"), first(col("nx")).as("nx"))
+    val uEst = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("u_est"))
+    val exacts = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("k"))
+      .agg(count(lit(1)).as("u_exact"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("i_exact"))
+    val row = exacts.crossJoin(uEst).crossJoin(wide)
+    val unionOut = row.select(lit("~union").as("set_name"),
+      col("u_exact").as("n_exact"),
+      (abs(col("u_est") - col("u_exact")) <=
+        lit(3 * rsd) * col("u_exact")).as("est_ok"))
+    val interOut = row.select(lit("~intersect").as("set_name"),
+      col("i_exact").as("n_exact"),
+      (abs(col("view_est") + col("purchase_est") - col("u_est") - col("i_exact")) <=
+        lit(3 * rsd) * (col("view_nx") + col("purchase_nx") + col("u_exact")))
+        .as("est_ok"))
+    perOut.unionAll(unionOut).unionAll(interOut).orderBy(col("set_name"))
+  }
+
+  private val sk4Sql =
+    """WITH e AS (
+      |  SELECT event_type, user_id FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |per AS (
+      |  SELECT event_type AS set_name, COUNT(DISTINCT user_id) AS n_exact,
+      |    TRUE AS est_ok
+      |  FROM e GROUP BY event_type),
+      |k AS (SELECT user_id, COUNT(DISTINCT event_type) AS k FROM e GROUP BY 1),
+      |uni AS (SELECT '~union' AS set_name, COUNT(*) AS n_exact, TRUE AS est_ok FROM k),
+      |its AS (SELECT '~intersect' AS set_name,
+      |          CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |          TRUE AS est_ok
+      |        FROM k)
+      |SELECT * FROM per UNION ALL SELECT * FROM uni UNION ALL SELECT * FROM its
+      |ORDER BY set_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk4_hll_intersect" -> (sk4 _),
     "sk1_sketches" -> (sk1 _),
     "sk2_hll_union" -> (sk2 _),
     "sk3_heavy_hitters" -> (sk3 _))
@@ -200,6 +267,7 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk4_hll_intersect" -> sk4Sql,
     "sk1_sketches" -> sk1Sql,
     "sk2_hll_union" -> sk2Sql,
     "sk3_heavy_hitters" -> sk3Sql)

@@ -34,6 +34,8 @@ class PlanRegressionSpec extends SparkSpec {
     "t14_temperature_mix" -> 1, // per-source rate table: #sources rows
     "t16_pmi_bigrams" -> 2,   // two 1-row corpus-total aggregates
     "t19_df_score" -> 1,      // 1-row corpus doc-count aggregate
+    "sk4_hll_intersect" -> 4, // 1-row frames: exact-counts × union-est
+                              // × per-side pivot (sketch set algebra)
     "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
     "x4_skyline" -> 1)        // dominance anti-join over per-customer
                               // aggregates (dimension-sized by design;
