@@ -147,6 +147,62 @@ object StreamingQueries {
       |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st12_stream_full_outer — the FULL OUTER stream-stream join: both
+  // sides null-extend on state eviction, with ASYMMETRIC eviction
+  // rules that fall out of the interval condition (views wait out
+  // their 30-minute window: view_ts + 30min < wm; purchases only wait
+  // for the watermark itself: p_ts < wm, since any joining view
+  // precedes its purchase). Same min-across-watermark-operators wm as
+  // st11. Per-user row/matched/unmatched-by-side counts.
+  def st12(spark: SparkSession, dir: String): DataFrame =
+    Streaming.viewPurchaseFullOuter(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("view_id").isNotNull && col("purchase_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_view_only"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L)).as("n_purchase_only"))
+      .orderBy(col("user_id"))
+
+  private val st12Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS tsu, event_type, user_id, event_id FROM events),
+      |m AS (SELECT LEAST(
+      |        MAX(CASE WHEN event_type = 'view' THEN tsu END),
+      |        MAX(CASE WHEN event_type = 'purchase' THEN tsu END))
+      |        // 1000 * 1000 - 3600000000 AS wm FROM e),
+      |v AS (SELECT user_id, tsu AS vts, event_id AS view_id
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, tsu AS pts, event_id AS purchase_id
+      |      FROM e WHERE event_type = 'purchase'),
+      |mt AS (
+      |  SELECT v.user_id, v.view_id, p.purchase_id
+      |  FROM v JOIN p ON v.user_id = p.pu
+      |    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000),
+      |vo AS (
+      |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id
+      |  FROM v CROSS JOIN m
+      |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.pu = v.user_id
+      |                    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000)
+      |    AND v.vts + 1800000000 < m.wm),
+      |po AS (
+      |  SELECT p.pu AS user_id, CAST(NULL AS BIGINT) AS view_id, p.purchase_id
+      |  FROM p CROSS JOIN m
+      |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.pu
+      |                    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000)
+      |    AND p.pts < m.wm),
+      |allr AS (SELECT * FROM mt UNION ALL SELECT * FROM vo
+      |         UNION ALL SELECT * FROM po)
+      |SELECT user_id, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN view_id IS NOT NULL AND purchase_id IS NOT NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_only,
+      |  CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchase_only
+      |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // st5_stateful_sessions — the custom-state streaming path
   // (KeyValueGroupedDataset.mapGroupsWithState) run as a REAL streaming
   // query, hash-matched against the SAME batch oracle as st2: the
@@ -298,7 +354,8 @@ object StreamingQueries {
     "st5_stateful_sessions" -> (st5 _),
     "st6_session_flows" -> (st6 _),
     "st7_distinct_users" -> (st7 _),
-    "st11_stream_outer" -> (st11 _))
+    "st11_stream_outer" -> (st11 _),
+    "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
     // TWS formulation shares st6's oracle: same semantics, new API
@@ -312,5 +369,6 @@ object StreamingQueries {
     "st5_stateful_sessions" -> st2Sql,
     "st6_session_flows" -> st6Sql,
     "st7_distinct_users" -> st7Sql,
-    "st11_stream_outer" -> st11Sql)
+    "st11_stream_outer" -> st11Sql,
+    "st12_stream_full_outer" -> st12Sql)
 }

@@ -624,4 +624,34 @@ object Streaming {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
     drainToLocal(spark, name, OutputMode.Append, joined)
   }
+
+  /** FULL OUTER form of the same interval join: both sides null-extend
+    * on state eviction. The eviction rules are asymmetric because the
+    * interval condition is: an unmatched VIEW emits once
+    * view_ts + 30min < wm (no future purchase can land in its window);
+    * an unmatched PURCHASE emits once p_ts < wm (a joining view must
+    * satisfy view_ts <= p_ts, and future views arrive at >= wm).
+    * wm is the min-across-watermark-operators global watermark (see
+    * the st11 oracle note). */
+  def viewPurchaseFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_ssfo_${queryCounter.incrementAndGet()}"
+    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+    val views = base.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("event_ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("view_id"), col("purchase_id"))
+    drainToLocal(spark, name, OutputMode.Append, joined)
+  }
 }

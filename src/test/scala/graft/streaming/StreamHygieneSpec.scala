@@ -25,7 +25,8 @@ class StreamHygieneSpec extends SparkSpec {
       () => Streaming.hourlyEventCounts(spark, dir),
       () => Streaming.sessionFlowCounts(spark, dir, 30),
       () => Streaming.userProfileCountsTws(spark, dir),
-      () => Streaming.viewPurchaseLeftOuter(spark, dir))
+      () => Streaming.viewPurchaseLeftOuter(spark, dir),
+      () => Streaming.viewPurchaseFullOuter(spark, dir))
     runs.foreach { run =>
       val out = run()
       assert(graftViews().isEmpty,
