@@ -158,4 +158,26 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame (small — what flows to an embedding model). */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** The frame-sampling stage as a one-to-many typed pass: decode →
+    * fixed-size framing → keep every `everyN`-th frame, emitting one
+    * small row per KEPT frame (index, size, checksum). The blob fans
+    * out map-side only; what leaves the stage is the per-frame feature
+    * row an embedding batch consumes — never the bytes. */
+  def sampleFrameRows(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        val samples = FakeCodec.decode(r.content)
+        samples.grouped(FakeCodec.FrameSize).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 =>
+            FrameRow(r.media_id, idx, frame.length, checksum31(frame))
+        }
+      }
+    }
+  }
 }

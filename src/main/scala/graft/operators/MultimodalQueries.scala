@@ -140,12 +140,53 @@ object MultimodalQueries {
       |  MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
       |FROM r GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m4_frame_table — the frame-sampling stage per-frame: video blobs
+  // frame into 256-byte units, every 2nd frame is kept, and each KEPT
+  // frame emits one small row (index, size, checksum31) — the exact
+  // table an embedding batch job consumes. Per-frame hash match is the
+  // strongest check of the framing arithmetic (boundaries, the ragged
+  // final frame, the stride). Blob fan-out is map-side only; the
+  // oracle recomputes every frame from substr + the same modular fold
+  // (all-ASCII synthetic text keeps chars == bytes, the m2 convention).
+  def m4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sampleFrameRows(
+      Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+        .as[Multimodal.MediaRecord]
+        .filter(col("kind") === lit("video")),
+      everyN = 2)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val m4Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE n_chars % 3 = 2),
+      |fr AS (
+      |  SELECT media_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+      |  FROM media),
+      |cut AS (
+      |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+      |    substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS sub
+      |  FROM fr WHERE i % 2 = 0)
+      |SELECT media_id, frame_idx,
+      |  CAST(length(sub) AS INTEGER) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(sub) + 1),
+      |      j -> CAST(ascii(substr(sub, CAST(j AS INTEGER), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+      |FROM cut ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_frame_table" -> (m4 _),
     "m1_media_meta" -> (m1 _),
     "m2_media_features" -> (m2 _),
     "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "m4_frame_table" -> m4Sql,
     "m1_media_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
     "m3_media_resize" -> m3Sql)
