@@ -599,7 +599,61 @@ object CrossQueries {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x14_snapshot_diff — corpus snapshot reconciliation: what changed
+  // between two crawls? Two snapshots are derived deterministically from
+  // `documents` (old = doc_id % 10 ≠ 3; new = doc_id % 10 ≠ 7 with every
+  // doc_id % 5 = 0 text revised), fingerprinted with md5, and FULL OUTER
+  // joined on doc_id to classify every document as added / removed /
+  // changed / unchanged — the audit a versioned training corpus runs
+  // before each retrain. Scale shape: fingerprints are computed map-side
+  // (text itself never shuffles — only the 32-char fp rides the
+  // exchange), the join is a co-partitioned key join on doc_id (both
+  // sides would share the corpus's id layout in a real lake), and the
+  // per-(source, status) rollup is a tiny map-side-combined aggregate.
+  def x14(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("source").as("src_old"),
+        md5(col("text")).as("fp_old"))
+    val cur = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source").as("src_new"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("fp_new"))
+    old.join(cur, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("source", coalesce(col("src_old"), col("src_new")))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  private val x14Sql =
+    """WITH old AS (
+      |  SELECT doc_id, source AS src_old, md5(text) AS fp_old
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |cur AS (
+      |  SELECT doc_id, source AS src_new,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS fp_new
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |d AS (
+      |  SELECT COALESCE(old.doc_id, cur.doc_id) AS doc_id,
+      |    COALESCE(src_old, src_new) AS source,
+      |    CASE WHEN fp_old IS NULL THEN 'added'
+      |         WHEN fp_new IS NULL THEN 'removed'
+      |         WHEN fp_old = fp_new THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id)
+      |SELECT source, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_snapshot_diff" -> (x14 _),
     "x13_zorder_layout" -> (x13 _),
     "x12_cogroup_reconcile" -> (x12 _),
     "x11_gapfill" -> (x11 _),
@@ -615,6 +669,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x14_snapshot_diff" -> x14Sql,
     "x13_zorder_layout" -> x13Sql,
     "x12_cogroup_reconcile" -> x12Sql,
     "x11_gapfill" -> x11Sql,

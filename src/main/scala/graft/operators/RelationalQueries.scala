@@ -709,6 +709,93 @@ object RelationalQueries {
       |FROM r WHERE rn = (cnt + 1) // 2
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q28_hopping_windows — SLIDING (hopping) time-window aggregation:
+  // 1-hour windows advancing every 15 minutes, so each event lands in
+  // exactly 4 overlapping windows. st1 pins the tumbling form; this is
+  // the overlapping one (`window(ts, "1 hour", "15 minutes")`). Spark
+  // plans it as a generate (4 window structs per row, map-side — the
+  // fan-out happens before the exchange, so the shuffle carries
+  // (window, type) partial aggregates, not 4× the event stream). The
+  // oracle restates the epoch-aligned window arithmetic directly:
+  // start = floor(ts/15min)*15min − k*15min, k ∈ 0..3.
+  // (events.ts is an epoch-nanos long — TIMESTAMP(NANOS) parquet; both
+  // engines truncate to micros identically, see Streaming.tsMicros.)
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("tsm", timestamp_micros(graft.streaming.Streaming.tsMicros(col("ts"))))
+      .groupBy(window(col("tsm"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q28Sql =
+    """SELECT (epoch_us(ts) // 900000000 - t.k) * 900000000 AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN range(0, 4) AS t(k)
+      |WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Scalable exact global rank (dense total order, no single-partition
+    * window): range-partition by the sort key, rank within each sorted
+    * partition, then add per-partition prefix offsets. The offset table
+    * is one row per partition (bounded by `spark.sql.shuffle.partitions`,
+    * not by data) so its single-partition window and the broadcast back
+    * are O(partitions) — the data itself never funnels through one task,
+    * which is what `row_number().over(Window.orderBy(...))` would do.
+    * Keys must form a strict total order (include a unique tie-breaker).
+    */
+  def globalRank(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
+    val parts = df.repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    parts
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, col("_off") + col("_rn"))
+      .drop("_pid", "_rn", "_off")
+  }
+
+  // ---------------------------------------------------------------------
+  // q29_equidepth_hist — exact equi-depth (equal-frequency) histogram
+  // over o_totalprice: 8 buckets, bucket = ((rank−1)·8) div n computed
+  // arithmetically in BOTH engines (ntile's uneven-remainder convention
+  // is engine-defined; the arithmetic form is not). Rank comes from
+  // [[globalRank]] — the distributed total-order shape — so no
+  // single-partition window touches the data; n rides the offset table's
+  // total (a 1-row broadcast). Bucket bounds are STORED doubles
+  // (min/max, no arithmetic) → bit-exact compare.
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val priced = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = globalRank(priced, Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
+    val total = priced.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total)) // 1-row scalar ride-along
+      .withColumn("bucket", expr("((rnk - 1) * 8) div n_total + 1"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q29Sql =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+      |    COUNT(*) OVER () AS n_total
+      |  FROM orders)
+      |SELECT ((rnk - 1) * 8) // n_total + 1 AS bucket,
+      |  COUNT(*) AS n_orders, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q25Sql =
     """WITH c AS (
       |  SELECT c_nationkey, COUNT(*) AS n_cust,
@@ -725,6 +812,8 @@ object RelationalQueries {
       |ORDER BY nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_hopping_windows" -> (q28 _),
+    "q29_equidepth_hist" -> (q29 _),
     "q27_setops_all" -> (q27 _),
     "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
@@ -754,6 +843,8 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q28_hopping_windows" -> q28Sql,
+    "q29_equidepth_hist" -> q29Sql,
     "q27_setops_all" -> q27Sql,
     "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,

@@ -36,6 +36,7 @@ class PlanRegressionSpec extends SparkSpec {
     "t19_df_score" -> 1,      // 1-row corpus doc-count aggregate
     "sk4_hll_intersect" -> 4, // 1-row frames: exact-counts × union-est
                               // × per-side pivot (sketch set algebra)
+    "q29_equidepth_hist" -> 1, // 1-row corpus-count aggregate (bucket div)
     "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
     "x4_skyline" -> 1)        // dominance anti-join over per-customer
                               // aggregates (dimension-sized by design;
