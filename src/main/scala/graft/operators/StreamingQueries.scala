@@ -343,7 +343,40 @@ object StreamingQueries {
       |WHERE end_gap_tsu <= wm_ms * 1000
       |ORDER BY user_id, start_tsu""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st13_lake_merge — streaming CDC → incremental parquet-table upsert
+  // (LakeMerge: immutable generation dirs + atomic manifest swap, the
+  // lakehouse MERGE loop without a table format). Four arrival
+  // micro-batches merge into a 16-bucket table; only touched buckets
+  // are read/rewritten per batch, and the merge is a commutative argmax
+  // reduce, so ANY batch interleaving converges to the same table —
+  // which is exactly what makes this streaming sink batch-oracle-able:
+  // the final table must equal the batch latest-event-per-user, no
+  // watermark modeling required. The gate rolls the table up per
+  // event_type of each user's final event.
+  def st13(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.LakeMerge.eventsLatestMerge(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        RelationalQueries.dsum(col("value")).as("sum_value"),
+        max(col("tsu")).as("max_tsu"),
+        min(col("user_id")).as("min_user"))
+      .orderBy(col("event_type"))
+
+  private val st13Sql =
+    """WITH l AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS tsu,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  MAX(tsu) AS max_tsu, MIN(user_id) AS min_user
+      |FROM l WHERE rn = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_lake_merge" -> (st13 _),
     "st10_session_window" -> (st10 _),
     "st9_tws_profiles" -> (st9 _),
     "st8_tws_sessions" -> (st8 _),
@@ -358,6 +391,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st13_lake_merge" -> st13Sql,
     // TWS formulation shares st6's oracle: same semantics, new API
     "st8_tws_sessions" -> st6Sql,
     "st9_tws_profiles" -> st9Sql,

@@ -1036,7 +1036,109 @@ object TextQueries {
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term, score_scaled
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t24_fuzzy_pairs — EDIT-DISTANCE near-dup detection (the OCR-noise /
+  // typo-variant complement to the hash-family dedups: minhash misses
+  // single-character perturbations that shift every shingle). Classic
+  // blocked record-linkage shape: candidate block = exact first-10-chars
+  // key (map-side, no all-pairs), a cheap |Δn_chars| ≤ 40 length
+  // prefilter (a NECESSARY condition for prefix distance ≤ 5 when docs
+  // differ by whole-suffix edits — it prunes before the O(L²) DP runs),
+  // then `levenshtein` on the 40-char prefix confirms. Both engines
+  // implement classic Wagner–Fischer, so distances compare exactly.
+  // Scale shape: one equi-join on the block key (hot prefixes would
+  // route through SkewJoin.skewSafeEquiJoin exactly as d4 does); the
+  // DP only ever sees within-block survivors of the length gate.
+  def t24(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 10).as("blk"),
+        substring(col("text"), 1, 40).as("pre"), col("n_chars"))
+    val a = p.select(col("doc_id").as("doc_a"), col("blk"),
+      col("pre").as("pre_a"), col("n_chars").as("len_a"))
+    val b = p.select(col("doc_id").as("doc_b"), col("blk"),
+      col("pre").as("pre_b"), col("n_chars").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= 40)
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
+      .filter(col("dist") <= 5)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val t24Sql =
+    """WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 10) AS blk, substr(text, 1, 40) AS pre,
+      |    n_chars
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE abs(a.n_chars - b.n_chars) <= 40
+      |  AND levenshtein(a.pre, b.pre) <= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t25_outlier_docs — robust (median/MAD) outlier detection per source:
+  // the data-quality screen that survives the heavy-tailed length
+  // distributions a mean/stddev z-score chokes on. All-integer: med =
+  // lower median of n_chars (rank-at-ceil(n/2), q26's exact-median
+  // machinery partitioned by source), MAD = lower median of |x − med|,
+  // outlier ⇔ |x − med| > 3·MAD. Scale shape: two source-partitioned
+  // window passes (each one exchange on the same key — no global sort),
+  // a #sources-row broadcast carrying med/MAD back, and a tiny rollup.
+  def t25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("_rn") === expr("(_cnt + 1) div 2"))
+        .select(col("source"), col(v).as(out))
+    }
+    val med = lowerMedian(docs, "n_chars", "med")
+    val withDev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = lowerMedian(
+      withDev.select(col("doc_id"), col("source"), col("dev")), "dev", "mad")
+    withDev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("dev") > lit(3) * col("mad"), col("doc_id"))).as("min_outlier"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"))
+      .orderBy(col("source"))
+  }
+
+  private val t25Sql =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r1 AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM d),
+      |med AS (SELECT source, n_chars AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT d.doc_id, d.source, abs(d.n_chars - med.med) AS dev, med.med
+      |  FROM d JOIN med USING (source)),
+      |r2 AS (
+      |  SELECT source, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM dev),
+      |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN dev.dev > 3 * mad.mad THEN dev.doc_id END) AS min_outlier,
+      |  MIN(dev.med) AS med, MIN(mad.mad) AS mad
+      |FROM dev JOIN mad USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_fuzzy_pairs" -> (t24 _),
+    "t25_outlier_docs" -> (t25 _),
     "t23_tfidf_topk" -> (t23 _),
     "t22_stratified_sample" -> (t22 _),
     "t21_bpe_encode" -> (t21 _),
@@ -1062,6 +1164,8 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t24_fuzzy_pairs" -> t24Sql,
+    "t25_outlier_docs" -> t25Sql,
     "t23_tfidf_topk" -> t23Sql,
     "t22_stratified_sample" -> t22Sql,
     "t21_bpe_encode" -> t21Sql,

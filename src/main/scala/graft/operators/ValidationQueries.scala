@@ -320,7 +320,54 @@ object ValidationQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v9_schema_evolution — schema-evolved parquet read (§2.1 breadth: a
+  // 100 TB corpus is never written under one schema; ingestion epochs
+  // add columns and reorder fields, and the reader must resolve BY NAME
+  // across file vintages). Epoch-1 files carry the original 3-column
+  // schema; epoch-2 files add `lang` AND deliberately reorder the
+  // shared columns — `mergeSchema=true` must (a) union the schemas,
+  // (b) null-fill the missing column in old files, (c) bind columns by
+  // name, not position. The gate aggregates across both vintages so any
+  // positional mis-bind or fill error breaks the hash. The oracle
+  // restates the union (write+read of each vintage is identity, per the
+  // v6/v7/v8 round-trip contracts).
+  // Scale note: mergeSchema's footer union is a file-listing pass, not
+  // a data pass — the read itself stays one pruned columnar scan.
+  def v9(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = graft.control.Scratch.dir("graft_v9_evo")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/epoch1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmp/epoch2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/epoch1", s"$tmp/epoch2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        count(col("lang")).as("n_with_lang"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val v9Sql =
+    """WITH u AS (
+      |  SELECT doc_id, source, n_chars, NULL AS lang
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars, lang
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT source, COUNT(*) AS n, COUNT(lang) AS n_with_lang,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM u GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_schema_evolution" -> (v9 _),
     "v8_json_roundtrip" -> (v8 _),
     "v7_orc_roundtrip" -> (v7 _),
     "v1_rule_flags" -> (v1 _),
@@ -338,5 +385,6 @@ object ValidationQueries {
     "v5_pa_route" -> v5Sql,
     "v6_roundtrip" -> v6Sql,
     "v7_orc_roundtrip" -> v7Sql,
-    "v8_json_roundtrip" -> v8Sql)
+    "v8_json_roundtrip" -> v8Sql,
+    "v9_schema_evolution" -> v9Sql)
 }
