@@ -652,7 +652,70 @@ object CrossQueries {
       |SELECT source, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x15_interval_merge — union of overlapping intervals per key (the
+  // coverage/stitching primitive behind ad-attribution windows, sensor
+  // uptime, and retention horizons): each event opens a 30-minute
+  // interval; per user, overlapping intervals merge and the gate
+  // reports interval count, merged-island count, and total covered
+  // microseconds. Classic gaps-and-islands with a RUNNING-MAX end
+  // (an interval can be swallowed by an earlier, longer one — lag(end)
+  // alone misreads that as a gap; the running max doesn't). One
+  // user-partitioned exchange carries both window passes; all-integer
+  // micros so the cross-engine compare is exact.
+  def x15(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = 30L * 60 * 1000000 // 30 min in micros
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+      .withColumn("end_tsu", col("tsu") + lit(horizon))
+      .withColumn("prev_max_end",
+        max(col("end_tsu")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("tsu") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_iv"),
+        min(col("tsu")).as("s"), max(col("end_tsu")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(col("e") - col("s")).as("coverage_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val x15Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    epoch_us(ts) + 30 * 60 * 1000000 AS end_tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, event_id, tsu, end_tsu,
+      |    MAX(end_tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |  FROM ev),
+      |i AS (
+      |  SELECT user_id, tsu, end_tsu,
+      |    SUM(CASE WHEN prev_max_end IS NULL OR tsu > prev_max_end
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, island, COUNT(*) AS n_iv,
+      |    MIN(tsu) AS s, MAX(end_tsu) AS e
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+      |  COUNT(*) AS n_merged, CAST(SUM(e - s) AS BIGINT) AS coverage_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_interval_merge" -> (x15 _),
     "x14_snapshot_diff" -> (x14 _),
     "x13_zorder_layout" -> (x13 _),
     "x12_cogroup_reconcile" -> (x12 _),
@@ -669,6 +732,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x15_interval_merge" -> x15Sql,
     "x14_snapshot_diff" -> x14Sql,
     "x13_zorder_layout" -> x13Sql,
     "x12_cogroup_reconcile" -> x12Sql,

@@ -1136,7 +1136,35 @@ object TextQueries {
       |FROM dev JOIN mad USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t26_extract_table — regex extraction to a long table (the
+  // PII-scan / entity-mention / link-harvest shape: pull every match of
+  // a pattern out of every document into (doc, match) rows, then
+  // profile). `regexp_extract_all` runs map-side inside codegen; the
+  // explode multiplies rows BEFORE the exchange but only the short
+  // match strings shuffle, never the documents. The character-class
+  // pattern `[a-z]{6,}` keeps both engines' regex dialects trivially
+  // aligned (t9's redaction pins the fancier lookaround-free parity).
+  def t26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0))).as("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("m"))
+
+  private val t26Sql =
+    """SELECT m, COUNT(*) AS n_matches,
+      |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS m
+      |  FROM documents)
+      |GROUP BY m ORDER BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_extract_table" -> (t26 _),
     "t24_fuzzy_pairs" -> (t24 _),
     "t25_outlier_docs" -> (t25 _),
     "t23_tfidf_topk" -> (t23 _),
@@ -1164,6 +1192,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
     "t23_tfidf_topk" -> t23Sql,
