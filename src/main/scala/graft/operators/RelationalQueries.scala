@@ -796,6 +796,49 @@ object RelationalQueries {
       |  COUNT(*) AS n_orders, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q30_dpp_star — dynamic partition pruning on a star join: the fact
+  // table is laid out partitioned by order month (the 100 TB norm —
+  // date-partitioned facts), the month dimension carries the
+  // year/quarter attributes, and a quarter filter on the DIM side must
+  // prune the FACT scan to 3 of 80 partitions AT RUNTIME via the
+  // broadcast's dynamic-pruning subquery (static pushdown can't see
+  // through the join; DPP is the mechanism that makes dim-filtered
+  // fact scans cheap). DppSpec pins the `dynamicpruning` expression in
+  // the fact scan's PartitionFilters — the gate here pins the answer.
+  // The oracle restates the join as a direct date predicate (same month
+  // ⇒ same year/quarter, so the dim filter IS a fact filter).
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.control.Scratch.dir("graft_q30_dpp")
+    val orders = Tables.orders(spark, dir)
+    orders.withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("order_month").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .distinct()
+      .withColumn("m0", to_date(concat(col("order_month"), lit("-01"))))
+      .withColumn("yr", year(col("m0")))
+      .withColumn("qtr", quarter(col("m0")))
+      .filter(col("yr") === 1996 && col("qtr") === 2)
+      .select(col("order_month"))
+    fact.join(broadcast(dim), Seq("order_month"))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("order_month"))
+  }
+
+  private val q30Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders
+      |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q25Sql =
     """WITH c AS (
       |  SELECT c_nationkey, COUNT(*) AS n_cust,
@@ -814,6 +857,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_hopping_windows" -> (q28 _),
     "q29_equidepth_hist" -> (q29 _),
+    "q30_dpp_star" -> (q30 _),
     "q27_setops_all" -> (q27 _),
     "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
@@ -845,6 +889,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q28_hopping_windows" -> q28Sql,
     "q29_equidepth_hist" -> q29Sql,
+    "q30_dpp_star" -> q30Sql,
     "q27_setops_all" -> q27Sql,
     "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,
