@@ -714,7 +714,50 @@ object CrossQueries {
       |  COUNT(*) AS n_merged, CAST(SUM(e - s) AS BIGINT) AS coverage_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x16_skew_salted_join — SALTED join through the oracle: the fact side
+  // is orders keyed by a deliberately skewed derived key (~70% of rows
+  // land on key 0 — the "one viral document / one giant tenant" shape),
+  // joined to a per-key dimension via SkewJoin.saltedInnerJoin: the hot
+  // key's rows spread across 8 salt cells (stable hash of o_orderkey)
+  // while the dimension replicates 8× (dimension-sized, cheap), so no
+  // single reducer owns 70% of the fact table. AQE skew-split covers
+  // sort-merge plans at runtime; explicit salting is the tool when the
+  // downstream agg would re-concentrate the key anyway or AQE can't
+  // split (bucketed scans, broadcast-ineligible dims). Salting is
+  // engine-internal: the salt joins away and the aggregate hash-equals
+  // the plain join the oracle states.
+  def x16(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir)
+      .withColumn("skew_key",
+        when(col("o_orderkey") % 10 < 7, 0L).otherwise(col("o_orderkey") % 100))
+      .select(col("skew_key"), col("o_orderkey"), col("o_totalprice"))
+    val dim = fact.select(col("skew_key")).distinct()
+      .withColumn("label", concat(lit("k"), col("skew_key").cast("string")))
+    SkewJoin.saltedInnerJoin(fact, dim, "skew_key", "o_orderkey", salts = 8)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_orders"),
+        RelationalQueries.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("label"))
+  }
+
+  private val x16Sql =
+    """WITH f AS (
+      |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+      |              ELSE o_orderkey % 100 END AS skew_key,
+      |    o_totalprice
+      |  FROM orders),
+      |d AS (
+      |  SELECT DISTINCT skew_key,
+      |    'k' || CAST(skew_key AS VARCHAR) AS label
+      |  FROM f)
+      |SELECT label, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM f JOIN d USING (skew_key)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_skew_salted_join" -> (x16 _),
     "x15_interval_merge" -> (x15 _),
     "x14_snapshot_diff" -> (x14 _),
     "x13_zorder_layout" -> (x13 _),
@@ -732,6 +775,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x16_skew_salted_join" -> x16Sql,
     "x15_interval_merge" -> x15Sql,
     "x14_snapshot_diff" -> x14Sql,
     "x13_zorder_layout" -> x13Sql,

@@ -830,6 +830,44 @@ object RelationalQueries {
       .orderBy(col("order_month"))
   }
 
+  // ---------------------------------------------------------------------
+  // q31_bucketed_join — CO-LOCATED large×large join via bucketed tables:
+  // both sides are written `bucketBy(8, o_orderkey)` (BucketedSink
+  // repartitions on the key so each bucket is ONE file), then joined
+  // with a merge hint. Because both scans report the same
+  // HashClusteredDistribution, the SortMergeJoin plans with ZERO
+  // Exchange — the shuffle was paid once at write time, and every
+  // subsequent join/agg on the key rides it free. At 100 TB this is the
+  // bucketing contract: an hourly fact-×-fact reconciliation that
+  // re-shuffles nothing. The merge hint only pins the join strategy
+  // (so a small-side broadcast at toy SF can't mask the claim);
+  // BucketedJoinGateSpec pins the zero-Exchange plan, the oracle pins
+  // the answer against the plain join.
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 25.0)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    graft.sinks.BucketedSink.dropManaged(spark, "q31_orders_b")
+    graft.sinks.BucketedSink.dropManaged(spark, "q31_lineitem_b")
+    graft.sinks.BucketedSink.write(orders, "q31_orders_b", "o_orderkey", 8)
+    graft.sinks.BucketedSink.write(items, "q31_lineitem_b", "o_orderkey", 8)
+    spark.table("q31_lineitem_b").hint("merge")
+      .join(spark.table("q31_orders_b").hint("merge"), Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q31Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity > 25.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val q30Sql =
     """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
       |  COUNT(*) AS n_orders,
@@ -858,6 +896,7 @@ object RelationalQueries {
     "q28_hopping_windows" -> (q28 _),
     "q29_equidepth_hist" -> (q29 _),
     "q30_dpp_star" -> (q30 _),
+    "q31_bucketed_join" -> (q31 _),
     "q27_setops_all" -> (q27 _),
     "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
@@ -890,6 +929,7 @@ object RelationalQueries {
     "q28_hopping_windows" -> q28Sql,
     "q29_equidepth_hist" -> q29Sql,
     "q30_dpp_star" -> q30Sql,
+    "q31_bucketed_join" -> q31Sql,
     "q27_setops_all" -> q27Sql,
     "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,

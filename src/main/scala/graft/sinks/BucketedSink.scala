@@ -14,6 +14,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object BucketedSink {
 
+  /** Drop a managed table AND its warehouse directory: a crashed prior
+    * JVM leaves the dir behind with no catalog entry, which blocks the
+    * next CREATE TABLE. Resolves the session's actual warehouse dir
+    * rather than assuming `./spark-warehouse`. */
+  def dropManaged(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(
+      Option(wh.getPath).filter(_.nonEmpty).getOrElse(wh.toString),
+      table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
+
   /** Sorted buckets additionally remove the per-task Sort below every
     * SortMergeJoin — but only when (a) each bucket lands in ONE file,
     * which the repartition-on-key below guarantees (each task holds
