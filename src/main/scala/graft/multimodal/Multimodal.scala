@@ -159,6 +159,57 @@ object Multimodal {
     }
   }
 
+  /** Per-blob activity segmentation summary (small, shuffle-friendly). */
+  final case class AudioSegments(
+      media_id: Long, n_frames: Int, n_active: Int, n_segments: Int,
+      max_seg_len: Int, active_bytes: Long)
+
+  /** Energy-threshold activity segmentation — the VAD-shaped audio
+    * preprocessing stage (speech pipelines cut recordings into voiced
+    * segments before transcription/embedding). Decode → fixed frames of
+    * `frameLen` samples → a frame is ACTIVE when its mean level clears
+    * `threshold` (compared as `sum >= threshold * n` in exact integer
+    * math, so the ragged final frame and an SQL oracle agree bit-wise)
+    * → consecutive active frames coalesce into segments (the same
+    * gaps-and-islands idea as x15, but run per-blob inside the typed
+    * pass: segmentation is per-record imperative logic over millions of
+    * independent blobs, so a window function would pay a per-frame row
+    * explosion plus a shuffle for what one sequential scan computes
+    * map-side). One small summary row per blob leaves the stage. */
+  def segmentAudio(
+      media: Dataset[MediaRecord], frameLen: Int, threshold: Int): Dataset[AudioSegments] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val samples = FakeCodec.decode(r.content)
+        val nFrames = (samples.length + frameLen - 1) / frameLen
+        var i = 0
+        var nActive = 0
+        var nSegments = 0
+        var run = 0
+        var maxRun = 0
+        var activeBytes = 0L
+        while (i < nFrames) {
+          val start = i * frameLen
+          val end = math.min(start + frameLen, samples.length)
+          var sum = 0L
+          var j = start
+          while (j < end) { sum += (samples(j) & 0xff); j += 1 }
+          val n = end - start
+          if (sum >= threshold.toLong * n) {
+            nActive += 1
+            activeBytes += n
+            if (run == 0) nSegments += 1
+            run += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          i += 1
+        }
+        AudioSegments(r.media_id, nFrames, nActive, nSegments, maxRun, activeBytes)
+      }
+    }
+  }
+
   /** One sampled frame (small — what flows to an embedding model). */
   final case class FrameRow(
       media_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)

@@ -179,13 +179,84 @@ object MultimodalQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
       |FROM cut ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m5_audio_segments — energy-threshold activity segmentation (the
+  // VAD-shaped stage that cuts recordings into voiced spans before
+  // transcription/embedding): audio blobs frame into 64-sample units, a
+  // frame is active when mean level ≥ 94 (exact integer compare), and
+  // consecutive active frames coalesce into segments INSIDE the typed
+  // pass — per-blob sequential logic, so no per-frame row explosion and
+  // no shuffle touches bytes. One summary row per blob; the oracle
+  // recomputes frames + islands relationally (unnest + lag window) —
+  // two very different plans that must agree bit-for-bit.
+  def m5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.segmentAudio(
+      Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+        .as[Multimodal.MediaRecord]
+        .filter(col("kind") === lit("audio")),
+      frameLen = 64, threshold = 94)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  private val m5Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE n_chars % 3 = 1),
+      |fr AS (
+      |  SELECT media_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+      |  FROM media),
+      |e AS (
+      |  SELECT media_id, CAST(i AS INTEGER) AS idx,
+      |    length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS nb,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) + 1),
+      |        j -> CAST(ascii(substr(substr(text, CAST(i * 64 + 1 AS INTEGER), 64),
+      |                               CAST(j AS INTEGER), 1)) AS BIGINT))),
+      |      (acc, x) -> acc + x) AS ssum
+      |  FROM fr),
+      |a AS (
+      |  SELECT media_id, idx, nb, (ssum >= 94 * nb) AS active FROM e),
+      |w AS (
+      |  SELECT media_id, idx, nb, active,
+      |    CASE WHEN active AND NOT coalesce(
+      |        lag(active) OVER (PARTITION BY media_id ORDER BY idx), FALSE)
+      |      THEN 1 ELSE 0 END AS seg_start
+      |  FROM a),
+      |s AS (
+      |  SELECT media_id, idx, nb, active,
+      |    SUM(seg_start) OVER (PARTITION BY media_id ORDER BY idx) AS seg_id
+      |  FROM w),
+      |g AS (
+      |  SELECT media_id, seg_id, COUNT(*) AS seg_len, SUM(nb) AS seg_bytes
+      |  FROM s WHERE active GROUP BY media_id, seg_id),
+      |per_seg AS (
+      |  SELECT media_id, COUNT(*) AS n_segments,
+      |    MAX(seg_len) AS max_seg_len, SUM(seg_bytes) AS active_bytes
+      |  FROM g GROUP BY media_id),
+      |per_media AS (
+      |  SELECT media_id, COUNT(*) AS n_frames,
+      |    SUM(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+      |  FROM a GROUP BY media_id)
+      |SELECT m.media_id,
+      |  CAST(m.n_frames AS INTEGER) AS n_frames,
+      |  CAST(m.n_active AS INTEGER) AS n_active,
+      |  CAST(coalesce(p.n_segments, 0) AS INTEGER) AS n_segments,
+      |  CAST(coalesce(p.max_seg_len, 0) AS INTEGER) AS max_seg_len,
+      |  CAST(coalesce(p.active_bytes, 0) AS BIGINT) AS active_bytes
+      |FROM per_media m LEFT JOIN per_seg p USING (media_id)
+      |ORDER BY m.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_audio_segments" -> (m5 _),
     "m4_frame_table" -> (m4 _),
     "m1_media_meta" -> (m1 _),
     "m2_media_features" -> (m2 _),
     "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "m5_audio_segments" -> m5Sql,
     "m4_frame_table" -> m4Sql,
     "m1_media_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
