@@ -366,7 +366,36 @@ object ValidationQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM u GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v10_profile — whole-table column profiler (graft.validate.Profiler):
+  // per column of orders, one pass computes row count, null count,
+  // distinct count, and collation min/max through a string cast — the
+  // "do I trust this drop" report every ingest runs before validation
+  // rules are even chosen. The oracle restates it as one SELECT per
+  // column UNION ALLed (the classic hand-rolled form the one-pass
+  // operator replaces). Timestamps here are all-midnight and doubles
+  // plain-decimal, so the two engines' string renderings agree exactly.
+  def v10(spark: SparkSession, dir: String): DataFrame =
+    graft.validate.Profiler.profile(
+      Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  private val v10Sql = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_s,
+         |  MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_profile" -> (v10 _),
     "v9_schema_evolution" -> (v9 _),
     "v8_json_roundtrip" -> (v8 _),
     "v7_orc_roundtrip" -> (v7 _),
@@ -378,6 +407,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v10_profile" -> v10Sql,
     "v1_rule_flags" -> v1Sql,
     "v2_failed_groups" -> v2Sql,
     "v3_valid_by_opco" -> v3Sql,
