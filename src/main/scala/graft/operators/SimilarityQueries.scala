@@ -797,7 +797,44 @@ object SimilarityQueries {
        |  UNION ALL SELECT c FROM tri)
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s15_ann_recall — recall@10 evaluation of the IVF path against the
+  // brute-force ground truth: the acceptance metric every approximate
+  // similarity index ships with (is the 1/nlist-cost scan still finding
+  // what the exact scan finds?). Left-join exact top-10 (s1) against
+  // IVF top-10 (s7) per query, count overlap, report per-query recall.
+  // Both sides are the engine's OWN operators; the oracle recomputes
+  // BOTH pipelines in SQL (s1's and s7's oracle restatements nested as
+  // derived tables) and joins them the same way — so the gate pins the
+  // evaluation harness, not just the two inputs. At 100 TB this runs on
+  // a sampled query set; the shape (two top-k pipelines → key join →
+  // small per-query agg) is unchanged.
+  def s15(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1(spark, dir).select(col("query_id"), col("cand_id"))
+    val ann = s7(spark, dir).select(col("query_id"), col("cand_id"))
+      .withColumn("hit", lit(1))
+    exact.join(ann, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("recall", col("n_overlap").cast("double") / col("n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  private val s15Sql =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM ($s1Sql)),
+       |ann AS (SELECT query_id, cand_id FROM ($s7Sql))
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN ann a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_ann_recall" -> (s15 _),
     "s14_triangle_count" -> (s14 _),
     "s13_pagerank" -> (s13 _),
     "s12_label_prop_fixpoint" -> (s12 _),
@@ -814,6 +851,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s15_ann_recall" -> s15Sql,
     "s14_triangle_count" -> s14Sql,
     "s13_pagerank" -> s13Sql,
     "s12_label_prop_fixpoint" -> s12Sql,

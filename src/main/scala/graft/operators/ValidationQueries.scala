@@ -394,7 +394,54 @@ object ValidationQueries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------------
+  // v11_badrecords — malformed-record ROUTING on the CSV ingest path:
+  // a deterministic slice of rows (l_orderkey % 101 == 0) is written
+  // with an unparseable quantity field, the read runs PERMISSIVE with a
+  // corrupt-record column, and the gate attributes good/bad counts per
+  // return flag — bad rows keep their parseable fields (flag) while the
+  // broken field nulls out, so quarantined rows stay attributable
+  // instead of vanishing (the reference's validation jobs route bad
+  // rows to error output; dropping them silently is the ingest
+  // anti-pattern). The oracle knows the corruption pattern from the
+  // generating table and restates the tallies directly — bit-equal
+  // tallies prove the CSV writer, the permissive parser, and the
+  // routing agree on every row.
+  def v11(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = graft.control.Scratch.dir("graft_v11_bad")
+    Tables.lineitem(spark, dir)
+      .select(concat_ws(",",
+        col("l_returnflag"),
+        when(col("l_orderkey") % 101 === 0, lit("XX"))
+          .otherwise(col("l_quantity").cast(StringType)),
+        col("l_orderkey").cast(StringType)).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("flag", StringType), StructField("qty", DoubleType),
+      StructField("okey", LongType), StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(tmp)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(col("qty").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .orderBy(col("flag"))
+  }
+
+  private val v11Sql =
+    """SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bad,
+      |  CAST(SUM(CASE WHEN l_orderkey % 101 = 0 THEN NULL
+      |               ELSE CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_badrecords" -> (v11 _),
     "v10_profile" -> (v10 _),
     "v9_schema_evolution" -> (v9 _),
     "v8_json_roundtrip" -> (v8 _),
@@ -407,6 +454,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v11_badrecords" -> v11Sql,
     "v10_profile" -> v10Sql,
     "v1_rule_flags" -> v1Sql,
     "v2_failed_groups" -> v2Sql,
