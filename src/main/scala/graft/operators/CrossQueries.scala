@@ -756,7 +756,54 @@ object CrossQueries {
       |FROM f JOIN d USING (skew_key)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x17_pit_audit — POINT-IN-TIME audit of the SCD2 dimension: for a
+  // small set of probe timestamps, reconstruct every customer's status
+  // as of that instant from the interval history (as-of = the LAST
+  // island whose eff_from ≤ probe — island gaps inherit the earlier
+  // status, exactly the "state persists until changed" dimension
+  // contract) and tally customers per (probe, status). The oracle
+  // bypasses the dimension entirely and reads each customer's last
+  // order ≤ probe straight from the facts — so a hash match proves the
+  // interval history answers time-travel queries exactly as the raw
+  // facts would, the audit every warehouse team runs before trusting
+  // SCD2 for compliance reporting. Probes broadcast (they are always
+  // tiny); the history never re-shuffles beyond its o_custkey window.
+  def x17(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeDates = Seq(
+      "1995-12-31", "1996-12-31", "1997-12-31", "1998-12-31",
+      "1999-12-31", "2000-12-31")
+    val probes = spark.range(1).select(
+      explode(array(probeDates.map(d => to_timestamp(lit(d))): _*)).as("probe"))
+    val hist = scd2Islands(Tables.orders(spark, dir))
+    val w = Window.partitionBy(col("probe"), col("o_custkey"))
+      .orderBy(col("island").desc)
+    hist.join(broadcast(probes), col("eff_from") <= col("probe"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(date_format(col("probe"), "yyyy-MM-dd").as("probe"), col("status"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("probe"), col("status"))
+  }
+
+  private val x17Sql =
+    """WITH probes AS (
+      |  SELECT unnest([TIMESTAMP '1995-12-31', TIMESTAMP '1996-12-31',
+      |                 TIMESTAMP '1997-12-31', TIMESTAMP '1998-12-31',
+      |                 TIMESTAMP '1999-12-31', TIMESTAMP '2000-12-31']) AS probe),
+      |last AS (
+      |  SELECT p.probe, o.o_custkey, o.o_orderstatus AS status,
+      |    ROW_NUMBER() OVER (PARTITION BY p.probe, o.o_custkey
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM probes p JOIN orders o ON o.o_orderdate <= p.probe
+      |  WHERE o.o_orderdate IS NOT NULL)
+      |SELECT strftime(probe, '%Y-%m-%d') AS probe, status, COUNT(*) AS n_cust
+      |FROM last WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY probe, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_pit_audit" -> (x17 _),
     "x16_skew_salted_join" -> (x16 _),
     "x15_interval_merge" -> (x15 _),
     "x14_snapshot_diff" -> (x14 _),
@@ -775,6 +822,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x17_pit_audit" -> x17Sql,
     "x16_skew_salted_join" -> x16Sql,
     "x15_interval_merge" -> x15Sql,
     "x14_snapshot_diff" -> x14Sql,
