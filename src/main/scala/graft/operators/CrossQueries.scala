@@ -802,7 +802,45 @@ object CrossQueries {
       |FROM last WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY probe, status""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x18_cohort_retention — the cohort × days-since retention matrix
+  // (the growth-analytics staple): each user joins the cohort of their
+  // first active day; every (user, active-day) pair then lands in
+  // cell (cohort, days-since-cohort) and cells count users. Plan:
+  // distinct (user, day) pairs → ONE user-partitioned window computes
+  // each user's cohort with no self-join (min-over-partition replaces
+  // the groupBy+join a naive form pays) → small matrix agg. Day
+  // arithmetic on day-truncated timestamps is exact in both engines.
+  def x18(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_trunc("day",
+          timestamp_micros(graft.streaming.Streaming.tsMicros(col("ts")))).as("mo"))
+      .distinct()
+    act.withColumn("cm", min(col("mo")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(date_format(col("cm"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("mo"), col("cm")).cast("int").as("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("days_since"))
+  }
+
+  private val x18Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS mo
+      |  FROM events WHERE user_id IS NOT NULL),
+      |c AS (
+      |  SELECT user_id, mo,
+      |    MIN(mo) OVER (PARTITION BY user_id) AS cm
+      |  FROM act)
+      |SELECT strftime(cm, '%Y-%m-%d') AS cohort,
+      |  CAST(datediff('day', cm, mo) AS INTEGER) AS days_since,
+      |  COUNT(*) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY cohort, days_since""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_cohort_retention" -> (x18 _),
     "x17_pit_audit" -> (x17 _),
     "x16_skew_salted_join" -> (x16 _),
     "x15_interval_merge" -> (x15 _),
@@ -822,6 +860,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x18_cohort_retention" -> x18Sql,
     "x17_pit_audit" -> x17Sql,
     "x16_skew_salted_join" -> x16Sql,
     "x15_interval_merge" -> x15Sql,
