@@ -889,6 +889,40 @@ object RelationalQueries {
       |WHERE l_quantity > 25.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q32_semiadditive — semi-additive measure aggregation (the balance
+  // semantics every finance warehouse needs: balances sum across
+  // accounts but NOT across time — a month's value is its LAST
+  // observation, not its sum): per (customer, month) keep the final
+  // order's price via one ranked window, then sum those closing values
+  // per month. The window and the month agg share the partition prefix,
+  // so the plan pays one customer×month exchange, not two.
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"), col("order_month"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_accounts"),
+        dsum(col("o_totalprice")).as("sum_closing"))
+      .orderBy(col("order_month"))
+  }
+
+  private val q32Sql =
+    """WITH r AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |SELECT order_month, COUNT(*) AS n_accounts,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_closing
+      |FROM r WHERE rn = 1
+      |GROUP BY order_month ORDER BY order_month""".stripMargin
+
   private val q30Sql =
     """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
       |  COUNT(*) AS n_orders,
@@ -918,6 +952,7 @@ object RelationalQueries {
     "q29_equidepth_hist" -> (q29 _),
     "q30_dpp_star" -> (q30 _),
     "q31_bucketed_join" -> (q31 _),
+    "q32_semiadditive" -> (q32 _),
     "q27_setops_all" -> (q27 _),
     "q26_median_disc" -> (q26 _),
     "q25_outer_join" -> (q25 _),
@@ -951,6 +986,7 @@ object RelationalQueries {
     "q29_equidepth_hist" -> q29Sql,
     "q30_dpp_star" -> q30Sql,
     "q31_bucketed_join" -> q31Sql,
+    "q32_semiadditive" -> q32Sql,
     "q27_setops_all" -> q27Sql,
     "q26_median_disc" -> q26Sql,
     "q25_outer_join" -> q25Sql,

@@ -440,7 +440,60 @@ object ValidationQueries {
       |    AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v12_fd_discovery — functional-dependency discovery over candidate
+  // column pairs (the profiling step that finds keys and derivable
+  // columns before schema design): for each candidate lhs→rhs, group by
+  // lhs, count distinct rhs per key, and report how many lhs keys
+  // violate (distinct rhs > 1). holds=true means the data supports the
+  // dependency (o_orderkey→o_custkey: a key determines everything;
+  // month→quarter: derivable; priority→status: independent). Each
+  // candidate is one partial-aggregated groupBy — per-pair plans union
+  // at the end, so at 100 TB the candidate sweeps share nothing and
+  // schedule independently.
+  def v12(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("order_quarter",
+        concat(year(col("o_orderdate")), lit("-Q"), quarter(col("o_orderdate"))))
+    val candidates = Seq(
+      ("o_orderkey", "o_custkey"),
+      ("order_month", "order_quarter"),
+      ("o_orderpriority", "o_orderstatus"),
+      ("o_custkey", "o_orderpriority"))
+    candidates.map { case (lhs, rhs) =>
+      orders.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_keys"), col("n_violating"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_.unionAll(_)).orderBy(col("lhs"), col("rhs"))
+  }
+
+  private val v12Sql = {
+    val one = (lhs: String, rhs: String) =>
+      s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+         |  COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+         |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nd FROM o GROUP BY $lhs)""".stripMargin
+    """WITH o AS (
+      |  SELECT *, strftime(o_orderdate, '%Y-%m') AS order_month,
+      |    CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+      |      || CAST(quarter(o_orderdate) AS VARCHAR) AS order_quarter
+      |  FROM orders)
+      |""".stripMargin +
+      Seq(("o_orderkey", "o_custkey"), ("order_month", "order_quarter"),
+        ("o_orderpriority", "o_orderstatus"), ("o_custkey", "o_orderpriority"))
+        .map { case (l, r) => one(l, r) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_fd_discovery" -> (v12 _),
     "v11_badrecords" -> (v11 _),
     "v10_profile" -> (v10 _),
     "v9_schema_evolution" -> (v9 _),
@@ -454,6 +507,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v12_fd_discovery" -> v12Sql,
     "v11_badrecords" -> v11Sql,
     "v10_profile" -> v10Sql,
     "v1_rule_flags" -> v1Sql,
