@@ -210,6 +210,51 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual signature, split 32/32 so every value stays
+    * non-negative in engines without unsigned 64-bit (the d3/d6 packed-
+    * long convention). */
+  final case class PHash(media_id: Long, hi: Long, lo: Long)
+
+  /** Average-hash perceptual fingerprint — the image near-dup signature
+    * (aHash: downsample to a fixed grid, threshold each cell at the
+    * mean, pack the bits). The stub decode stands in for the real
+    * grayscale resample; the 64 sample points stride the blob at
+    * floor(j·n/64) so any two byte-identical-after-reencode blobs land
+    * on the same bits. Map-side only: one small (id, hi, lo) row per
+    * blob leaves the stage, never the bytes — the LSH pairing in m6
+    * then works entirely on the 16-byte signatures. */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      val samples = new Array[Int](64) // per-partition scratch
+      records.map { r =>
+        val s = FakeCodec.decode(r.content)
+        val n = s.length
+        var hi = 0L
+        var lo = 0L
+        if (n > 0) {
+          var j = 0
+          var sum = 0L
+          while (j < 64) {
+            val b = s((j.toLong * n / 64).toInt) & 0xff
+            samples(j) = b
+            sum += b
+            j += 1
+          }
+          val mean = sum / 64
+          j = 0
+          while (j < 64) {
+            if (samples(j) >= mean) {
+              if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+            }
+            j += 1
+          }
+        }
+        PHash(r.media_id, hi, lo)
+      }
+    }
+  }
+
   /** One sampled frame (small — what flows to an embedding model). */
   final case class FrameRow(
       media_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)

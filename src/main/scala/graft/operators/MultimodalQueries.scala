@@ -248,7 +248,85 @@ object MultimodalQueries {
       |FROM per_media m LEFT JOIN per_seg p USING (media_id)
       |ORDER BY m.media_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m6_phash_neardup — image near-duplicate pairs via the 64-bit
+  // average-hash signature (Multimodal.perceptualHash) + hamming-ball
+  // LSH: the image-dedup pass a multimodal corpus runs where text gets
+  // d3/d6's SimHash. Same scale discipline as d6: the signature is
+  // computed map-side from the blob (bytes never shuffle — only 16-byte
+  // (id, hi, lo) rows), candidate pairs come from a 16-bit-chunk
+  // equi-join (by pigeonhole, hamming ≤ 3 ⇒ one of the 4 chunks is
+  // intact, so recall is exact at the threshold without an all-pairs
+  // join), and hamming itself is bit_count(xor) on the two packed
+  // longs. Empty blobs are excluded up front (a real decoder rejects
+  // them; their all-zero hash would otherwise pair with everything).
+  def m6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = Multimodal.perceptualHash(
+      Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+        .filter(col("kind") === lit("image") && length(col("content")) > 0)
+        .as[Multimodal.MediaRecord])
+      .toDF()
+    // hi/lo < 2^32 (bit 63 unused), so arithmetic shift == logical shift
+    val keyed = ph.select(col("media_id"), col("hi"), col("lo"),
+      explode(array((0 until 4).map { c =>
+        val src = if (c < 2) col("hi") else col("lo")
+        shiftright(src, (c % 2) * 16).bitwiseAND(lit(65535L)) + lit(c * 65536L)
+      }: _*)).as("k"))
+    val a = keyed.select(col("media_id").as("media_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"), col("k"))
+    val b = keyed.select(col("media_id").as("media_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"), col("k"))
+    a.join(b, Seq("k"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+      .distinct()
+      .select(col("media_a"), col("media_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  private val m6Sql =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  WHERE n_chars % 3 = 0 AND length(text) > 0),
+      |h AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 64), j ->
+      |      ascii(substr(text, CAST((j * length(text)) // 64 AS INTEGER) + 1, 1))) AS s
+      |  FROM img),
+      |hm AS (
+      |  SELECT media_id, s, list_aggregate(s, 'sum') // 64 AS mean FROM h),
+      |sig AS (
+      |  SELECT media_id,
+      |    CAST(list_aggregate(list_transform(range(0, 32), j ->
+      |      CASE WHEN s[CAST(j AS INTEGER) + 1] >= mean
+      |           THEN 1::BIGINT << j ELSE 0::BIGINT END), 'sum') AS BIGINT) AS hi,
+      |    CAST(list_aggregate(list_transform(range(32, 64), j ->
+      |      CASE WHEN s[CAST(j AS INTEGER) + 1] >= mean
+      |           THEN 1::BIGINT << (j - 32) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS lo
+      |  FROM hm),
+      |keys AS (
+      |  SELECT media_id, hi, lo, unnest(list_transform(range(0, 4), c ->
+      |    ((CASE WHEN c < 2 THEN hi >> (c * 16)
+      |           ELSE lo >> ((c - 2) * 16) END) & 65535) + c * 65536)) AS k
+      |  FROM sig),
+      |p AS (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      |  FROM keys a JOIN keys b ON a.k = b.k AND a.media_id < b.media_id)
+      |SELECT media_a, media_b,
+      |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER)
+      |    AS hamming
+      |FROM p
+      |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_phash_neardup" -> (m6 _),
     "m5_audio_segments" -> (m5 _),
     "m4_frame_table" -> (m4 _),
     "m1_media_meta" -> (m1 _),
@@ -256,6 +334,7 @@ object MultimodalQueries {
     "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "m6_phash_neardup" -> m6Sql,
     "m5_audio_segments" -> m5Sql,
     "m4_frame_table" -> m4Sql,
     "m1_media_meta" -> m1Sql,

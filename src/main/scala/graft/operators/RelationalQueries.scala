@@ -923,6 +923,40 @@ object RelationalQueries {
       |FROM r WHERE rn = 1
       |GROUP BY order_month ORDER BY order_month""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q33_lateral_topk — LATERAL correlated subquery (the "top-N related
+  // rows per driving row" idiom SQL users reach for before window
+  // functions): each high-balance customer pulls its 2 priciest orders
+  // through a correlated ORDER BY ... LIMIT subquery. Catalyst
+  // DECORRELATES the lateral relation — the per-row LIMIT becomes a
+  // row_number window over one customer-partitioned sort of the inner
+  // side joined back in bulk, NOT a per-customer re-execution — so what
+  // runs at 100 TB is one shuffle of the (filtered) orders stream, the
+  // same machinery q23 pins, reached through the planner's lateral-join
+  // path that no other gate exercises. INNER lateral semantics drop
+  // order-less customers on both engines.
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_acctbal, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_acctbal > 9500.0
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  private val q33Sql =
+    """SELECT c.c_custkey, c.c_acctbal, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_acctbal > 9500.0
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   private val q30Sql =
     """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
       |  COUNT(*) AS n_orders,
@@ -948,6 +982,7 @@ object RelationalQueries {
       |ORDER BY nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_lateral_topk" -> (q33 _),
     "q28_hopping_windows" -> (q28 _),
     "q29_equidepth_hist" -> (q29 _),
     "q30_dpp_star" -> (q30 _),
@@ -982,6 +1017,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q33_lateral_topk" -> q33Sql,
     "q28_hopping_windows" -> q28Sql,
     "q29_equidepth_hist" -> q29Sql,
     "q30_dpp_star" -> q30Sql,

@@ -833,7 +833,81 @@ object SimilarityQueries {
        |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s16_bfs_hops — multi-source BFS hop distance over the (symmetrized)
+  // s10 k-NN graph, capped at 6 hops: the "how far is every vector from
+  // a seed set" primitive behind diversity sampling (distance from
+  // already-kept examples), influence/contamination radius, and
+  // graph-distance features. Iteration shape is s13's, not s12's: a
+  // FIXED round count with NO per-round driver action — six
+  // min-propagation rounds chain lazily (each localCheckpointed so
+  // lineage stays linear) and the whole frontier expansion runs as one
+  // job. Per round only (vec_id, dist) pairs shuffle — vectors never
+  // move after the edge list checkpoints (d5's discipline). Unreached
+  // vectors report −1. The propagation computes min-over-walks ≤ 6,
+  // which equals min-over-paths (BFS distance) because walks only add
+  // length — the same argument the oracle's round-counter recursion
+  // encodes (d == round on every derivation, so MIN(d) is the BFS
+  // distance, identically capped).
+  /** The capped multi-source BFS behind s16, reusable on any
+    * (nodes, directed edges, seed predicate) triple — specs drive it on
+    * fixtures with known geometry. Returns (vec_id, dist) with dist = −1
+    * for vectors unreached within `rounds` hops. */
+  def bfsHops(nodes: DataFrame, edges: DataFrame,
+      seed: org.apache.spark.sql.Column, rounds: Int): DataFrame = {
+    val sym = edges.select(col("vec_id"), col("nbr_id"))
+      .unionAll(edges.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var state = nodes.filter(seed)
+      .select(col("vec_id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      state = sym
+        .join(state.select(col("vec_id"), col("dist")), Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id"), (col("dist") + 1L).as("dist"))
+        .unionAll(state)
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    nodes.select(col("vec_id"))
+      .join(state, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  def s16(spark: SparkSession, dir: String): DataFrame =
+    bfsHops(
+      Tables.embeddings(spark, dir).select(col("vec_id")),
+      knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id")),
+      col("vec_id") % 97 === 0,
+      rounds = 6)
+
+  private val s16Sql =
+    s"""WITH RECURSIVE $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |sym AS (SELECT vec_id AS a, nbr AS b FROM knn
+       |        UNION SELECT nbr, vec_id FROM knn),
+       |it(round, vec_id, d) AS (
+       |  SELECT 0, vec_id, 0 FROM n WHERE vec_id % 97 = 0
+       |  UNION
+       |  SELECT round + 1, e.b, d + 1
+       |  FROM it JOIN sym e ON e.a = it.vec_id
+       |  WHERE round < 6),
+       |m AS (SELECT vec_id, MIN(d) AS dist FROM it GROUP BY 1)
+       |SELECT n.vec_id, CAST(COALESCE(m.dist, -1) AS BIGINT) AS dist
+       |FROM n LEFT JOIN m USING (vec_id)
+       |ORDER BY n.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_bfs_hops" -> (s16 _),
     "s15_ann_recall" -> (s15 _),
     "s14_triangle_count" -> (s14 _),
     "s13_pagerank" -> (s13 _),
@@ -851,6 +925,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s16_bfs_hops" -> s16Sql,
     "s15_ann_recall" -> s15Sql,
     "s14_triangle_count" -> s14Sql,
     "s13_pagerank" -> s13Sql,

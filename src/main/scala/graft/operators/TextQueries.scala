@@ -1163,7 +1163,64 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY m ORDER BY m""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t27_lm_score — bigram language-model scoring (the perplexity-style
+  // quality filter a pretraining pipeline runs with a cheap n-gram LM:
+  // docs whose transitions the corpus has never seen score low): train
+  // MLE bigram stats over the whole corpus, then score every doc by its
+  // average transition probability, all in ppm fixed-point — the
+  // per-bigram score is (c_xy·10⁶) div c_x, the doc score the integer
+  // mean of those, so no log/float ever enters the hash. Plan shape:
+  // the count tables are VOCABULARY-bounded (map-side combine shrinks
+  // the exchange to distinct grams per task, the t16 property); the
+  // doc-bigram stream then equi-joins them — at 100 TB the stream
+  // shuffles on the gram keys while the heavy text column stays behind
+  // (only (doc_id, w1, w2) rows move), and the final per-doc mean is
+  // one partial-agg groupBy on doc_id. Docs under 2 tokens have no
+  // transitions and drop (both engines).
+  def t27(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val docBigrams = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
+    docBigrams
+      .join(bgc, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"), expr("(c_xy * 1000000L) div c_x").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("lm_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t27Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT doc_id, u.w1, u.w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+      |              for i in range(1, len(toks))], recursive := true)
+      |    FROM t WHERE len(toks) >= 2) u(doc_id, w1, w2)),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT w1, COUNT(*) AS c_x
+      |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM((c.c_xy * 1000000) // u.c_x) // COUNT(*) AS BIGINT) AS lm_ppm
+      |FROM bg JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |  JOIN uni u ON bg.w1 = u.w1
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_lm_score" -> (t27 _),
     "t26_extract_table" -> (t26 _),
     "t24_fuzzy_pairs" -> (t24 _),
     "t25_outlier_docs" -> (t25 _),
@@ -1192,6 +1249,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t27_lm_score" -> t27Sql,
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,

@@ -492,7 +492,63 @@ object ValidationQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
   }
 
+  // ---------------------------------------------------------------------
+  // v13_kanon — k-anonymity suppression (the privacy gate a dataset
+  // passes before release): every row must sit in an equivalence class
+  // of ≥ k on its quasi-identifiers (nation, market segment). Classes
+  // below k generalize the most-identifying column (nation → '*') and
+  // re-pool by segment alone; pools still below k fall through to the
+  // fully-suppressed ('*','*') class. The cascade is two cheap
+  // aggregates over the CLASS-COUNT table (|nations|×|segments| rows),
+  // not over rows — at 100 TB the only row-sized pass is the first
+  // groupBy, everything after is driver-trivial and shuffle-free. No
+  // row is dropped: the three tiers partition the population, so
+  // sum(n) always equals count(*) — the invariant the oracle's hash
+  // pins at every sf (small sfs exercise all three tiers, large sfs
+  // may leave the '*' tiers empty, and both engines must agree).
+  def v13(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val g1 = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val tier1 = g1.filter(col("n") >= k)
+      .select(col("c_nationkey").cast("string").as("qi_nation"),
+        col("c_mktsegment").as("qi_segment"), col("n"))
+    val g2 = g1.filter(col("n") < k)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n"))
+    val tier2 = g2.filter(col("n") >= k)
+      .select(lit("*").as("qi_nation"), col("c_mktsegment").as("qi_segment"),
+        col("n"))
+    val tier3 = g2.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(lit("*").as("qi_nation"), lit("*").as("qi_segment"), col("n"))
+    tier1.unionAll(tier2).unionAll(tier3)
+      .orderBy(col("qi_nation"), col("qi_segment"))
+  }
+
+  private val v13Sql =
+    """WITH g1 AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |small AS (SELECT * FROM g1 WHERE n < 5),
+      |g2 AS (
+      |  SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n
+      |  FROM small GROUP BY 1)
+      |SELECT CAST(c_nationkey AS VARCHAR) AS qi_nation,
+      |  c_mktsegment AS qi_segment, n
+      |FROM g1 WHERE n >= 5
+      |UNION ALL
+      |SELECT '*', c_mktsegment, n FROM g2 WHERE n >= 5
+      |UNION ALL
+      |SELECT '*', '*', n FROM (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n FROM g2 WHERE n < 5)
+      |WHERE n IS NOT NULL
+      |ORDER BY qi_nation, qi_segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_kanon" -> (v13 _),
     "v12_fd_discovery" -> (v12 _),
     "v11_badrecords" -> (v11 _),
     "v10_profile" -> (v10 _),
@@ -507,6 +563,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v13_kanon" -> v13Sql,
     "v12_fd_discovery" -> v12Sql,
     "v11_badrecords" -> v11Sql,
     "v10_profile" -> v10Sql,

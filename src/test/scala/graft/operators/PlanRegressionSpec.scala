@@ -37,6 +37,10 @@ class PlanRegressionSpec extends SparkSpec {
     "sk4_hll_intersect" -> 4, // 1-row frames: exact-counts × union-est
                               // × per-side pivot (sketch set algebra)
     "q29_equidepth_hist" -> 1, // 1-row corpus-count aggregate (bucket div)
+    "s15_ann_recall" -> 2,    // composes s1 + s7, inherits their two
+                              // whitelisted bounded broadcasts
+    "x17_pit_audit" -> 1,     // 6-row probe-date list broadcast into the
+                              // non-equi as-of join (eff_from <= probe)
     "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
     "x4_skyline" -> 1)        // dominance anti-join over per-customer
                               // aggregates (dimension-sized by design;
