@@ -675,8 +675,65 @@ object DedupQueries {
       |FROM per p LEFT JOIN shared s ON p.source = s.source
       |ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d13_span_scrub — corpus-level span REMOVAL (the transform d8 only
+  // scores): every globally-repeated 10-token span is scrubbed from all
+  // but its first occurrence (first = lowest (doc_id, span index) —
+  // the C4/Lee-et-al. "deduplicate repeated substrings" pass at span
+  // granularity), and each document's surviving spans are reassembled
+  // in order into the cleaned text. One span materialization, ONE
+  // span-bearing shuffle: first-occurrence election is a row_number
+  // over the span-hash partition (spans ride that exchange once —
+  // the unavoidable cost of a global first-wins rule), then the
+  // doc-key reassembly groups kept spans back in span-index order.
+  // No self-join, no second corpus scan; output text is exactly the
+  // concatenation the oracle's ordered string_agg restates.
+  def d13(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        posexplode(TextFunctions.windowStarts(col("toks"), 10)).as(Seq("si", "start")))
+      .select(col("doc_id"), col("si"),
+        array_join(TextFunctions.windowSlice(col("toks"), col("start"), 10), " ").as("span"))
+      .withColumn("h", md5(col("span")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(si, span) END)), s -> s.span)"),
+          " ").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d13Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS start
+      |  FROM t),
+      |sp AS (
+      |  SELECT doc_id, CAST((start - 1) // 10 AS INTEGER) AS si,
+      |    array_to_string(list_slice(toks, start, start + 9), ' ') AS span
+      |  FROM st),
+      |r AS (
+      |  SELECT doc_id, si, span,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, si) AS rn
+      |  FROM sp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(span, ' ' ORDER BY si) FILTER (WHERE rn = 1), '')
+      |    AS scrubbed
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_cdc_chunks" -> (d12 _),
+    "d13_span_scrub" -> (d13 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -692,6 +749,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "d12_cdc_chunks" -> d12Sql,
+    "d13_span_scrub" -> d13Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -948,6 +948,65 @@ object RelationalQueries {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  // ---------------------------------------------------------------------
+  // q34_frequent_pairs — market-basket frequent-pair mining (the
+  // support/lift step of association-rule learning) over order baskets.
+  // Scale shape: the naive formulation is a lineitem×lineitem self-join
+  // on orderkey — a shuffle whose output is quadratic in basket size and
+  // that re-scans the fact twice. Here the fact is scanned ONCE into
+  // per-order item sets (baskets are bounded — TPC-H ≤ 7 lines/order,
+  // ≤ 12 in this data — so `collect_set` per order is O(1) state), and
+  // the i<j pair fan-out happens MAP-SIDE inside one higher-order-
+  // function projection; the only exchanges carry (pair, 1) partial
+  // counts and the part-cardinality item supports. Lift stays in exact
+  // BIGINT ppm (pair·orders·1e6 div n1·n2) so both engines hash-match
+  // bit-for-bit. Top-100 by (support, pair) keeps the gate output
+  // bounded at any sf via TakeOrderedAndProject, not a global sort.
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = items
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val itemSupport = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    pairs
+      .join(broadcast(itemSupport.withColumnRenamed("l_partkey", "p1")
+        .withColumnRenamed("n_item", "n_p1")), "p1")
+      .join(broadcast(itemSupport.withColumnRenamed("l_partkey", "p2")
+        .withColumnRenamed("n_item", "n_p2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
+        expr("(n_pair * n_orders * 1000000L) div (n_p1 * n_p2)").as("lift_ppm"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  private val q34Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+      |pr AS (
+      |  SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS n_pair
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2),
+      |it AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY 1)
+      |SELECT p1, p2, n_pair,
+      |  i1.n_item AS n_p1, i2.n_item AS n_p2,
+      |  CAST((n_pair * n_orders * 1000000) // (i1.n_item * i2.n_item) AS BIGINT)
+      |    AS lift_ppm
+      |FROM pr JOIN it i1 ON pr.p1 = i1.l_partkey
+      |        JOIN it i2 ON pr.p2 = i2.l_partkey
+      |        CROSS JOIN n
+      |ORDER BY n_pair DESC, p1, p2 LIMIT 100""".stripMargin
+
   private val q33Sql =
     """SELECT c.c_custkey, c.c_acctbal, t.o_orderkey, t.o_totalprice
       |FROM customer c,
@@ -983,6 +1042,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lateral_topk" -> (q33 _),
+    "q34_frequent_pairs" -> (q34 _),
     "q28_hopping_windows" -> (q28 _),
     "q29_equidepth_hist" -> (q29 _),
     "q30_dpp_star" -> (q30 _),
@@ -1018,6 +1078,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q33_lateral_topk" -> q33Sql,
+    "q34_frequent_pairs" -> q34Sql,
     "q28_hopping_windows" -> q28Sql,
     "q29_equidepth_hist" -> q29Sql,
     "q30_dpp_star" -> q30Sql,

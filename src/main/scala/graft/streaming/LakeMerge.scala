@@ -134,11 +134,15 @@ object LakeMerge {
     * table). Returns the final table contents. */
   def eventsLatestMerge(spark: SparkSession, sfDir: String,
       nBuckets: Int = 16, chunks: Int = 4): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // normalize BEFORE staging so the staged chunk files always carry the
+    // internal BIGINT-nanos ts shape (Tables.normalizeTs) whatever the
+    // source dir's physical type, and the stream schema matches them
+    val staged = graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    val schema = staged.schema
     val in = graft.control.Scratch.dir("graft_lake_in")
     val tableDir = graft.control.Scratch.dir("graft_lake_table")
     val cp = graft.control.Scratch.dir("graft_lake_cp")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    staged
       .repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(in)
     val t = Table(tableDir, nBuckets)

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.LongType
   * bookkeeping (offsets, exactly-once, backpressure) comes from the
   * engine instead of hand-rolled DB semaphores.
   *
-  * events.ts arrives as epoch-nanos long (TIMESTAMP(NANOS) parquet read
-  * with nanosAsLong); both engines truncate identically at micros, so
-  * event-time arithmetic uses `floor(ts/1000)` micros everywhere.
+  * events.ts is normalized at read to an epoch-nanos long (the internal
+  * convention — see [[graft.Tables.normalizeTs]]); both engines truncate
+  * identically at micros, so event-time arithmetic uses `ts div 1000`
+  * micros everywhere.
   */
 object Streaming {
 
@@ -116,16 +117,27 @@ object Streaming {
       IntegralDivide(GraftColumnBridge.expression(c), Literal(1000L))).cast(LongType)
   }
 
+  /** File-source stream over the events directory, `ts` normalized to the
+    * epoch-nanos BIGINT convention ([[graft.Tables.normalizeTs]]) so the
+    * streaming and batch paths share one shape regardless of the dir's
+    * physical ts type (BIGINT nanos or TIMESTAMP/TIMESTAMP_NTZ micros).
+    * Glob form: the file streaming source requires a directory/glob, not
+    * a bare file path. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet"))
+  }
+
   /** Hourly windowed aggregation, executed as a REAL streaming query:
     * readStream over the parquet dir → event-time tumbling window →
     * complete-mode memory sink; AvailableNow drains and terminates.
     * Deterministic exact sums (value scaled to 1e-4 longs). */
   def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_hourly_${queryCounter.incrementAndGet()}"
     // glob form: the file streaming source requires a directory/glob, not
     // a bare file path
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val stream = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -152,9 +164,8 @@ object Streaming {
     * what makes this streaming query batch-oracle-able (unlike
     * first-arrival dedup, which keeps a processing-order row). */
   def distinctUsersHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_distinct_${queryCounter.incrementAndGet()}"
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val stream = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
       .withWatermark("event_ts", "1 hour")
       .select(window(col("event_ts"), "1 hour").as("win"),
@@ -189,13 +200,12 @@ object Streaming {
     * enrichment-then-aggregate shape of a production stream. */
   def enrichedDailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_enriched_${queryCounter.incrementAndGet()}"
     // static dimension (deterministic literal table)
     val dim = Seq(
       ("view", "low"), ("click", "low"), ("signup", "medium"),
       ("purchase", "high"), ("error", "critical")).toDF("event_type", "severity")
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val stream = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
       .join(broadcast(dim), Seq("event_type"))
       .withWatermark("event_ts", "1 hour")
@@ -342,10 +352,9 @@ object Streaming {
     * watermark survives into groupByKey (see the case class doc).
     * Delay 0: the gate directories are complete, so nothing is late. */
   private def watermarkedSessionEvents(
-      spark: SparkSession, sfDir: String,
-      schema: org.apache.spark.sql.types.StructType): Dataset[SessionEventW] = {
+      spark: SparkSession, sfDir: String): Dataset[SessionEventW] = {
     import spark.implicits._
-    spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
       .withColumn("event_ts", timestamp_micros(col("tsu")))
       .withWatermark("event_ts", "0 seconds")
@@ -353,9 +362,8 @@ object Streaming {
   }
 
   def statefulSessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_sess_${queryCounter.incrementAndGet()}"
-    val events = watermarkedSessionEvents(spark, sfDir, schema)
+    val events = watermarkedSessionEvents(spark, sfDir)
     val sessions = sessionizeStreaming(events, gapMinutes)
     drainToLocal(spark, name, OutputMode.Update, sessions.toDF())
   }
@@ -369,9 +377,8 @@ object Streaming {
     * correctly remain unemitted: a session is not final until its gap
     * has passed. */
   def sessionFlowCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_flows_${queryCounter.incrementAndGet()}"
-    val events = watermarkedSessionEvents(spark, sfDir, schema)
+    val events = watermarkedSessionEvents(spark, sfDir)
     val flows = sessionFlows(events, gapMinutes)
     drainToLocal(spark, name, OutputMode.Append, flows.toDF())
   }
@@ -461,9 +468,8 @@ object Streaming {
     * INCLUSIVE (the window closes when the watermark touches it). */
   def sessionWindowCounts(
       spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_swin_${queryCounter.incrementAndGet()}"
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val stream = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
       .withWatermark("event_ts", "0 seconds")
       .groupBy(session_window(col("event_ts"), s"$gapMinutes minutes"), col("user_id"))
@@ -534,9 +540,8 @@ object Streaming {
   def userProfileCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_twsmap_${queryCounter.incrementAndGet()}"
-    val events = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val events = eventsStream(spark, sfDir)
       .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_type"))
       .withColumn("event_ts", timestamp_micros(col("tsu")))
       .withWatermark("event_ts", "0 seconds")
@@ -555,9 +560,8 @@ object Streaming {
       spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_tws_${queryCounter.incrementAndGet()}"
-    val events = watermarkedSessionEvents(spark, sfDir, schema)
+    val events = watermarkedSessionEvents(spark, sfDir)
     val flows = events.groupByKey(_.user_id)
       .transformWithState(
         new SessionFlowProcessor(gapMinutes), TimeMode.EventTime(), OutputMode.Append)
@@ -575,9 +579,8 @@ object Streaming {
     * AvailableNow over a static directory the join drains every match,
     * so the result hash-equals the batch self-join oracle. */
   def viewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_ssj_${queryCounter.incrementAndGet()}"
-    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val base = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
     val views = base.filter(col("event_type") === lit("view"))
       .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
@@ -605,9 +608,8 @@ object Streaming {
     * convention). Matched pairs emit immediately, exactly like the
     * inner form. */
   def viewPurchaseLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_ssoj_${queryCounter.incrementAndGet()}"
-    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val base = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
     val views = base.filter(col("event_type") === lit("view"))
       .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
@@ -634,9 +636,8 @@ object Streaming {
     * wm is the min-across-watermark-operators global watermark (see
     * the st11 oracle note). */
   def viewPurchaseFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_ssfo_${queryCounter.incrementAndGet()}"
-    val base = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    val base = eventsStream(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
     val views = base.filter(col("event_type") === lit("view"))
       .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))

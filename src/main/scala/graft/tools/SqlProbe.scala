@@ -19,7 +19,7 @@ object SqlProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+      graft.Tables(spark, sfDir, t).createOrReplaceTempView(t)
     }
     spark.sql(sql).show(100, truncate = false)
     spark.stop()

@@ -96,7 +96,7 @@ class LakeMergeSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("tsu").desc, col("event_id").desc)
-    val ref = spark.read.parquet(s"$dir/events.parquet")
+    val ref = graft.Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), Streaming.tsMicros(col("ts")).as("tsu"), col("event_id"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")

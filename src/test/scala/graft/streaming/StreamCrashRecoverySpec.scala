@@ -36,7 +36,7 @@ class StreamCrashRecoverySpec extends SparkSpec {
   import spark.implicits._
 
   test("stateful session query recovers exactly-once from a mid-batch crash") {
-    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val src = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val withTsu = src.withColumn("tsu", Streaming.tsMicros(col("ts")))
     val bounds = withTsu.agg(min($"tsu"), max($"tsu")).head()
     val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2

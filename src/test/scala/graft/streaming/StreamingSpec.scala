@@ -9,7 +9,7 @@ class StreamingSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("stateful streaming sessionization equals the batch window plan") {
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.Tables.events(spark, dir)
     val batch = Streaming.sessionize(events, 30)
       .groupBy($"user_id")
       .agg(max($"session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
@@ -31,13 +31,13 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("hour", "event_type", "n", "sum_value_scaled"))
     // total events preserved across windows
     val total = out.agg(sum($"n")).head().getLong(0)
-    assert(total === spark.read.parquet(s"$dir/events.parquet").count())
+    assert(total === graft.Tables.events(spark, dir).count())
   }
 
   test("chained dedup->agg equals batch count-distinct up to the append cutoff") {
     val out = Streaming.distinctUsersHourly(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.Tables.events(spark, dir)
       .select(Streaming.tsMicros($"ts").as("tsu"), $"event_type", $"user_id")
     val maxTsu = events.agg(max($"tsu")).head().getLong(0)
     val wm = maxTsu - 3600000000L
