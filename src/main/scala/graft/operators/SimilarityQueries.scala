@@ -906,7 +906,74 @@ object SimilarityQueries {
        |FROM n LEFT JOIN m USING (vec_id)
        |ORDER BY n.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s17_weighted_paths — single-source-set WEIGHTED shortest paths
+  // (bounded Bellman-Ford) over the s10 k-NN graph: 6 relaxation rounds
+  // from the same seed set as s16, edge weights a deterministic integer
+  // in [1,9] derived from the endpoint pair (symmetric: keyed on
+  // (least, greatest) so both directions carry one weight — the shared
+  // Knuth multiplicative constant both engines evaluate in plain BIGINT
+  // arithmetic). Same scale shape as BFS: per round ONE edge-state join
+  // + min-aggregate; state is (node, dist) scalars — distances shuffle,
+  // vectors never — and the driver sees nothing. Positive weights make
+  // the per-node running min a valid Bellman-Ford relaxation, so round
+  // r holds the exact min over ≤r-edge paths; the oracle enumerates the
+  // same bounded paths recursively and takes the same min.
+  def s17(spark: SparkSession, dir: String): DataFrame = {
+    val base = knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id"))
+    val sym = base
+      .unionAll(base.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+      .withColumn("w", lit(1L) + pmod(
+        least(col("vec_id"), col("nbr_id")) * lit(2654435761L) +
+          greatest(col("vec_id"), col("nbr_id")) * lit(40503L), lit(9L)))
+      .localCheckpoint(eager = false)
+    var state = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to 6) {
+      state = sym
+        .join(state.select(col("vec_id"), col("dist")), Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id"), (col("dist") + col("w")).as("dist"))
+        .unionAll(state)
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(state, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s17Sql =
+    s"""WITH RECURSIVE $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |sym AS (SELECT vec_id AS a, nbr AS b FROM knn
+       |        UNION SELECT nbr, vec_id FROM knn),
+       |symw AS (SELECT a, b,
+       |    1 + (least(a, b) * 2654435761 + greatest(a, b) * 40503) % 9 AS w
+       |  FROM sym),
+       |it(round, vec_id, d) AS (
+       |  SELECT 0, vec_id, 0 FROM n WHERE vec_id % 97 = 0
+       |  UNION
+       |  SELECT round + 1, e.b, d + e.w
+       |  FROM it JOIN symw e ON e.a = it.vec_id
+       |  WHERE round < 6),
+       |m AS (SELECT vec_id, MIN(d) AS dist FROM it GROUP BY 1)
+       |SELECT n.vec_id, CAST(COALESCE(m.dist, -1) AS BIGINT) AS dist
+       |FROM n LEFT JOIN m USING (vec_id)
+       |ORDER BY n.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_weighted_paths" -> (s17 _),
     "s16_bfs_hops" -> (s16 _),
     "s15_ann_recall" -> (s15 _),
     "s14_triangle_count" -> (s14 _),
@@ -925,6 +992,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s17_weighted_paths" -> s17Sql,
     "s16_bfs_hops" -> s16Sql,
     "s15_ann_recall" -> s15Sql,
     "s14_triangle_count" -> s14Sql,

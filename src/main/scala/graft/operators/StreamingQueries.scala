@@ -375,7 +375,45 @@ object StreamingQueries {
       |FROM l WHERE rn = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st14_tws_lastn — transformWithState LIST state (completing the
+  // Value/Map/List state-type triple): bounded last-5 event ring + a
+  // lifetime ValueState counter per user, finalize-on-timer emission.
+  // Oracle: batch window rank, newest-first, top-5 ids joined.
+  def st14(spark: SparkSession, dir: String): DataFrame =
+    Streaming.recentEventsTws(spark, dir, n = 5)
+      .orderBy(col("user_id"))
+
+  private val st14Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      |r AS (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tsu DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  string_agg(CASE WHEN rn <= 5 THEN CAST(event_id AS VARCHAR) END,
+      |    ',' ORDER BY rn) AS recent
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // st15_dedup_within_wm — engine-native `dropDuplicatesWithinWatermark`:
+  // streaming first-arrival dedup whose key state evicts with the
+  // watermark (bounded on an infinite stream, unlike plain
+  // dropDuplicates). Key-column projection makes it order-independent ==
+  // batch DISTINCT.
+  def st15(spark: SparkSession, dir: String): DataFrame =
+    Streaming.distinctPairsStreaming(spark, dir)
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val st15Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |WHERE user_id IS NOT NULL
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_tws_lastn" -> (st14 _),
+    "st15_dedup_within_wm" -> (st15 _),
     "st13_lake_merge" -> (st13 _),
     "st10_session_window" -> (st10 _),
     "st9_tws_profiles" -> (st9 _),
@@ -391,6 +429,8 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st14_tws_lastn" -> st14Sql,
+    "st15_dedup_within_wm" -> st15Sql,
     "st13_lake_merge" -> st13Sql,
     // TWS formulation shares st6's oracle: same semantics, new API
     "st8_tws_sessions" -> st6Sql,

@@ -1219,7 +1219,89 @@ object TextQueries {
       |  JOIN uni u ON bg.w1 = u.w1
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t28_inverted_index — the search-index build step: token → document
+  // frequency, total term frequency, and a bounded postings list (first
+  // 20 doc_ids ascending). Scale shape: ONE corpus explode into
+  // (token, doc) partial counts (map-side combine collapses in-doc
+  // repeats before the exchange), then a vocabulary-keyed aggregate;
+  // the postings array is 20-bounded BEFORE it rides any further
+  // operator, and the gate output is capped by TakeOrderedAndProject
+  // (top-500 by df), so neither exchange nor result grows with corpus
+  // size beyond the vocabulary. This is the batch half of an inverted
+  // index; serving-side sharding would bucket by token.
+  def t28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20), ",")
+          .as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(500)
+
+  private val t28Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT token, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
+      |SELECT token, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS tf,
+      |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',')
+      |    AS postings
+      |FROM g GROUP BY token ORDER BY df DESC, token LIMIT 500""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t29_feature_hash — the hashing-trick featurizer (Weinberger et al.,
+  // "Feature Hashing for Large Scale Multitask Learning"): every token
+  // maps to one of 64 buckets via the first 8 hex chars of its md5, with
+  // a ± sign from the 9th hex digit's parity so collisions cancel in
+  // expectation. Gate output is the CORPUS-level profile per bucket
+  // (64 rows at any sf): docs touched, signed weight sum, and the L1
+  // mass of per-doc weights. Scale shape: bucket+sign are map-side
+  // scalar expressions; the only exchanges carry (doc, bucket) partial
+  // sums (≤ 64/doc) and the 64-row final aggregate. md5-derived
+  // bucketing is engine-portable bit-for-bit (conv ≡ 0x-cast), unlike
+  // murmur-based hashes which differ across engines.
+  def t29(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val tok = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", md5(col("token")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % dims).as("bucket"),
+        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_w"),
+        sum(abs(col("w"))).as("l1"))
+      .orderBy(col("bucket"))
+  }
+
+  private val t29Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT) % 64
+      |      AS BIGINT) AS bucket,
+      |    CASE WHEN CAST(concat('0x', substr(md5(token), 9, 1)) AS UBIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sign
+      |  FROM t),
+      |d AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS w
+      |      FROM f GROUP BY 1, 2)
+      |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_w,
+      |  CAST(SUM(ABS(w)) AS BIGINT) AS l1
+      |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_inverted_index" -> (t28 _),
+    "t29_feature_hash" -> (t29 _),
     "t27_lm_score" -> (t27 _),
     "t26_extract_table" -> (t26 _),
     "t24_fuzzy_pairs" -> (t24 _),
@@ -1249,6 +1331,8 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t28_inverted_index" -> t28Sql,
+    "t29_feature_hash" -> t29Sql,
     "t27_lm_score" -> t27Sql,
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,

@@ -535,6 +535,92 @@ object Streaming {
     }
   }
 
+  final case class RecentEvt(tsu: Long, event_id: Long)
+  final case class UserRecent(user_id: Long, n_events: Long, recent: String)
+
+  /** transformWithState with LIST state — completing the Value (st8) /
+    * Map (st9) / List state-type triple: a bounded last-N ring per user
+    * (the "recent activity" feature a serving profile keeps). The list
+    * is truncated to N ON EVERY BATCH — state per key is N small
+    * structs regardless of how many events the key ever saw, the
+    * property that makes per-key list state safe at 100× (an unbounded
+    * append-only list would be the classic state leak). A ValueState
+    * counter rides along for the lifetime event count, so the operator
+    * exercises two typed state handles on one key. Emission is the same
+    * finalize-on-timer pattern as st9: order-independent output, so it
+    * hash-matches the batch window-rank oracle. */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEventW, UserRecent] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[RecentEvt] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[RecentEvt](
+        "recent", E.product[RecentEvt], TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEventW],
+        timers: TimerValues): Iterator[UserRecent] = {
+      val batch = rows.toArray
+      val merged = (recent.get().toArray ++ batch.map(e => RecentEvt(e.tsu, e.event_id)))
+        .sortBy(e => (-e.tsu, -e.event_id)).take(n)
+      recent.clear()
+      recent.appendList(merged)
+      total.update((if (total.exists()) total.get() else 0L) + batch.length)
+      val maxMs = batch.map(_.tsu / 1000).max
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(maxMs, timers.getCurrentWatermarkInMs + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserRecent] = {
+      val ids = recent.get().toArray.sortBy(e => (-e.tsu, -e.event_id))
+        .map(_.event_id).mkString(",")
+      val out = UserRecent(uid, if (total.exists()) total.get() else 0L, ids)
+      recent.clear(); total.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** [[RecentEventsProcessor]] as a real streaming query (append mode,
+    * AvailableNow, RocksDB). */
+  def recentEventsTws(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = s"graft_stream_twslist_${queryCounter.incrementAndGet()}"
+    val events = watermarkedSessionEvents(spark, sfDir)
+    val recents = events.groupByKey(_.user_id)
+      .transformWithState(
+        new RecentEventsProcessor(n), TimeMode.EventTime(), OutputMode.Append)
+    drainToLocal(spark, name, OutputMode.Append, recents.toDF(), forceRocksDb = true)
+  }
+
+  /** Engine-native streaming dedup: `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type) — first-arrival keeps the row, duplicate
+    * arrivals are dropped, and (unlike plain `dropDuplicates`) the
+    * per-key dedup state EVICTS once the watermark passes it, which is
+    * what makes streaming dedup state bounded on an infinite stream.
+    * Projected to the key columns the output is order-independent: with
+    * the gate directory draining as one AvailableNow batch it equals
+    * the batch DISTINCT exactly. */
+  def distinctPairsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_ddwm_${queryCounter.incrementAndGet()}"
+    val stream = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("event_ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drainToLocal(spark, name, OutputMode.Append, stream)
+  }
+
   /** [[UserProfileProcessor]] as a real streaming query (append mode,
     * AvailableNow, RocksDB). */
   def userProfileCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
