@@ -1007,6 +1007,48 @@ object RelationalQueries {
       |        CROSS JOIN n
       |ORDER BY n_pair DESC, p1, p2 LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q35_running_distinct — cumulative distinct users per day (the DAU→
+  // cumulative-reach curve). The naive form, COUNT(DISTINCT) OVER an
+  // expanding frame, re-scans every prior day's users per output row
+  // (quadratic, and Spark refuses DISTINCT in a window anyway). The
+  // scale-correct rewrite: a user contributes to the cumulative count
+  // exactly once — on their FIRST day — so one groupBy(user) min(day)
+  // pass reduces the fact to user-cardinality, the per-day new-user
+  // counts are day-cardinality, and the expanding sum runs over the
+  // tiny day grid. Exchanges carry (user, first_day) then (day, n) —
+  // never (day, user) pairs.
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_format(timestamp_micros(
+          graft.streaming.Streaming.tsMicros(col("ts"))), "yyyy-MM-dd").as("day"))
+    val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val newPerDay = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val grid = e.select(col("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
+  private val q35Sql =
+    """WITH e AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+      |  FROM events WHERE user_id IS NOT NULL),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1),
+      |nw AS (SELECT first_day AS day, COUNT(*) AS n_new FROM f GROUP BY 1),
+      |g AS (SELECT DISTINCT day FROM e)
+      |SELECT g.day, COALESCE(n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM g LEFT JOIN nw ON g.day = nw.day ORDER BY g.day""".stripMargin
+
   private val q33Sql =
     """SELECT c.c_custkey, c.c_acctbal, t.o_orderkey, t.o_totalprice
       |FROM customer c,
@@ -1043,6 +1085,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lateral_topk" -> (q33 _),
     "q34_frequent_pairs" -> (q34 _),
+    "q35_running_distinct" -> (q35 _),
     "q28_hopping_windows" -> (q28 _),
     "q29_equidepth_hist" -> (q29 _),
     "q30_dpp_star" -> (q30 _),
@@ -1079,6 +1122,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q33_lateral_topk" -> q33Sql,
     "q34_frequent_pairs" -> q34Sql,
+    "q35_running_distinct" -> q35Sql,
     "q28_hopping_windows" -> q28Sql,
     "q29_equidepth_hist" -> q29Sql,
     "q30_dpp_star" -> q30Sql,

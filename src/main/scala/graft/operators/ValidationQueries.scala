@@ -547,8 +547,50 @@ object ValidationQueries {
       |WHERE n IS NOT NULL
       |ORDER BY qi_nation, qi_segment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v14_partition_checksums — table-integrity checksums per partition:
+  // an order-independent XOR signature + a modular sum of per-row
+  // hashes, the reconcile primitive for verifying a 100 TB copy /
+  // migration / lake sync WITHOUT moving the data (ship per-partition
+  // signatures, compare driver-side). Row hash = md5 over a canonical
+  // '|'-joined projection (nulls coalesced, long text pre-hashed so
+  // the canonical string stays bounded); 15 hex chars → a positive
+  // 60-bit long both engines parse identically. Scale shape: hashing
+  // is map-side codegen; the ONLY exchange carries (source,
+  // partial-xor, partial-sum) — commutative-associative aggregates, so
+  // partition count and row order can differ between the two sides and
+  // the signatures still match (that order-independence is the whole
+  // point of the operator).
+  def v14(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id").cast(StringType), coalesce(col("lang"), lit("")),
+          col("source"), col("n_chars").cast(StringType),
+          md5(coalesce(col("text"), lit(""))))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h") % lit(1000000007L)).as("sum_sig"))
+      .orderBy(col("source"))
+
+  private val v14Sql =
+    """WITH r AS (
+      |  SELECT source,
+      |    CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      CAST(doc_id AS VARCHAR), COALESCE(lang, ''), source,
+      |      CAST(n_chars AS VARCHAR), md5(COALESCE(text, '')))), 1, 15))
+      |      AS UBIGINT) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+      |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_sig
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v13_kanon" -> (v13 _),
+    "v14_partition_checksums" -> (v14 _),
     "v12_fd_discovery" -> (v12 _),
     "v11_badrecords" -> (v11 _),
     "v10_profile" -> (v10 _),
@@ -564,6 +606,7 @@ object ValidationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "v13_kanon" -> v13Sql,
+    "v14_partition_checksums" -> v14Sql,
     "v12_fd_discovery" -> v12Sql,
     "v11_badrecords" -> v11Sql,
     "v10_profile" -> v10Sql,

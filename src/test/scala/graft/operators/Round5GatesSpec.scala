@@ -49,6 +49,30 @@ class Round5GatesSpec extends SparkSpec {
     }
   }
 
+  test("v14 checksums are invariant under partitioning (order independence)") {
+    val a = ValidationQueries.queries("v14_partition_checksums")(spark, dir).collect()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = try ValidationQueries.queries("v14_partition_checksums")(spark, dir).collect()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "signatures must not depend on partition count or row order")
+  }
+
+  test("q35 cumulative curve ends at the total distinct-user count") {
+    val rows = RelationalQueries.queries("q35_running_distinct")(spark, dir).collect()
+    val total = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(rows.last.getLong(2) === total)
+    assert(rows.map(_.getLong(1)).sum === total)
+    // cumulative sum is nondecreasing and consistent with n_new
+    rows.foldLeft(0L) { (acc, r) =>
+      val next = acc + r.getLong(1)
+      assert(r.getLong(2) === next); next
+    }
+  }
+
   test("t28 postings are ascending, bounded at 20, and df-consistent") {
     TextQueries.queries("t28_inverted_index")(spark, dir).collect().foreach { r =>
       val df = r.getLong(1)
