@@ -839,7 +839,70 @@ object CrossQueries {
       |  COUNT(*) AS n_users
       |FROM c GROUP BY 1, 2 ORDER BY cohort, days_since""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x19_multitouch — linear multi-touch attribution: every purchase
+  // splits exactly 1,000,000 ppm of credit equally across the views that
+  // preceded it within a 30-minute window (integer division; the
+  // remainder goes to the EARLIEST touches so each purchase's credits
+  // sum to exactly 1e6 — exact bookkeeping both engines hash-match,
+  // where float shares would drift). Output: per credited view, its
+  // total accumulated credit and the purchase count it fed. Scale
+  // shape: the view×purchase pairing is a user-key equi-join filtered
+  // to the window IN-PARTITION (per-user event counts bound the
+  // fan-out), the per-purchase n/rank ride ONE (user, purchase) window
+  // exchange, and the final aggregate is keyed by the credited view.
+  def x19(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("tsu").as("v_tsu"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("tsu").as("p_tsu"))
+    val win = 30L * 60L * 1000000L
+    val touches = views.join(purch, Seq("user_id"))
+      .filter(col("v_tsu") <= col("p_tsu") && col("p_tsu") - col("v_tsu") <= win)
+    val wN = Window.partitionBy(col("user_id"), col("p_id"))
+    val wR = wN.orderBy(col("v_tsu"), col("view_id"))
+    touches
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("r", row_number().over(wR))
+      .withColumn("credit",
+        expr("1000000L div n + CASE WHEN r <= 1000000L % n THEN 1L ELSE 0L END"))
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(sum(col("credit")).as("credit_ppm"),
+        count(lit(1)).as("n_purch"))
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
+  private val x19Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |v AS (SELECT user_id, event_id AS view_id, tsu AS v_tsu
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS p_id, tsu AS p_tsu
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT v.user_id, view_id, v_tsu, p_id
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |    AND v_tsu <= p_tsu AND p_tsu - v_tsu <= 30 * 60 * 1000000),
+      |c AS (
+      |  SELECT user_id, view_id, p_id,
+      |    COUNT(*) OVER (PARTITION BY user_id, p_id) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+      |      ORDER BY v_tsu, view_id) AS r
+      |  FROM t)
+      |SELECT user_id, view_id,
+      |  CAST(SUM(1000000 // n + CASE WHEN r <= 1000000 % n THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS credit_ppm,
+      |  COUNT(*) AS n_purch
+      |FROM c GROUP BY user_id, view_id ORDER BY user_id, view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_multitouch" -> (x19 _),
     "x18_cohort_retention" -> (x18 _),
     "x17_pit_audit" -> (x17 _),
     "x16_skew_salted_join" -> (x16 _),
@@ -861,6 +924,7 @@ object CrossQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x18_cohort_retention" -> x18Sql,
+    "x19_multitouch" -> x19Sql,
     "x17_pit_audit" -> x17Sql,
     "x16_skew_salted_join" -> x16Sql,
     "x15_interval_merge" -> x15Sql,

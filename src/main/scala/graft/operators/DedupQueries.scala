@@ -731,9 +731,55 @@ object DedupQueries {
       |    AS scrubbed
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d14_entity_clusters — entity resolution end-to-end: the t24 fuzzy
+  // candidate pairs (shared `TextQueries.fuzzyPairs` — blocking +
+  // length-band + bounded-prefix levenshtein) become an edge list, the
+  // O(log n)-round large-star/small-star connected components collapse
+  // them into entities, and each entity materializes with its canonical
+  // id (component min), size, and a 10-bounded ascending member list.
+  // Scale shape: blocking bounds the pair join, CC shuffles (id, label)
+  // scalars per round with one driver-side convergence checksum, and
+  // the member list is sliced BEFORE output. The oracle recomputes the
+  // same entities as a recursive reachability closure over the same
+  // edge SQL — closure size is Σ|cluster|², bounded because fuzzy
+  // clusters are small by construction (dist ≤ 5 on 40-char prefixes).
+  def d14(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextQueries.fuzzyPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    ConnectedComponents.connectedComponents(edges, "doc_a", "doc_b")
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(slice(sort_array(collect_list(col("id"))), 1, 10), ",")
+          .as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val d14Sql =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT doc_id, substr(text, 1, 10) AS blk,
+      |          substr(text, 1, 40) AS pre, n_chars FROM documents) a
+      |  JOIN (SELECT doc_id, substr(text, 1, 10) AS blk,
+      |          substr(text, 1, 40) AS pre, n_chars FROM documents) b
+      |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE abs(a.n_chars - b.n_chars) <= 40
+      |    AND levenshtein(a.pre, b.pre) <= 5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |lbl AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a)
+      |SELECT cluster_id, COUNT(*) AS n_members,
+      |  array_to_string(list_slice(list(id ORDER BY id), 1, 10), ',')
+      |    AS members
+      |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_cdc_chunks" -> (d12 _),
     "d13_span_scrub" -> (d13 _),
+    "d14_entity_clusters" -> (d14 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_pairs" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -750,6 +796,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "d12_cdc_chunks" -> d12Sql,
     "d13_span_scrub" -> d13Sql,
+    "d14_entity_clusters" -> d14Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -1049,7 +1049,11 @@ object TextQueries {
   // Scale shape: one equi-join on the block key (hot prefixes would
   // route through SkewJoin.skewSafeEquiJoin exactly as d4 does); the
   // DP only ever sees within-block survivors of the length gate.
-  def t24(spark: SparkSession, dir: String): DataFrame = {
+  /** t24's candidate pairs without the gate ordering — shared with the
+    * d14 entity-resolution gate so the edge set cannot diverge between
+    * the pair gate and the clustering built on it (same sharing rule as
+    * knnEdges for s10/s11). */
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, 10).as("blk"),
         substring(col("text"), 1, 40).as("pre"), col("n_chars"))
@@ -1063,8 +1067,10 @@ object TextQueries {
       .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
       .filter(col("dist") <= 5)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def t24(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val t24Sql =
     """WITH p AS (
