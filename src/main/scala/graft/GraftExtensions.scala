@@ -122,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls, null, name, s"$name(s) - $usage", ""),
         (children: Seq[Expression]) => build(children.head)))
     }
+
+    // optimizer rule: length-difference guard in front of thresholded
+    // levenshtein filters (see the rule's doc for soundness/idempotence)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
   }
 }

@@ -50,6 +50,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getString(0) === "en")
       assert(spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
         .head().getString(0) === "und")
+
+      // LevenshteinGuardRule: the optimized filter carries the
+      // length-difference guard, runs once (idempotent under the
+      // fixed-point batch), and never changes results
+      import spark.implicits._
+      // parquet-backed (a LocalRelation would be constant-folded before
+      // the filter survives into the optimized plan)
+      val lvDir = java.nio.file.Files.createTempDirectory("lev_guard").toString
+      Seq(
+        ("short", "short"), ("short", "shrt"), ("short", "a much longer string"),
+        ("abcdef", "abcxef"), (null: String, "x"), ("y", null: String))
+        .toDF("a", "b").write.mode("overwrite").parquet(lvDir)
+      val q = spark.read.parquet(lvDir).filter(org.apache.spark.sql.functions
+        .levenshtein($"a", $"b") <= 2)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("abs(") && opt.contains("length("),
+        s"guard missing from optimized plan:\n$opt")
+      assert(opt.sliding("levenshtein".length).count(_ == "levenshtein") <= 2,
+        s"rule must not stack guards:\n$opt")
+      val got = q.select($"a", $"b").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSet === Set(("short", "short"), ("short", "shrt"), ("abcdef", "abcxef")))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
