@@ -901,7 +901,149 @@ object CrossQueries {
       |  COUNT(*) AS n_purch
       |FROM c GROUP BY user_id, view_id ORDER BY user_id, view_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x20_stock_rollforward — per-product inventory roll-forward with a
+  // zero floor: balance_d = max(0, balance_{d-1} + delta_d). The clamp
+  // makes the recurrence NON-LINEAR, so no window/prefix-sum algebra
+  // expresses it — this is the honest case for the typed per-key escape
+  // hatch (same family as x12's cogroup): ONE partial-agg pass reduces
+  // the fact to (product, day, delta) — day-cardinality per key, weeks
+  // not rows — then one key shuffle and a bounded in-memory sequential
+  // scan per product. The oracle replays the same recurrence as a
+  // per-key recursive CTE over the day rank. Deltas stay exact longs
+  // (quantities are integral; cast BEFORE summing).
+  def x20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deltas = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(when(col("l_returnflag") === "R",
+        -col("l_quantity").cast("long"))
+        .otherwise(col("l_quantity").cast("long"))).as("delta"))
+      .as[(Long, String, Long)]
+    deltas.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val days = it.toArray.sortBy(_._2)
+        var bal = 0L
+        var clamps = 0L
+        days.foreach { case (_, _, d) =>
+          val nb = bal + d
+          if (nb < 0) { bal = 0L; clamps += 1 } else bal = nb
+        }
+        (k, days.length.toLong, bal, clamps)
+      }
+      .toDF("l_partkey", "n_days", "final_balance", "n_clamps")
+      .orderBy(col("l_partkey"))
+  }
+
+  private val x20Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN -CAST(l_quantity AS BIGINT)
+      |      ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+      |  FROM lineitem GROUP BY 1, 2),
+      |o AS (SELECT l_partkey, delta,
+      |        ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY day) AS rn
+      |      FROM d),
+      |r(l_partkey, rn, bal, clamps) AS (
+      |  SELECT l_partkey, rn, GREATEST(delta, 0),
+      |    CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.l_partkey, o.rn, GREATEST(r.bal + o.delta, 0),
+      |    r.clamps + CASE WHEN r.bal + o.delta < 0 THEN 1 ELSE 0 END
+      |  FROM r JOIN o ON o.l_partkey = r.l_partkey AND o.rn = r.rn + 1)
+      |SELECT l_partkey, MAX(rn) AS n_days,
+      |  CAST(arg_max(bal, rn) AS BIGINT) AS final_balance,
+      |  CAST(MAX(clamps) AS BIGINT) AS n_clamps
+      |FROM r GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36_asof_nearest — NEAREST-in-time as-of join (x5 is last-BEFORE):
+  // each purchase pairs with the view minimizing |view_ts − purchase_ts|
+  // within ±30 minutes, ties to the earlier side. One user-sorted
+  // window exchange produces both candidates — prev view via
+  // last(IGNORE NULLS) over the preceding frame, next view via
+  // first(IGNORE NULLS) over the following frame — and a scalar case
+  // picks the winner; no view×purchase join at all, which is what keeps
+  // the shape linear when a user has thousands of both.
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val isView = col("event_type") === "view"
+    val withCand = e
+      .withColumn("pv_id", last(when(isView, col("event_id")), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("pv_ts", last(when(isView, col("tsu")), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv_id", first(when(isView, col("event_id")), ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("nv_ts", first(when(isView, col("tsu")), ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+    val win = 30L * 60L * 1000000L
+    withCand.filter(col("event_type") === "purchase")
+      .withColumn("d_prev",
+        when(col("pv_ts").isNotNull && col("tsu") - col("pv_ts") <= win,
+          col("tsu") - col("pv_ts")))
+      .withColumn("d_next",
+        when(col("nv_ts").isNotNull && col("nv_ts") - col("tsu") <= win,
+          col("nv_ts") - col("tsu")))
+      .filter(col("d_prev").isNotNull || col("d_next").isNotNull)
+      .select(col("user_id"), col("event_id").as("p_id"),
+        when(col("d_next").isNull || (col("d_prev").isNotNull &&
+          col("d_prev") <= col("d_next")), col("pv_id"))
+          .otherwise(col("nv_id")).as("view_id"),
+        when(col("d_next").isNull || (col("d_prev").isNotNull &&
+          col("d_prev") <= col("d_next")), -col("d_prev"))
+          .otherwise(col("d_next")).as("delta_us"))
+      .orderBy(col("user_id"), col("p_id"))
+  }
+
+  private val q36Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, tsu,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN tsu END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv_ts,
+      |    first_value(CASE WHEN event_type = 'view' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv_id,
+      |    first_value(CASE WHEN event_type = 'view' THEN tsu END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv_ts
+      |  FROM e),
+      |p AS (
+      |  SELECT user_id, event_id AS p_id,
+      |    CASE WHEN pv_ts IS NOT NULL AND tsu - pv_ts <= 30 * 60 * 1000000
+      |      THEN tsu - pv_ts END AS d_prev,
+      |    CASE WHEN nv_ts IS NOT NULL AND nv_ts - tsu <= 30 * 60 * 1000000
+      |      THEN nv_ts - tsu END AS d_next,
+      |    pv_id, nv_id
+      |  FROM c WHERE event_type = 'purchase')
+      |SELECT user_id, p_id,
+      |  CASE WHEN d_next IS NULL OR (d_prev IS NOT NULL AND d_prev <= d_next)
+      |    THEN pv_id ELSE nv_id END AS view_id,
+      |  CASE WHEN d_next IS NULL OR (d_prev IS NOT NULL AND d_prev <= d_next)
+      |    THEN -d_prev ELSE d_next END AS delta_us
+      |FROM p WHERE d_prev IS NOT NULL OR d_next IS NOT NULL
+      |ORDER BY user_id, p_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_stock_rollforward" -> (x20 _),
+    "q36_asof_nearest" -> (q36 _),
     "x19_multitouch" -> (x19 _),
     "x18_cohort_retention" -> (x18 _),
     "x17_pit_audit" -> (x17 _),
@@ -925,6 +1067,8 @@ object CrossQueries {
   val oracleSql: Map[String, String] = Map(
     "x18_cohort_retention" -> x18Sql,
     "x19_multitouch" -> x19Sql,
+    "x20_stock_rollforward" -> x20Sql,
+    "q36_asof_nearest" -> q36Sql,
     "x17_pit_audit" -> x17Sql,
     "x16_skew_salted_join" -> x16Sql,
     "x15_interval_merge" -> x15Sql,
