@@ -1041,7 +1041,204 @@ object CrossQueries {
       |FROM p WHERE d_prev IS NOT NULL OR d_next IS NOT NULL
       |ORDER BY user_id, p_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x21_fifo_allocation — FIFO lot allocation (inventory costing /
+  // queue-matching): per product, demand units consume supply units in
+  // ship-date order. The classic quadratic form walks lots per sale; the
+  // scale-correct form is the CUMULATIVE-INTERVAL intersection — lot i
+  // owns supply units [lcum_{i-1}, lcum_i), sale j consumes demand units
+  // [scum_{j-1}, scum_j), and FIFO matches unit u of demand to unit u of
+  // supply, so alloc(i,j) = overlap of the two intervals. Per key the
+  // overlapping pairs form a staircase (≤ lots + sales − 1 rows), so the
+  // pairing join is LINEAR in the input even though it is written as a
+  // join. Shapes: two window cumsums over the same partkey exchange, one
+  // equi-join on partkey whose range predicate prunes to the staircase,
+  // partial-agg per key. Quantities are integral doubles → exact longs.
+  def x21(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cum(side: DataFrame) = side
+      .withColumn("hi", sum(col("qty")).over(w))
+      .withColumn("lo", col("hi") - col("qty"))
+    val lots = cum(li.filter(col("l_returnflag") === "R"))
+      .select(col("l_partkey"), col("lo").as("l_lo"), col("hi").as("l_hi"))
+    val sales = cum(li.filter(col("l_returnflag") =!= "R"))
+      .select(col("l_partkey").as("s_partkey"), col("lo").as("s_lo"), col("hi").as("s_hi"))
+    val pairs = lots.join(sales,
+      col("l_partkey") === col("s_partkey") &&
+        col("l_lo") < col("s_hi") && col("s_lo") < col("l_hi"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("l_hi"), col("s_hi")) - greatest(col("l_lo"), col("s_lo")))
+          .as("allocated"))
+    val supply = lots.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lots"), max(col("l_hi")).as("supply"))
+    val demand = sales.groupBy(col("s_partkey").as("l_partkey"))
+      .agg(count(lit(1)).as("n_sales"), max(col("s_hi")).as("demand"))
+    supply.join(demand, Seq("l_partkey"), "full_outer")
+      .join(pairs, Seq("l_partkey"), "left")
+      .select(col("l_partkey"),
+        coalesce(col("n_lots"), lit(0L)).as("n_lots"),
+        coalesce(col("n_sales"), lit(0L)).as("n_sales"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("supply"), lit(0L)).as("supply"),
+        coalesce(col("demand"), lit(0L)).as("demand"),
+        coalesce(col("allocated"), lit(0L)).as("allocated"))
+      .withColumn("leftover", col("supply") - col("allocated"))
+      .withColumn("unfilled", col("demand") - col("allocated"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val x21Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    l_shipdate, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |lots AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS hi,
+      |    CAST(SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS BIGINT) AS lo
+      |  FROM li WHERE l_returnflag = 'R'),
+      |sales AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS hi,
+      |    CAST(SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS BIGINT) AS lo
+      |  FROM li WHERE l_returnflag <> 'R'),
+      |p AS (
+      |  SELECT l.l_partkey, COUNT(*) AS n_pairs,
+      |    CAST(SUM(LEAST(l.hi, s.hi) - GREATEST(l.lo, s.lo)) AS BIGINT) AS allocated
+      |  FROM lots l JOIN sales s
+      |    ON l.l_partkey = s.l_partkey AND l.lo < s.hi AND s.lo < l.hi
+      |  GROUP BY 1),
+      |sup AS (SELECT l_partkey, COUNT(*) AS n_lots, MAX(hi) AS supply
+      |        FROM lots GROUP BY 1),
+      |dem AS (SELECT l_partkey, COUNT(*) AS n_sales, MAX(hi) AS demand
+      |        FROM sales GROUP BY 1)
+      |SELECT COALESCE(sup.l_partkey, dem.l_partkey) AS l_partkey,
+      |  COALESCE(n_lots, 0) AS n_lots, COALESCE(n_sales, 0) AS n_sales,
+      |  COALESCE(n_pairs, 0) AS n_pairs,
+      |  COALESCE(supply, 0) AS supply, COALESCE(demand, 0) AS demand,
+      |  COALESCE(allocated, 0) AS allocated,
+      |  COALESCE(supply, 0) - COALESCE(allocated, 0) AS leftover,
+      |  COALESCE(demand, 0) - COALESCE(allocated, 0) AS unfilled
+      |FROM sup FULL OUTER JOIN dem ON sup.l_partkey = dem.l_partkey
+      |LEFT JOIN p ON COALESCE(sup.l_partkey, dem.l_partkey) = p.l_partkey
+      |ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x22_streaks — longest consecutive-day activity streak per user: the
+  // engagement/retention primitive ("current streak", "longest run").
+  // Day numbers are exact integer micros-div-86400M — no calendar
+  // arithmetic to disagree on. Gaps-and-islands: after reducing events
+  // to DISTINCT (user, day) — day-cardinality per user, not events —
+  // day − row_number() is constant exactly on a consecutive run, so one
+  // user-partitioned window + one aggregate finds every streak. All
+  // exchanges carry (user, day) pairs, bounded by the day grid.
+  def x22(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // day = micros div 86400M in exact long arithmetic (tsMicros's own
+    // rationale: double division at epoch magnitude can misround floors).
+    val day = {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      GraftColumnBridge.column(IntegralDivide(
+        GraftColumnBridge.expression(graft.streaming.Streaming.tsMicros(col("ts"))),
+        Literal(86400000000L))).cast("long")
+    }
+    val days = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), day.as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("run_end"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max(col("run_end")).as("last_day"))
+      .orderBy(col("user_id"))
+  }
+
+  private val x22Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MAX(day) AS run_end
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks,
+      |  MAX(len) AS longest_streak, MAX(run_end) AS last_day
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x23_ewma — exponentially weighted moving average of per-customer
+  // order value (α = 1/4, fixed-point): the smoothing step behind spend
+  // scoring and burn-rate monitors. Like x20's clamp, the recurrence
+  // s_t = (3·s_{t−1} + x_t·1000) div 4 is non-linear in integer
+  // arithmetic (the div truncates), so no window algebra expresses it
+  // exactly — the honest shape is the bounded typed per-key scan: one
+  // partial-agg-free projection to (cust, date, orderkey, cents) —
+  // orders are already one row each — one custkey shuffle, and a
+  // sequential fold over the ≤ tens of orders a customer has. Cents are
+  // floor(price·100) in IEEE double, identical across engines; the
+  // fixed-point state carries ×1000 sub-cent precision.
+  def x23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long, Long)]
+    o.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val seq = it.toArray.sortBy(r => (r._2, r._3))
+        var s = seq.head._4 * 1000L
+        seq.tail.foreach { case (_, _, _, c) => s = (3L * s + 1000L * c) / 4L }
+        (k, seq.length.toLong, s, seq.last._4)
+      }
+      .toDF("o_custkey", "n_orders", "ewma_millicents", "last_cents")
+      .orderBy(col("o_custkey"))
+  }
+
+  private val x23Sql =
+    """WITH RECURSIVE o AS (
+      |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS rn
+      |  FROM orders),
+      |r(o_custkey, rn, s, cents) AS (
+      |  SELECT o_custkey, rn, cents * 1000, cents FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.o_custkey, o.rn, (3 * r.s + 1000 * o.cents) // 4, o.cents
+      |  FROM r JOIN o ON o.o_custkey = r.o_custkey AND o.rn = r.rn + 1)
+      |SELECT o_custkey, MAX(rn) AS n_orders,
+      |  CAST(arg_max(s, rn) AS BIGINT) AS ewma_millicents,
+      |  CAST(arg_max(cents, rn) AS BIGINT) AS last_cents
+      |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_fifo_allocation" -> (x21 _),
+    "x22_streaks" -> (x22 _),
+    "x23_ewma" -> (x23 _),
     "x20_stock_rollforward" -> (x20 _),
     "q36_asof_nearest" -> (q36 _),
     "x19_multitouch" -> (x19 _),
@@ -1065,6 +1262,9 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x21_fifo_allocation" -> x21Sql,
+    "x22_streaks" -> x22Sql,
+    "x23_ewma" -> x23Sql,
     "x18_cohort_retention" -> x18Sql,
     "x19_multitouch" -> x19Sql,
     "x20_stock_rollforward" -> x20Sql,
