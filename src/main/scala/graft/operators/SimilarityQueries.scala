@@ -972,7 +972,178 @@ object SimilarityQueries {
        |FROM n LEFT JOIN m USING (vec_id)
        |ORDER BY n.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s18_ppr — PERSONALIZED PageRank (random walk with restart) from the
+  // s16 seed set over the symmetrized k-NN graph: the "relevance to a
+  // trusted set" score behind seed-expansion curation (grow a curated
+  // corpus from exemplars) and graph-based contamination scoring — where
+  // s13 ranks globally, s18 ranks relative to the seeds. Four rounds of
+  // mass_{t+1}(u) = [u∈S]·250000 + Σ_{v→u} (mass_t(v)·3) div (4·deg v),
+  // all in exact integer ppm (div truncation is part of the pinned
+  // semantics). Scale shape matches s16: the degree-annotated edge list
+  // checkpoints once; per round ONE edge⋈state join + sum-aggregate, and
+  // only (node, mass) scalars shuffle. State stays SPARSE — zero-mass
+  // nodes are dropped each round (HAVING > 0), so early rounds touch
+  // only the seeds' neighborhoods, exactly how a 100×-scale PPR behaves
+  // when the seed set is small.
+  def s18(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id"))
+    val symd = base
+      .unionAll(base.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .localCheckpoint(eager = false)
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val seeds = nodes.filter(col("vec_id") % 97 === 0)
+    var state = seeds.select(col("vec_id"), lit(1000000L).as("mass"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to 4) {
+      val spread = symd.join(state, Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id"),
+          expr("(mass * 3) div (4 * d)").as("m"))
+      state = spread
+        .unionAll(seeds.select(col("vec_id"), lit(250000L).as("m")))
+        .groupBy(col("vec_id")).agg(sum(col("m")).as("mass"))
+        .filter(col("mass") > 0)
+        .localCheckpoint(eager = false)
+    }
+    nodes.join(state, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("mass"), lit(0L)).as("mass_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One unrolled PPR round: spread 3/4 of each node's mass equally over
+    * its out-edges (integer div), re-inject 250000 ppm at every seed,
+    * keep only positive masses. CAST per round — DuckDB SUM promotes to
+    * HUGEINT. */
+  private def pprRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT vec_id, CAST(SUM(m) AS BIGINT) AS mass FROM (
+       |    SELECT e.b AS vec_id, (p.mass * 3) // (4 * e.d) AS m
+       |    FROM $prev p JOIN symd e ON e.a = p.vec_id
+       |    UNION ALL
+       |    SELECT vec_id, 250000 FROM n WHERE vec_id % 97 = 0) t
+       |  GROUP BY 1 HAVING SUM(m) > 0)""".stripMargin
+
+  private val s18Sql =
+    s"""WITH $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |sym AS (SELECT vec_id AS a, nbr AS b FROM knn
+       |        UNION SELECT nbr, vec_id FROM knn),
+       |symd AS (SELECT a, b, COUNT(*) OVER (PARTITION BY a) AS d FROM sym),
+       |m0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS mass
+       |       FROM n WHERE vec_id % 97 = 0),
+       |${pprRoundSql("m0", "m1")},
+       |${pprRoundSql("m1", "m2")},
+       |${pprRoundSql("m2", "m3")},
+       |${pprRoundSql("m3", "m4")}
+       |SELECT n.vec_id, CAST(COALESCE(m4.mass, 0) AS BIGINT) AS mass_ppm
+       |FROM n LEFT JOIN m4 USING (vec_id)
+       |ORDER BY n.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s19_kmeans — three Lloyd iterations of k-means (k = 8) over the
+  // first-16-dim PQ subspace of the scaled embeddings: the actual
+  // clustering TRAINING loop (s5 is one centroid step; s8 assigns to
+  // fixed LSH cells). Exactness contract: distances are integer sums of
+  // squared scaled diffs; centroid updates are floor-division means made
+  // sign-safe by an offset ((sum + n·OFF) div n − OFF with OFF ≥ any
+  // |component|, so the numerator is positive and Spark's `div` and
+  // DuckDB's `//` agree); ties in assignment go to the smallest
+  // centroid id via min-struct. Scale shape per iteration: assignment is
+  // a BROADCAST of the k-row centroid table against the vectors (no
+  // vector ever shuffles for assignment) + a min-struct partial agg;
+  // the update posexplodes assigned vectors to (cid, dim, comp) partials
+  // — 16 rows per vector map-side, k·16 rows after combine. The driver
+  // never sees data; rounds chain lazily like s16/s17. Inertia stays in
+  // long range to ~10⁵ vectors at this scaling — beyond that, rescale.
+  def s19(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 16
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        slice(Similarity.scaled(col("embedding")), 1, dims).as("sv"))
+      .localCheckpoint(eager = false)
+    val off = 10000000L
+    var cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+      .localCheckpoint(eager = false)
+    def assign(c: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(c))
+      .withColumn("dist", aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("sv"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sv"),
+        col("best.dist").as("dist"), col("best.cid").as("cid"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to 3) {
+      assigned = assign(cents).localCheckpoint(eager = false)
+      cents = assigned
+        .select(col("cid"), posexplode(col("sv")).as(Seq("dim", "comp")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("comp")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("comp", expr(s"(s + cnt * ${off}L) div cnt - ${off}L"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("comp")))).as("a"))
+        .select(col("cid"), transform(col("a"), s => s.getField("comp")).as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(cents.select(col("cid"),
+        aggregate(col("cv"), lit(0L), (acc, x) => acc + x).as("comp_sum")),
+        Seq("cid"))
+      .orderBy(col("cid"))
+  }
+
+  /** One unrolled Lloyd round: `asg` = nearest-centroid assignment under
+    * `prevC`, `curC` = offset-floor-division centroid recompute. */
+  private def lloydSql(prevC: String, asg: String, curC: String): String =
+    s"""$asg AS (
+       |  SELECT vec_id, sv, dist, cid FROM (
+       |    SELECT v.vec_id, v.sv16 AS sv, c.cid,
+       |      list_aggregate(list_transform(range(1, 17),
+       |        i -> (v.sv16[i] - c.cv[i]) * (v.sv16[i] - c.cv[i])), 'sum') AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_aggregate(list_transform(range(1, 17),
+       |          i -> (v.sv16[i] - c.cv[i]) * (v.sv16[i] - c.cv[i])), 'sum'),
+       |        c.cid) AS rn
+       |    FROM n16 v CROSS JOIN $prevC c) t WHERE rn = 1),
+       |${curC}_comps AS (
+       |  SELECT cid, j,
+       |    CAST((SUM(sv[j]) + COUNT(*) * 10000000) // COUNT(*) - 10000000
+       |      AS BIGINT) AS comp
+       |  FROM $asg, range(1, 17) t(j) GROUP BY cid, j),
+       |$curC AS (
+       |  SELECT cid, list(comp ORDER BY j) AS cv FROM ${curC}_comps GROUP BY cid)""".stripMargin
+
+  private val s19Sql =
+    s"""WITH $scaledCteAdaptive,
+       |n16 AS (SELECT vec_id, sv[1:16] AS sv16 FROM n),
+       |c0 AS (SELECT vec_id AS cid, sv16 AS cv FROM n16 WHERE vec_id < 8),
+       |${lloydSql("c0", "a1", "c1")},
+       |${lloydSql("c1", "a2", "c2")},
+       |${lloydSql("c2", "a3", "c3")}
+       |SELECT a.cid, COUNT(*) AS n_members,
+       |  CAST(SUM(a.dist) AS BIGINT) AS inertia,
+       |  CAST(ANY_VALUE(cs.comp_sum) AS BIGINT) AS comp_sum
+       |FROM a3 a JOIN (
+       |  SELECT cid, list_aggregate(cv, 'sum') AS comp_sum FROM c3) cs
+       |  USING (cid)
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_ppr" -> (s18 _),
+    "s19_kmeans" -> (s19 _),
     "s17_weighted_paths" -> (s17 _),
     "s16_bfs_hops" -> (s16 _),
     "s15_ann_recall" -> (s15 _),
@@ -992,6 +1163,8 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s18_ppr" -> s18Sql,
+    "s19_kmeans" -> s19Sql,
     "s17_weighted_paths" -> s17Sql,
     "s16_bfs_hops" -> s16Sql,
     "s15_ann_recall" -> s15Sql,
