@@ -1082,7 +1082,99 @@ object RelationalQueries {
       |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q37_drawdown — running-peak / maximum-drawdown per product over the
+  // signed shipment balance (returns negative): the risk/deficit metric
+  // form of cumulative analytics. Deliberately the PURE-WINDOW
+  // counterpart to x20's clamped roll-forward: cumsum, running max of
+  // the cumsum, and max(peak − cum) are all linear window algebra, so
+  // the whole thing is ONE partkey exchange and one ordered pass —
+  // no typed escape hatch needed, and at 100× the per-key frames stream
+  // through a single sort. Quantities are integral → exact longs.
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", -col("l_quantity").cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("delta"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cum", sum(col("delta")).over(ord))
+      .withColumn("peak", max(col("cum")).over(ord))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        max(col("peak")).as("peak"),
+        max(col("peak") - col("cum")).as("max_drawdown"),
+        // final balance = total delta (order-free, unlike last(cum))
+        sum(col("delta")).as("final_cum"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val q37Sql =
+    """WITH d AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+      |         ELSE CAST(l_quantity AS BIGINT) END AS delta,
+      |    l_shipdate, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c1 AS (
+      |  SELECT l_partkey, delta, l_shipdate, l_orderkey, l_linenumber,
+      |    CAST(SUM(delta) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d),
+      |c2 AS (
+      |  SELECT l_partkey, delta, cum,
+      |    CAST(MAX(cum) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+      |  FROM c1)
+      |SELECT l_partkey, COUNT(*) AS n, MAX(peak) AS peak,
+      |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown,
+      |  CAST(SUM(delta) AS BIGINT) AS final_cum
+      |FROM c2 GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38_mode — per-group MODE (most frequent value, ties to the smallest
+  // value): the categorical summary statistic. Never a sort of the raw
+  // rows: one (nation, segment) partial-count aggregate — segment
+  // cardinality per nation, not customers — then a 5-row-per-nation
+  // rank window picks the winner. The count aggregate absorbs the data
+  // volume map-side; at 100× the window input is unchanged.
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cnt").desc, col("c_mktsegment"))
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_segments",
+        count(lit(1)).over(Window.partitionBy(col("c_nationkey"))))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mode_segment"),
+        col("cnt").as("mode_count"), col("n_segments"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q38Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      |  FROM customer GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_nationkey, c_mktsegment, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cnt DESC, c_mktsegment) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_segments
+      |  FROM c)
+      |SELECT c_nationkey AS nationkey, c_mktsegment AS mode_segment,
+      |  cnt AS mode_count, CAST(n_segments AS BIGINT) AS n_segments
+      |FROM r WHERE rn = 1 ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_drawdown" -> (q37 _),
+    "q38_mode" -> (q38 _),
     "q33_lateral_topk" -> (q33 _),
     "q34_frequent_pairs" -> (q34 _),
     "q35_running_distinct" -> (q35 _),
@@ -1120,6 +1212,8 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q37_drawdown" -> q37Sql,
+    "q38_mode" -> q38Sql,
     "q33_lateral_topk" -> q33Sql,
     "q34_frequent_pairs" -> q34Sql,
     "q35_running_distinct" -> q35Sql,

@@ -588,7 +588,128 @@ object ValidationQueries {
       |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_sig
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v15_benford — Benford's-law first-digit screening over order values:
+  // the fraud/synthetic-data smell test a QA layer runs on monetary
+  // columns. Everything stays integral: cents = floor(price·100) in IEEE
+  // double (identical across engines), the first significant digit comes
+  // from the BIGINT's decimal string (integer→string is engine-stable;
+  // double→string is NOT — that's why the cast happens after flooring),
+  // observed shares are ppm by integer division, and the expected
+  // Benford shares are pinned LITERAL ppm constants (log10 across
+  // engines/libms is not bit-stable, so no runtime logs). One partial
+  // count per digit — a 9-row result at any scale.
+  def v15(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Seq(
+      (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+      (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+    val exp = spark.createDataFrame(expected).toDF("digit", "exp_ppm")
+    val digits = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // total joins in separately so digits with zero rows still get a
+    // non-null denominator
+    val total = digits.agg(sum(col("n")).as("total"))
+    broadcast(exp).join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("(coalesce(n, 0L) * 1000000L) div total").as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .withColumn("suspicious", abs(col("dev_ppm")) > 50000)
+      .orderBy(col("digit"))
+  }
+
+  private val v15Sql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |        FROM orders) WHERE cents > 0),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |e(digit, exp_ppm) AS (VALUES
+      |  (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939), (4, 96910),
+      |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      |SELECT e.digit, COALESCE(c.n, 0) AS n,
+      |  (COALESCE(c.n, 0) * 1000000) // total AS obs_ppm,
+      |  e.exp_ppm,
+      |  (COALESCE(c.n, 0) * 1000000) // total - e.exp_ppm AS dev_ppm,
+      |  abs((COALESCE(c.n, 0) * 1000000) // total - e.exp_ppm) > 50000
+      |    AS suspicious
+      |FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+      |ORDER BY e.digit""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v16_anomaly_mad — robust daily-volume anomaly detection
+  // (median/MAD): the data-quality monitor that survives the outliers a
+  // mean/stddev z-score is wrecked by. Events reduce to one count per
+  // day FIRST (the only full-data pass); the median and the MAD are the
+  // exact lower medians over the ≤hundreds-row day table via q26's
+  // rank-at-ceil(n/2) — the single-partition windows run on day
+  // cardinality, never on events. The 3·1.4826·MAD threshold is exact
+  // integer cross-multiplication (|x−med|·10000 > 44478·MAD) — no float
+  // in the flag.
+  def v16(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      GraftColumnBridge.column(IntegralDivide(
+        GraftColumnBridge.expression(graft.streaming.Streaming.tsMicros(col("ts"))),
+        Literal(86400000000L))).cast("long")
+    }
+    val daily = Tables.events(spark, dir)
+      .select(day.as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(lit(1))
+    def lowerMedian(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+      val w = Window.partitionBy(lit(1)).orderBy(col(valueCol), col(tieCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col(valueCol).as("median"))
+    }
+    val med = lowerMedian(daily, "cnt", "day")
+    val withDev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cnt") - col("median")))
+    val mad = lowerMedian(
+      withDev.select(col("dev").as("d"), col("day")), "d", "day")
+      .select(col("median").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .select(col("day"), col("cnt"), col("median").as("med"), col("mad"),
+        (col("dev") * 10000 > col("mad") * 44478).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val v16Sql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT day, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+      |    COUNT(*) OVER () AS m
+      |  FROM daily),
+      |med AS (SELECT cnt AS median FROM r WHERE rn = (m + 1) // 2),
+      |dev AS (
+      |  SELECT day, cnt, median, abs(cnt - median) AS dv
+      |  FROM daily CROSS JOIN med),
+      |r2 AS (
+      |  SELECT dv, ROW_NUMBER() OVER (ORDER BY dv, day) AS rn,
+      |    COUNT(*) OVER () AS m
+      |  FROM dev),
+      |mad AS (SELECT dv AS mad FROM r2 WHERE rn = (m + 1) // 2)
+      |SELECT day, cnt, CAST(median AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+      |  abs(cnt - median) * 10000 > mad * 44478 AS is_anomaly
+      |FROM dev CROSS JOIN mad
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_benford" -> (v15 _),
+    "v16_anomaly_mad" -> (v16 _),
     "v13_kanon" -> (v13 _),
     "v14_partition_checksums" -> (v14 _),
     "v12_fd_discovery" -> (v12 _),
@@ -605,6 +726,8 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v15_benford" -> v15Sql,
+    "v16_anomaly_mad" -> v16Sql,
     "v13_kanon" -> v13Sql,
     "v14_partition_checksums" -> v14Sql,
     "v12_fd_discovery" -> v12Sql,
