@@ -1235,7 +1235,102 @@ object CrossQueries {
       |  CAST(arg_max(cents, rn) AS BIGINT) AS last_cents
       |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x24_hierarchy_rollup — SUBTREE aggregation over an implicit N-level
+  // hierarchy (category trees, org charts, BOM structures): every node's
+  // total over all descendants. The join-free scale shape: each leaf
+  // emits its ≤7 ANCESTORS map-side (parent = key div 10 per level — an
+  // arithmetic hierarchy, so no parent table is even read), and one
+  // partial-agg groupBy on the ancestor key does the rest. No recursive
+  // self-join, no driver iteration; at 100× the fan-out stays a
+  // constant ×depth before the only exchange. The oracle builds the
+  // same ancestor list per row and unnests it.
+  def x24(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("cents"))
+    // integral `div`, not `/` (double division would go through IEEE)
+    val ancestors = array((0 to 6).map(i =>
+      expr(s"p_partkey div ${math.pow(10, i).toLong}L")): _*)
+    p.select(col("cents"), explode(ancestors).as("node"))
+      .filter(col("node") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("cents")).as("subtree_cents"))
+      .orderBy(col("node"))
+  }
+
+  private val x24Sql =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part),
+      |a AS (
+      |  SELECT cents, UNNEST([p_partkey, p_partkey // 10, p_partkey // 100,
+      |    p_partkey // 1000, p_partkey // 10000, p_partkey // 100000,
+      |    p_partkey // 1000000]) AS node
+      |  FROM p)
+      |SELECT node, COUNT(*) AS n_desc,
+      |  CAST(SUM(cents) AS BIGINT) AS subtree_cents
+      |FROM a WHERE node > 0
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x25_revenue_recognition — calendarization: each line's revenue is
+  // recognized EVENLY across the months from order to ship date, with
+  // the integer remainder credited to the EARLIEST months (x19's
+  // exact-split convention — per-line shares sum to the line's cents
+  // exactly, so the monthly ledger reconciles to the fact table to the
+  // cent). Shapes: one orderkey equi-join to fetch the order date, a
+  // ≤6-wide month fan-out MAP-SIDE (TPC-H ship lag is ≤ ~4 months),
+  // then (month, share) partials into a month-cardinality result — the
+  // exchange never carries the fan-out.
+  def x25(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        trunc(col("l_shipdate"), "MM").as("ship_m"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), trunc(col("o_orderdate"), "MM").as("order_m"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("nm", greatest(
+        (months_between(col("ship_m"), col("order_m")) + 1).cast("long"), lit(1L)))
+      .select(col("cents"), col("nm"), col("order_m"),
+        posexplode(sequence(lit(0L), col("nm") - 1)).as(Seq("pos", "i")))
+      .select(
+        date_format(add_months(col("order_m"), col("i").cast("int")), "yyyy-MM")
+          .as("month"),
+        (expr("cents div nm") +
+          when(col("i") < expr("cents % nm"), 1L).otherwise(0L)).as("share"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_line_months"), sum(col("share")).as("recognized_cents"))
+      .orderBy(col("month"))
+  }
+
+  private val x25Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    date_trunc('month', l_shipdate) AS ship_m
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT cents,
+      |    GREATEST(datediff('month', order_m, ship_m) + 1, 1) AS nm, order_m
+      |  FROM li JOIN (
+      |    SELECT o_orderkey, date_trunc('month', o_orderdate) AS order_m
+      |    FROM orders) o ON l_orderkey = o_orderkey),
+      |f AS (
+      |  SELECT cents, nm, order_m,
+      |    UNNEST(range(0, nm)) AS i
+      |  FROM j)
+      |SELECT strftime(order_m + to_months(CAST(i AS INTEGER)), '%Y-%m') AS month,
+      |  COUNT(*) AS n_line_months,
+      |  CAST(SUM(cents // nm
+      |    + CASE WHEN i < cents % nm THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS recognized_cents
+      |FROM f GROUP BY 1 ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_hierarchy_rollup" -> (x24 _),
+    "x25_revenue_recognition" -> (x25 _),
     "x21_fifo_allocation" -> (x21 _),
     "x22_streaks" -> (x22 _),
     "x23_ewma" -> (x23 _),
@@ -1262,6 +1357,8 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x24_hierarchy_rollup" -> x24Sql,
+    "x25_revenue_recognition" -> x25Sql,
     "x21_fifo_allocation" -> x21Sql,
     "x22_streaks" -> x22Sql,
     "x23_ewma" -> x23Sql,

@@ -411,7 +411,53 @@ object StreamingQueries {
       |WHERE user_id IS NOT NULL
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st16_stream_semi_join — stream-stream LEFT SEMI interval join
+  // (streaming EXISTS): completes the join-type family (st4 inner, st11
+  // left outer, st12 full outer). Emission is match-triggered, so the
+  // full drain equals batch EXISTS with no watermark term in the oracle.
+  def st16(spark: SparkSession, dir: String): DataFrame =
+    Streaming.viewPurchaseSemi(spark, dir)
+      .orderBy(col("user_id"), col("view_id"))
+
+  private val st16Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |v AS (SELECT user_id, event_id AS view_id, tsu FROM e
+      |      WHERE event_type = 'view'),
+      |p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.view_id FROM v
+      |WHERE EXISTS (SELECT 1 FROM p
+      |  WHERE p.user_id = v.user_id
+      |    AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 1800000000)
+      |ORDER BY v.user_id, v.view_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // st17_window_chain — two CHAINED windowed aggregations in one query
+  // (hour → day rollup): the outer aggregate consumes the inner's
+  // emitted hour rows, so rollup cost is hour-cardinality, independent
+  // of stream volume. Oracle applies the append-mode cutoff at day
+  // boundaries (day_end ≤ max − 1h), the st7 convention one level up.
+  def st17(spark: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyThenDaily(spark, dir)
+      .orderBy(col("day"), col("event_type"))
+
+  private val st17Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events),
+      |m AS (SELECT max(tsu) - 3600000000 AS wm FROM e),
+      |h AS (SELECT tsu // 3600000000 AS hidx, event_type, COUNT(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |d AS (SELECT hidx // 24 AS didx, event_type,
+      |        CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours
+      |      FROM h GROUP BY 1, 2)
+      |SELECT strftime(make_timestamp(didx * 86400000000), '%Y-%m-%d') AS day,
+      |  event_type, n_events, n_hours
+      |FROM d, m WHERE (didx + 1) * 86400000000 <= wm
+      |ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_semi_join" -> (st16 _),
+    "st17_window_chain" -> (st17 _),
     "st14_tws_lastn" -> (st14 _),
     "st15_dedup_within_wm" -> (st15 _),
     "st13_lake_merge" -> (st13 _),
@@ -429,6 +475,8 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st16_stream_semi_join" -> st16Sql,
+    "st17_window_chain" -> st17Sql,
     "st14_tws_lastn" -> st14Sql,
     "st15_dedup_within_wm" -> st15Sql,
     "st13_lake_merge" -> st13Sql,

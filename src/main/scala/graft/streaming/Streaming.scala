@@ -683,6 +683,58 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, joined)
   }
 
+  /** The interval join in LEFT SEMI form — streaming EXISTS: a view
+    * emits (once) as soon as a purchase lands in its 30-minute window,
+    * and carries no purchase columns, so the join buffers the right
+    * side only for membership. Unlike the outer form, emission is
+    * match-triggered rather than eviction-triggered, so a full
+    * AvailableNow drain equals the batch EXISTS exactly with no
+    * watermark arithmetic in the oracle — while the watermark still
+    * bounds both sides' state for the infinite-stream case. */
+  def viewPurchaseSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_sssj_${queryCounter.incrementAndGet()}"
+    val base = eventsStream(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+    val views = base.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("event_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+      .select(col("user_id"), col("view_id"))
+    drainToLocal(spark, name, OutputMode.Append, joined)
+  }
+
+  /** CHAINED windowed aggregations — hourly counts rolled up into daily
+    * totals inside ONE streaming query (two stateful aggregates, the
+    * Spark 3.4+ multi-aggregation pattern; st7 chains dedup→agg, this
+    * chains agg→agg). The inner group keys the raw stream by the
+    * 1-hour window; the outer groups the EMITTED hourly rows by a
+    * 1-day window over the hour-window column, so the watermark tag
+    * propagates and each day finalizes once the watermark passes its
+    * end. The scale point: the second aggregate's input is hour
+    * cardinality, not events — the rollup cost is independent of
+    * stream volume, exactly like a batch two-level rollup. */
+  def hourlyThenDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_chain_${queryCounter.incrementAndGet()}"
+    val stream = eventsStream(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_hours"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("n_hours"))
+    drainToLocal(spark, name, OutputMode.Append, stream)
+  }
+
   /** The interval join above in LEFT OUTER form — the semantically
     * distinct streaming operator: a view with no purchase in its
     * 30-minute window emits a null-extended row, and the EMISSION

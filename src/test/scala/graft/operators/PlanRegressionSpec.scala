@@ -43,9 +43,13 @@ class PlanRegressionSpec extends SparkSpec {
                               // non-equi as-of join (eff_from <= probe)
     "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
     "q34_frequent_pairs" -> 1, // 1-row basket-count aggregate (lift denom)
-    "x4_skyline" -> 1)        // dominance anti-join over per-customer
+    "x4_skyline" -> 1,        // dominance anti-join over per-customer
                               // aggregates (dimension-sized by design;
                               // Skyline.twoPhase is the big-input path)
+    "v15_benford" -> 1,       // 1-row total-count aggregate (ppm denom)
+    "v16_anomaly_mad" -> 3)   // 1-row median + MAD scalar frames (the
+                              // MAD branch re-derives the median tree,
+                              // so the 1-row broadcast appears 3×
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants for the round-5 session-5 gates that the hash oracles
+  * can't express directly: FIFO conservation, exact-split
+  * reconciliation, hierarchy partition totals, PPR mass properties, and
+  * k-means membership accounting.
+  */
+class Round5Session5Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x21 FIFO allocation is exactly min(supply, demand) per key") {
+    val rows = CrossQueries.queries("x21_fifo_allocation")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (supply, demand, allocated) =
+        (r.getAs[Long]("supply"), r.getAs[Long]("demand"), r.getAs[Long]("allocated"))
+      // FIFO over cumulative intervals [0,S)×[0,D) always allocates the
+      // full overlap — anything less means the staircase join dropped a pair
+      assert(allocated === math.min(supply, demand),
+        s"part ${r.getLong(0)}: allocated $allocated != min($supply, $demand)")
+      assert(r.getAs[Long]("leftover") >= 0 && r.getAs[Long]("unfilled") >= 0)
+      assert(r.getAs[Long]("leftover") == 0L || r.getAs[Long]("unfilled") == 0L)
+    }
+  }
+
+  test("x22 streak accounting: longest <= active days, last_day is max") {
+    val rows = CrossQueries.queries("x22_streaks")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (active, streaks, longest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest <= active && longest >= 1)
+      assert(streaks <= active, "more streaks than active days")
+      // n streaks of total length `active`: longest >= ceil(active/streaks)
+      assert(longest >= (active + streaks - 1) / streaks)
+    }
+  }
+
+  test("x23 EWMA stays inside the per-customer cents envelope") {
+    import spark.implicits._
+    val bounds = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(floor(col("o_totalprice") * 100).cast("long")).as("lo"),
+        max(floor(col("o_totalprice") * 100).cast("long")).as("hi"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = CrossQueries.queries("x23_ewma")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cust, ewma) = (r.getLong(0), r.getLong(2))
+      val (lo, hi) = bounds(cust)
+      // a convex combination of observed values (truncation only pulls
+      // down by < 1 millicent per step) cannot escape the envelope
+      assert(ewma >= lo * 1000L - 1000L && ewma <= hi * 1000L,
+        s"cust $cust: ewma $ewma outside [${lo * 1000}, ${hi * 1000}]")
+    }
+  }
+
+  test("x24 top-level subtrees partition the whole part table") {
+    val rows = CrossQueries.queries("x24_hierarchy_rollup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // partkey 0 is the (virtual) root — its own row has no positive
+    // ancestor and is deliberately outside every subtree
+    val total = graft.Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 1)
+      .agg(sum(floor(col("p_retailprice") * 100).cast("long")),
+        count(lit(1))).collect().head
+    // every part with key >= 1 has exactly one ancestor in 1..9, so the
+    // nine top-level subtrees partition the table — counts and cents
+    // both reconcile
+    val top = rows.filter(r => r._1 >= 1 && r._1 <= 9)
+    assert(top.map(_._2).sum === total.getLong(1))
+    assert(top.map(_._3).sum === total.getLong(0))
+  }
+
+  test("x25 recognized revenue reconciles to lineitem cents exactly") {
+    val recognized = CrossQueries.queries("x25_revenue_recognition")(spark, dir)
+      .agg(sum(col("recognized_cents"))).collect().head.getLong(0)
+    val fact = graft.Tables.lineitem(spark, dir)
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(recognized === fact, "calendarized ledger != fact table")
+  }
+
+  test("s18 PPR: seeds carry at least the final teleport, non-seeds only inflow") {
+    val out = SimilarityQueries.queries("s18_ppr")(spark, dir).collect()
+    assert(out.nonEmpty)
+    var seedMass = 0L; var otherMass = 0L
+    out.foreach { r =>
+      val (v, m) = (r.getLong(0), r.getLong(1))
+      assert(m >= 0L)
+      if (v % 97 == 0) { assert(m >= 250000L, s"seed $v mass $m"); seedMass += m }
+      else otherMass += m
+    }
+    assert(seedMass > 0L)
+    // 3/4 damping + truncation: total mass can never exceed seeds' worth
+    val nSeeds = out.count(_.getLong(0) % 97 == 0)
+    assert(seedMass + otherMass <= nSeeds * 2000000L)
+  }
+
+  test("s19 k-means members account for every vector; inertia nonnegative") {
+    val out = SimilarityQueries.queries("s19_kmeans")(spark, dir).collect()
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(out.map(_.getLong(1)).sum === n)
+    assert(out.forall(_.getLong(2) >= 0L))
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
+  test("q37 drawdown bounds: 0 <= max_drawdown, final_cum <= peak") {
+    val rows = RelationalQueries.queries("q37_drawdown")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, dd, fin) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dd >= 0L)
+      assert(fin <= peak)
+      assert(dd >= peak - fin, "drawdown must cover the final deficit")
+    }
+  }
+
+  test("v15 Benford ppm shares sum to ~1e6 and counts to the total") {
+    val rows = ValidationQueries.queries("v15_benford")(spark, dir).collect()
+    assert(rows.length === 9)
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    // integer division loses < 1 ppm per digit
+    assert(obsSum >= 1000000L - 9 && obsSum <= 1000000L)
+    val total = graft.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+  }
+
+  test("v16 anomaly flag is exactly the integer MAD rule") {
+    val rows = ValidationQueries.queries("v16_anomaly_mad")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, med, mad, flag) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(flag === (math.abs(cnt - med) * 10000L > mad * 44478L))
+    }
+  }
+
+  test("st16 semi join emits exactly the inner join's distinct views") {
+    val semi = StreamingQueries.queries("st16_stream_semi_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = graft.streaming.Streaming.viewPurchaseJoin(spark, dir)
+      .select(col("user_id"), col("view_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semi === inner, "semi-join view set != inner-join distinct views")
+  }
+
+  test("st17 daily rollup equals an independent batch rollup with the cutoff") {
+    val out = StreamingQueries.queries("st17_window_chain")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val tsu = graft.streaming.Streaming.tsMicros(col("ts"))
+    val e = graft.Tables.events(spark, dir)
+      .select(tsu.as("tsu"), col("event_type"))
+    val wm = e.agg(max(col("tsu"))).collect().head.getLong(0) - 3600000000L
+    val batch = e
+      .withColumn("hidx", expr("tsu div 3600000000"))
+      .groupBy(col("hidx"), col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("didx", expr("hidx div 24"))
+      .filter((col("didx") + 1) * 86400000000L <= wm)
+      .groupBy(col("didx"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"))
+      .select(date_format(timestamp_micros(col("didx") * 86400000000L), "yyyy-MM-dd"),
+        col("event_type"), col("n_events"), col("n_hours"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === batch)
+  }
+}
