@@ -1328,7 +1328,74 @@ object CrossQueries {
       |    AS recognized_cents
       |FROM f GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x26_ab_lift — experiment readout: users split into two variants
+  // (deterministic user_id parity — the hash-bucket assignment every
+  // experimentation system uses), conversion = a purchase within 30
+  // minutes of a preceding view (x5's as-of semantics), and per-variant
+  // rates in exact ppm with the lift left to the consumer. The scale
+  // shape is the x5 window, not a view×purchase join: ONE user-sorted
+  // exchange computes the last-preceding-view column, per-user flags
+  // collapse in the same pass's aggregate, and the final variant
+  // table is 2 rows. Conversion is a user-level (not event-level)
+  // metric, so double-purchasers don't double-count.
+  def x26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = e
+      .withColumn("pv_ts",
+        last(when(col("event_type") === "view", col("tsu")), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("exposed"),
+        max(when(col("event_type") === "purchase" && col("pv_ts").isNotNull &&
+          col("tsu") - col("pv_ts") <= 30L * 60L * 1000000L, 1L).otherwise(0L))
+          .as("converted"))
+    flagged
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("exposed")).as("n_exposed"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_ppm",
+        when(col("n_exposed") > 0,
+          expr("(n_converted * 1000000L) div n_exposed")).otherwise(0L))
+      .orderBy(col("variant"))
+  }
+
+  private val x26Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |f AS (
+      |  SELECT user_id, event_type, tsu,
+      |    last_value(CASE WHEN event_type = 'view' THEN tsu END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv_ts
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+      |    MAX(CASE WHEN event_type = 'purchase' AND pv_ts IS NOT NULL
+      |      AND tsu - pv_ts <= 30 * 60 * 1000000 THEN 1 ELSE 0 END) AS converted
+      |  FROM f GROUP BY 1)
+      |SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+      |  CAST(SUM(exposed) AS BIGINT) AS n_exposed,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  CASE WHEN SUM(exposed) > 0
+      |    THEN (CAST(SUM(converted) AS BIGINT) * 1000000)
+      |      // CAST(SUM(exposed) AS BIGINT)
+      |    ELSE 0 END AS conv_ppm
+      |FROM u GROUP BY 1 ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_ab_lift" -> (x26 _),
     "x24_hierarchy_rollup" -> (x24 _),
     "x25_revenue_recognition" -> (x25 _),
     "x21_fifo_allocation" -> (x21 _),
@@ -1357,6 +1424,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x26_ab_lift" -> x26Sql,
     "x24_hierarchy_rollup" -> x24Sql,
     "x25_revenue_recognition" -> x25Sql,
     "x21_fifo_allocation" -> x21Sql,

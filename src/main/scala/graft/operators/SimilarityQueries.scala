@@ -1141,7 +1141,87 @@ object SimilarityQueries {
        |  USING (cid)
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s20_modularity — community-quality MODULARITY of the label partition
+  // over the undirected k-NN graph, per community in exact ppm:
+  // Q_c = e_c/m − (deg_c/2m)², the evaluation metric for every
+  // clustering/community step (s8, s11/s12, d14). All integer: the two
+  // terms are computed by cross-multiplied integer division, so the gate
+  // is engine-exact with no floats. Shapes: the undirected edge list is
+  // the (least, greatest)-deduped knn output; per-community edge counts
+  // need the two endpoint labels — two label equi-joins against the
+  // vec-cardinality label table — then everything aggregates to
+  // #labels rows. Only (edge, label) scalars shuffle; m rides in on a
+  // 1-row broadcast. deg_c² · 1e6 stays in long range to ~10⁷ edges at
+  // this graph's degree cap.
+  def s20(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnEdges(spark, dir, k = 3).select(col("vec_id"), col("nbr_id"))
+    val und = knn.select(
+      least(col("vec_id"), col("nbr_id")).as("a"),
+      greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val lab = und
+      .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), Seq("b"))
+    val eIn = lab.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("deg_sum"))
+    val nodes = lbl.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(deg, Seq("label"), "left")
+      .join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (expr("(coalesce(e_in, 0L) * 1000000L) div m") -
+          expr("(coalesce(deg_sum, 0L) * coalesce(deg_sum, 0L) * 1000000L) div (4L * m * m)"))
+          .as("q_ppm"))
+      .orderBy(col("label"))
+  }
+
+  private val s20Sql =
+    s"""WITH $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |knn AS (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(vec_id, nbr) AS a, greatest(vec_id, nbr) AS b
+       |        FROM knn),
+       |mm AS (SELECT COUNT(*) AS m FROM und),
+       |lab AS (
+       |  SELECT u.a, u.b, na.label AS la, nb.label AS lb
+       |  FROM und u JOIN n na ON u.a = na.vec_id JOIN n nb ON u.b = nb.vec_id),
+       |ein AS (SELECT la AS label, COUNT(*) AS e_in FROM lab
+       |        WHERE la = lb GROUP BY 1),
+       |dg AS (
+       |  SELECT label, COUNT(*) AS deg_sum FROM (
+       |    SELECT na.label FROM und u JOIN n na ON u.a = na.vec_id
+       |    UNION ALL
+       |    SELECT nb.label FROM und u JOIN n nb ON u.b = nb.vec_id) t
+       |  GROUP BY 1),
+       |nd AS (SELECT label, COUNT(*) AS n_nodes FROM n GROUP BY 1)
+       |SELECT nd.label, nd.n_nodes,
+       |  COALESCE(dg.deg_sum, 0) AS deg_sum,
+       |  COALESCE(ein.e_in, 0) AS e_in,
+       |  (COALESCE(ein.e_in, 0) * 1000000) // m
+       |    - (COALESCE(dg.deg_sum, 0) * COALESCE(dg.deg_sum, 0) * 1000000)
+       |      // (4 * m * m) AS q_ppm
+       |FROM nd LEFT JOIN dg USING (label) LEFT JOIN ein USING (label)
+       |CROSS JOIN mm
+       |ORDER BY nd.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_modularity" -> (s20 _),
     "s18_ppr" -> (s18 _),
     "s19_kmeans" -> (s19 _),
     "s17_weighted_paths" -> (s17 _),
@@ -1163,6 +1243,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s20_modularity" -> s20Sql,
     "s18_ppr" -> s18Sql,
     "s19_kmeans" -> s19Sql,
     "s17_weighted_paths" -> s17Sql,

@@ -1305,7 +1305,61 @@ object TextQueries {
       |  CAST(SUM(ABS(w)) AS BIGINT) AS l1
       |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t30_ngram_novelty — per-document NOVELTY scoring: the fraction of a
+  // doc's distinct 3-gram shingles whose FIRST corpus occurrence (by
+  // doc_id order) is this doc — the curation signal that separates
+  // original content from recombined boilerplate, and the per-doc dual
+  // of d13's span scrubbing. Shapes: shingling + dedup + hashing happen
+  // entirely MAP-SIDE inside one higher-order projection (text never
+  // shuffles — only 60-bit shingle hashes do); global first-owner is a
+  // min-combine per hash; the ownership join keys on the same hash, so
+  // at 100× both exchanges carry shingle-cardinality scalars. md5-hex
+  // hashing is the t29/v14 bit-portable convention.
+  def t30(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("ts")) - 3),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2),
+            element_at(col("ts"), i + 3))), 1, 15), 16, 10).cast("long"))))
+          .as("h"))
+    val owner = sh.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owner, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t30Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts
+      |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_distinct(list_transform(range(0, len(ts) - 2),
+      |      i -> CAST(CAST(concat('0x', substr(md5(
+      |             concat_ws(' ', ts[i + 1], ts[i + 2], ts[i + 3])), 1, 15))
+      |           AS UBIGINT) AS BIGINT)))) AS h
+      |  FROM d),
+      |o AS (SELECT h, MIN(doc_id) AS owner FROM g GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS novelty_ppm
+      |FROM g JOIN o USING (h)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_ngram_novelty" -> (t30 _),
     "t28_inverted_index" -> (t28 _),
     "t29_feature_hash" -> (t29 _),
     "t27_lm_score" -> (t27 _),
@@ -1337,6 +1391,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t30_ngram_novelty" -> t30Sql,
     "t28_inverted_index" -> t28Sql,
     "t29_feature_hash" -> t29Sql,
     "t27_lm_score" -> t27Sql,

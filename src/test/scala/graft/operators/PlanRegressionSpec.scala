@@ -47,6 +47,7 @@ class PlanRegressionSpec extends SparkSpec {
                               // aggregates (dimension-sized by design;
                               // Skyline.twoPhase is the big-input path)
     "v15_benford" -> 1,       // 1-row total-count aggregate (ppm denom)
+    "s20_modularity" -> 1,    // 1-row edge-count aggregate (2m denom)
     "v16_anomaly_mad" -> 3)   // 1-row median + MAD scalar frames (the
                               // MAD branch re-derives the median tree,
                               // so the 1-row broadcast appears 3×

@@ -147,6 +147,42 @@ class Round5Session5Spec extends SparkSpec {
     assert(semi === inner, "semi-join view set != inner-join distinct views")
   }
 
+  test("t30 novelty: totals reconcile to corpus-distinct shingles") {
+    val rows = TextQueries.queries("t30_ngram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sh, nov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nov >= 0 && nov <= sh)
+      assert(ppm === nov * 1000000L / sh)
+    }
+    // every distinct corpus shingle has exactly one first owner
+    val novelSum = rows.map(_.getLong(2)).sum
+    val shingleSum = rows.map(_.getLong(1)).sum
+    assert(novelSum > 0 && novelSum <= shingleSum)
+  }
+
+  test("s20 modularity: degree totals are 2m and Q is bounded") {
+    val rows = SimilarityQueries.queries("s20_modularity")(spark, dir).collect()
+    val degTotal = rows.map(_.getAs[Long]("deg_sum")).sum
+    val eInTotal = rows.map(_.getAs[Long]("e_in")).sum
+    // deg_sum counts each undirected edge twice; within-edges at most m
+    assert(degTotal % 2 === 0L)
+    assert(eInTotal <= degTotal / 2)
+    // Q = sum of contributions is in (-1e6, 1e6) by definition
+    val q = rows.map(_.getAs[Long]("q_ppm")).sum
+    assert(q > -1000000L && q < 1000000L)
+  }
+
+  test("x26 A/B readout: conversions subset exposures subset users") {
+    val rows = CrossQueries.queries("x26_ab_lift")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val (users, exp, conv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(conv <= exp && exp <= users)
+      assert(r.getLong(4) === (if (exp > 0) conv * 1000000L / exp else 0L))
+    }
+  }
+
   test("st17 daily rollup equals an independent batch rollup with the cutoff") {
     val out = StreamingQueries.queries("st17_window_chain")(spark, dir)
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
