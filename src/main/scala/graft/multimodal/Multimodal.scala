@@ -210,6 +210,42 @@ object Multimodal {
     }
   }
 
+  final case class SceneCuts(
+      media_id: Long, n_frames: Int, n_cuts: Int, n_scenes: Int)
+
+  /** Scene-cut detection over video blobs: frame into `frameLen`-byte
+    * units, checksum each frame (the m4 modular fold), and declare a cut
+    * where the (current, previous) checksum pair falls in a fixed
+    * residue band — the STUBBED stand-in for a real frame-difference
+    * metric (the decode is [[FakeCodec]]'s identity; the framing,
+    * sequential temporal-diff pass, and per-blob summary are the real
+    * Spark-side plumbing). Like [[segmentAudio]], the per-frame loop
+    * runs INSIDE the typed map — frames of one blob never become rows,
+    * so nothing per-frame is shuffled and blob bytes stay map-side. */
+  def sceneCuts(media: Dataset[MediaRecord], frameLen: Int): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val bytes = FakeCodec.decode(r.content)
+        val nFrames = (bytes.length + frameLen - 1) / frameLen
+        var i = 0
+        var prev = -1L
+        var cuts = 0
+        while (i < nFrames) {
+          val start = i * frameLen
+          val end = math.min(start + frameLen, bytes.length)
+          var cs = 0L
+          var j = start
+          while (j < end) { cs = (cs * 31 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+          if (i > 0 && (cs * 31 + prev) % 997 < 100) cuts += 1
+          prev = cs
+          i += 1
+        }
+        SceneCuts(r.media_id, nFrames, cuts, if (nFrames == 0) 0 else cuts + 1)
+      }
+    }
+  }
+
   /** 64-bit perceptual signature, split 32/32 so every value stays
     * non-negative in engines without unsigned 64-bit (the d3/d6 packed-
     * long convention). */

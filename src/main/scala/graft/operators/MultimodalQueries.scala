@@ -325,7 +325,59 @@ object MultimodalQueries {
       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m7_scene_cuts — video scene-cut detection: 256-byte frames,
+  // consecutive-frame checksum pairs in a fixed residue band mark cuts
+  // (the deterministic stand-in for a real frame-diff metric — the
+  // decode is the stubbed identity, the framing + sequential
+  // temporal-diff pass + per-blob summary are the real plumbing). The
+  // per-frame loop runs inside the typed map like m5 — frames never
+  // become rows, bytes never shuffle, one summary row per blob leaves
+  // the stage. Oracle recomputes frames + lag relationally: two very
+  // different plans that must agree bit-for-bit.
+  def m7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sceneCuts(
+      Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+        .as[Multimodal.MediaRecord]
+        .filter(col("kind") === lit("video")),
+      frameLen = 256)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  private val m7Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE n_chars % 3 = 2),
+      |fr AS (
+      |  SELECT media_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+      |  FROM media),
+      |cs AS (
+      |  SELECT media_id, i,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) + 1),
+      |        j -> CAST(ascii(substr(substr(text, CAST(i * 256 + 1 AS INTEGER), 256),
+      |               CAST(j AS INTEGER), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS cksum
+      |  FROM fr),
+      |d AS (
+      |  SELECT media_id, i, cksum,
+      |    lag(cksum) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      |  FROM cs),
+      |agg AS (
+      |  SELECT media_id, COUNT(*) AS n_frames,
+      |    SUM(CASE WHEN prev IS NOT NULL AND (cksum * 31 + prev) % 997 < 100
+      |      THEN 1 ELSE 0 END) AS n_cuts
+      |  FROM d GROUP BY 1)
+      |SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames,
+      |  CAST(n_cuts AS INTEGER) AS n_cuts,
+      |  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE n_cuts + 1 END AS INTEGER)
+      |    AS n_scenes
+      |FROM agg ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_scene_cuts" -> (m7 _),
     "m6_phash_neardup" -> (m6 _),
     "m5_audio_segments" -> (m5 _),
     "m4_frame_table" -> (m4 _),
@@ -334,6 +386,7 @@ object MultimodalQueries {
     "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "m7_scene_cuts" -> m7Sql,
     "m6_phash_neardup" -> m6Sql,
     "m5_audio_segments" -> m5Sql,
     "m4_frame_table" -> m4Sql,

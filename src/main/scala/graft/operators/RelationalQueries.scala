@@ -1172,7 +1172,75 @@ object RelationalQueries {
       |  cnt AS mode_count, CAST(n_segments AS BIGINT) AS n_segments
       |FROM r WHERE rn = 1 ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39_quartiles — the exact INTERPOLATED percentile family
+  // (percentile_cont semantics) without a float in sight: for quartile
+  // q at 0-indexed position p = (n−1)·q/4, the answer interpolates
+  // between ranks ⌊p⌋ and ⌈p⌉ with fraction (n−1)·q mod 4 quarters —
+  // all integer, in millicents, so both engines agree bit-for-bit
+  // (their native percentile_cont/quantile_cont would interpolate in
+  // IEEE double with engine-specific association). One rank window per
+  // nation + one conditional aggregate; q26 pins the exact median, this
+  // pins the family. Values are cents (floor(acctbal·100)).
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cents"), col("c_custkey"))
+    val ranked = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_nationkey"))))
+    // exact integral divide (Column / is IEEE double division)
+    def intDiv4(c: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      GraftColumnBridge.column(IntegralDivide(
+        GraftColumnBridge.expression(c), Literal(4L))).cast("long")
+    }
+    def quartile(q: Int): Column = {
+      val lo = expr(s"((n - 1) * $q) div 4")
+      val frac = expr(s"((n - 1) * $q) % 4")
+      val loV = max(when(col("rn") === lo, col("cents")))
+      val hiV = max(when(col("rn") === lo + when(frac > 0, 1L).otherwise(0L),
+        col("cents")))
+      (loV * 1000L + intDiv4((hiV - loV) * lit(1000L) * max(frac))).cast("long")
+    }
+    ranked.groupBy(col("c_nationkey"))
+      .agg(max(col("n")).as("n_cust"),
+        quartile(1).as("q1_millicents"),
+        quartile(2).as("q2_millicents"),
+        quartile(3).as("q3_millicents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q39Sql =
+    """WITH r AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey) - 1 AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM customer)
+      |SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n_cust,
+      |  CAST(MAX(CASE WHEN rn = ((n-1) * 1) // 4 THEN cents END) * 1000
+      |    + (MAX(CASE WHEN rn = ((n-1) * 1) // 4
+      |          + CASE WHEN ((n-1) * 1) % 4 > 0 THEN 1 ELSE 0 END THEN cents END)
+      |       - MAX(CASE WHEN rn = ((n-1) * 1) // 4 THEN cents END))
+      |      * 1000 * MAX(((n-1) * 1) % 4) // 4 AS BIGINT) AS q1_millicents,
+      |  CAST(MAX(CASE WHEN rn = ((n-1) * 2) // 4 THEN cents END) * 1000
+      |    + (MAX(CASE WHEN rn = ((n-1) * 2) // 4
+      |          + CASE WHEN ((n-1) * 2) % 4 > 0 THEN 1 ELSE 0 END THEN cents END)
+      |       - MAX(CASE WHEN rn = ((n-1) * 2) // 4 THEN cents END))
+      |      * 1000 * MAX(((n-1) * 2) % 4) // 4 AS BIGINT) AS q2_millicents,
+      |  CAST(MAX(CASE WHEN rn = ((n-1) * 3) // 4 THEN cents END) * 1000
+      |    + (MAX(CASE WHEN rn = ((n-1) * 3) // 4
+      |          + CASE WHEN ((n-1) * 3) % 4 > 0 THEN 1 ELSE 0 END THEN cents END)
+      |       - MAX(CASE WHEN rn = ((n-1) * 3) // 4 THEN cents END))
+      |      * 1000 * MAX(((n-1) * 3) % 4) // 4 AS BIGINT) AS q3_millicents
+      |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_quartiles" -> (q39 _),
     "q37_drawdown" -> (q37 _),
     "q38_mode" -> (q38 _),
     "q33_lateral_topk" -> (q33 _),
@@ -1212,6 +1280,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q39_quartiles" -> q39Sql,
     "q37_drawdown" -> q37Sql,
     "q38_mode" -> q38Sql,
     "q33_lateral_topk" -> q33Sql,

@@ -183,6 +183,43 @@ class Round5Session5Spec extends SparkSpec {
     }
   }
 
+  test("q39 quartiles are ordered and the odd-n midpoint matches q26") {
+    val rows = RelationalQueries.queries("q39_quartiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q1, q2, q3) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(q1 <= q2 && q2 <= q3, s"nation ${r.getInt(0)}: unordered quartiles")
+    }
+    val medians = RelationalQueries.queries("q26_median_disc")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (n, q2) = (r.getLong(1), r.getLong(3))
+      val (nQ26, med) = medians(r.getInt(0))
+      assert(n === nQ26)
+      // odd n: the interpolation fraction is 0 and q2 is exactly the
+      // lower median in millicents
+      if (n % 2 == 1)
+        assert(q2 === math.floor(med * 100).toLong * 1000L,
+          s"nation ${r.getInt(0)}: q2 $q2 != median $med")
+    }
+  }
+
+  test("m7 scene accounting: frames from blob length, scenes = cuts + 1") {
+    val rows = MultimodalQueries.queries("m7_scene_cuts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lens = graft.Tables.documents(spark, dir)
+      .filter(col("n_chars") % 3 === 2)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, nf, cuts, scenes) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(nf === (lens(id) + 255) / 256, s"media $id: frame count")
+      assert(scenes === (if (nf == 0) 0 else cuts + 1))
+      assert(cuts <= math.max(nf - 1, 0))
+    }
+  }
+
   test("st17 daily rollup equals an independent batch rollup with the cutoff") {
     val out = StreamingQueries.queries("st17_window_chain")(spark, dir)
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
