@@ -1394,7 +1394,65 @@ object CrossQueries {
       |    ELSE 0 END AS conv_ppm
       |FROM u GROUP BY 1 ORDER BY variant""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x27_event_pathing — the clickstream TRANSITION MATRIX: within
+  // 30-minute sessions, count consecutive (from_type → to_type) steps —
+  // the input to Markov path models, funnel-drop diagnosis, and "next
+  // action" features. Sessionization is the st2 gaps-and-islands window
+  // (one user exchange); transitions are a lag over the SAME
+  // (user, session) ordering, so the window exchange is reused, and the
+  // final aggregate is type² cardinality. Events never shuffle twice.
+  def x27(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+      .withColumn("prev_ts", lag(col("tsu"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("tsu"), col("event_id"))
+    sess
+      .withColumn("from_type", lag(col("event_type"), 1).over(ws))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val x27Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, tsu,
+      |    CASE WHEN lag(tsu) OVER w IS NULL
+      |         OR tsu - lag(tsu) OVER w > 30 * 60 * 1000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |g AS (
+      |  SELECT user_id, event_id, event_type, tsu,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM s),
+      |t AS (
+      |  SELECT user_id, event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY tsu, event_id) AS from_type
+      |  FROM g)
+      |SELECT from_type, to_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM t WHERE from_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_event_pathing" -> (x27 _),
     "x26_ab_lift" -> (x26 _),
     "x24_hierarchy_rollup" -> (x24 _),
     "x25_revenue_recognition" -> (x25 _),
@@ -1424,6 +1482,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x27_event_pathing" -> x27Sql,
     "x26_ab_lift" -> x26Sql,
     "x24_hierarchy_rollup" -> x24Sql,
     "x25_revenue_recognition" -> x25Sql,

@@ -776,7 +776,53 @@ object DedupQueries {
       |    AS members
       |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d15_keepbest — CANONICAL SELECTION inside near-dup clusters: d5's
+  // connected components, but instead of summarizing, each cluster
+  // elects the document to KEEP — longest (n_chars), ties to the
+  // smallest doc_id — the policy step that turns "these are duplicates"
+  // into "this survives". The election is a max-struct partial
+  // aggregate over (component, (n_chars, −doc_id)) — no window over
+  // members, no second shuffle: metadata joins in by doc_id, the
+  // component key carries everything. The oracle rebuilds components by
+  // recursive reachability and elects with a rank window — two very
+  // different plans, one answer.
+  def d15(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    val comp = ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    comp.join(meta, comp("id") === meta("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.nid")).as("kept_doc"),
+        col("best.nc").as("kept_chars"))
+      .orderBy(col("component"))
+  }
+
+  private val d15Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |m AS (
+       |  SELECT c.component, c.id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, c.id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.component) AS nm
+       |  FROM comp c JOIN documents d ON c.id = d.doc_id)
+       |SELECT component, CAST(nm AS BIGINT) AS n_members,
+       |  id AS kept_doc, n_chars AS kept_chars
+       |FROM m WHERE rn = 1 ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_keepbest" -> (d15 _),
     "d12_cdc_chunks" -> (d12 _),
     "d13_span_scrub" -> (d13 _),
     "d14_entity_clusters" -> (d14 _),
@@ -794,6 +840,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d15_keepbest" -> d15Sql,
     "d12_cdc_chunks" -> d12Sql,
     "d13_span_scrub" -> d13Sql,
     "d14_entity_clusters" -> d14Sql,

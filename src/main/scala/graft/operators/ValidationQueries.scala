@@ -707,7 +707,73 @@ object ValidationQueries {
       |FROM dev CROSS JOIN mad
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v17_ref_integrity — referential-integrity audit across the star
+  // schema's FK edges: orphan counts for lineitem→orders,
+  // lineitem→part, orders→customer, customer→nation. Each check is a
+  // LEFT ANTI against the parent's key projection — the parent side is
+  // keys only (never the wide row) and the small parents broadcast, so
+  // the audit costs one pass per fact even at 100 TB. The relation name
+  // is the row key, so adding FK edges is data, not schema.
+  def v17(spark: SparkSession, dir: String): DataFrame = {
+    // one pass per fact: LEFT JOIN against the parent's key projection
+    // with a hit marker — checked total and orphan count come out of the
+    // same aggregate, no driver-side action anywhere
+    def orphans(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, small: Boolean): DataFrame = {
+      val p0 = parent.select(col(pkey).as(key)).distinct()
+        .withColumn("hit", lit(1))
+      val p = if (small) broadcast(p0) else p0
+      child.select(col(key))
+        .join(p, Seq(key), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col(key).isNotNull && col("hit").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_checked"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    orphans("lineitem_orders", li, "l_orderkey", o, "o_orderkey", small = false)
+      .unionAll(orphans("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", small = true))
+      .unionAll(orphans("orders_customer", o, "o_custkey", c, "c_custkey",
+        small = true))
+      .unionAll(orphans("customer_nation", c, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", small = true))
+      .orderBy(col("relation"))
+  }
+
+  private val v17Sql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_orders' AS relation,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_checked,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |      AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem_part',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL
+      |  SELECT 'orders_customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'customer_nation',
+      |    (SELECT COUNT(*) FROM customer),
+      |    (SELECT COUNT(*) FROM customer c
+      |     WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)))
+      |ORDER BY relation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v17_ref_integrity" -> (v17 _),
     "v15_benford" -> (v15 _),
     "v16_anomaly_mad" -> (v16 _),
     "v13_kanon" -> (v13 _),
@@ -726,6 +792,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v17_ref_integrity" -> v17Sql,
     "v15_benford" -> v15Sql,
     "v16_anomaly_mad" -> v16Sql,
     "v13_kanon" -> v13Sql,

@@ -220,6 +220,37 @@ class Round5Session5Spec extends SparkSpec {
     }
   }
 
+  test("x27 transition totals = events-in-sessions minus session count") {
+    val rows = CrossQueries.queries("x27_event_pathing")(spark, dir).collect()
+    val transitions = rows.map(_.getLong(2)).sum
+    val nEvents = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull).count()
+    val nSessions = StreamingQueries.queries("st2_sessions")(spark, dir)
+      .agg(sum(col("n_sessions"))).collect().head.getLong(0)
+    // every event except each session's first has exactly one inbound edge
+    assert(transitions === nEvents - nSessions)
+  }
+
+  test("v17 referential integrity is clean on the generated star schema") {
+    val rows = ValidationQueries.queries("v17_ref_integrity")(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: orphans found")
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("d15 election agrees with d5's components and picks a max-length member") {
+    val d5rows = DedupQueries.queries("d5_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = DedupQueries.queries("d15_keepbest")(spark, dir).collect()
+    assert(kept.map(_.getLong(0)).toSet === d5rows.keySet)
+    kept.foreach { r =>
+      assert(r.getLong(1) === d5rows(r.getLong(0)), "membership count drifted")
+      assert(r.getLong(3) > 0L)
+    }
+  }
+
   test("st17 daily rollup equals an independent batch rollup with the cutoff") {
     val out = StreamingQueries.queries("st17_window_chain")(spark, dir)
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
