@@ -15,7 +15,8 @@ object SparkEntry {
       graft.operators.MultimodalQueries.queries ++
       graft.operators.StreamingQueries.queries ++
       graft.operators.CrossQueries.queries ++
-      graft.operators.SketchQueries.queries
+      graft.operators.SketchQueries.queries ++
+      graft.operators.AnalyticsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.operators.MultimodalQueries.oracleSql ++
       graft.operators.StreamingQueries.oracleSql ++
       graft.operators.CrossQueries.oracleSql ++
-      graft.operators.SketchQueries.oracleSql
+      graft.operators.SketchQueries.oracleSql ++
+      graft.operators.AnalyticsQueries.oracleSql
 }

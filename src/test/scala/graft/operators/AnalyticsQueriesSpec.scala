@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Cross-gate invariants for the analytics family (q40/x28/x29/d16) —
+  * properties the DuckDB hash-compare can't express because they relate
+  * a gate's output to the base tables or to another gate. */
+class AnalyticsQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q40_rfm: cells partition the customer base and scores stay in 1..5") {
+    val cells = AnalyticsQueries.q40(spark, dir).cache()
+    val nCust = Tables.orders(spark, dir).select(col("o_custkey")).distinct().count()
+    assert(cells.agg(sum(col("n_customers"))).head.getLong(0) === nCust)
+    val bad = cells.filter(
+      col("r_score") < 1 || col("r_score") > 5 ||
+        col("f_score") < 1 || col("f_score") > 5 ||
+        col("m_score") < 1 || col("m_score") > 5).count()
+    assert(bad === 0)
+    // total money in cells == total money in orders (cents are exact)
+    val cellCents = cells.agg(sum(col("cell_cents"))).head.getLong(0)
+    val orderCents = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    assert(cellCents === orderCents)
+    cells.unpersist()
+  }
+
+  test("x28_seasonality: shares reconcile and the index averages one") {
+    val rows = AnalyticsQueries.x28(spark, dir).collect()
+    assert(rows.length === 7)
+    // Σ index_ppm = 7e6 up to 7 units of div-truncation
+    val s = rows.map(_.getAs[Long]("index_ppm")).sum
+    assert(s > 7000000L - 7 && s <= 7000000L)
+    val orderCount = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === orderCount)
+  }
+
+  test("x29_rolling_wau: WAU dominates DAU and never exceeds the 7-day union bound") {
+    val wau = AnalyticsQueries.x29(spark, dir)
+      .collect().map(r => r.getAs[Long]("day_num") -> r.getAs[Long]("wau")).toMap
+    val dau = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).cast("long").as("tsu"))
+      .select(col("user_id"), expr("tsu div 86400000000").as("day"))
+      .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    assert(wau.nonEmpty)
+    wau.foreach { case (d, w) =>
+      val window = (d - 6 to d).flatMap(dau.get)
+      assert(w >= window.max, s"day $d: wau $w < max daily ${window.max}")
+      assert(w <= window.sum, s"day $d: wau $w > 7-day union bound ${window.sum}")
+    }
+  }
+
+  test("d16_containment: full containment is genuine subset inclusion") {
+    import graft.dedup.Dedup
+    val pairs = AnalyticsQueries.d16(spark, dir)
+    // shared never exceeds the contained side's rare-set size
+    assert(pairs.filter(col("shared") > col("na")).count() === 0)
+    // for a containment=1e6 pair, doc_a's rare shingles ⊆ doc_b's full set
+    val full = pairs.filter(col("containment_ppm") === 1000000L)
+      .select(col("doc_a"), col("doc_b")).collect()
+    assert(full.nonEmpty, "gate data should contain at least one full-containment pair")
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // df-capped universe: recompute df over all docs
+    val dfCount = sh.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val Seq(a, b) = Seq(full.head.getLong(0), full.head.getLong(1))
+    val rareA = sh(a).filter(dfCount(_) <= 20)
+    assert(rareA.subsetOf(sh(b)))
+  }
+}

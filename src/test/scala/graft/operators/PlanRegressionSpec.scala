@@ -48,9 +48,12 @@ class PlanRegressionSpec extends SparkSpec {
                               // Skyline.twoPhase is the big-input path)
     "v15_benford" -> 1,       // 1-row total-count aggregate (ppm denom)
     "s20_modularity" -> 1,    // 1-row edge-count aggregate (2m denom)
-    "v16_anomaly_mad" -> 3)   // 1-row median + MAD scalar frames (the
+    "v16_anomaly_mad" -> 3,   // 1-row median + MAD scalar frames (the
                               // MAD branch re-derives the median tree,
                               // so the 1-row broadcast appears 3×
+    "q40_rfm" -> 1,           // 1-row (ref_date, n_cust) aggregate
+    "x28_seasonality" -> 1,   // 1-row corpus-total aggregate (ppm denom)
+    "x29_rolling_wau" -> 1)   // 1-row (min_day, max_day) bounds aggregate
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
