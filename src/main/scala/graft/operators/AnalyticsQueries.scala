@@ -229,13 +229,183 @@ object AnalyticsQueries {
       |WHERE (shared * 1000000) // na >= 600000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x30_abc_pareto — ABC (Pareto) classification of parts by revenue:
+  // rank parts by revenue descending, take the exact running revenue
+  // share, and cut classes at 80% (A) and 95% (B). The inventory-
+  // prioritization query every supply chain runs; also the first
+  // consumer of [[RelationalQueries.globalPrefixSum]] — an exact
+  // distributed running sum with no single-reducer window, so the
+  // cumulative share is computable at 10^8-part scale. Class cuts are
+  // integer cross-multiplications (cum*100 vs total*k) — no division,
+  // no doubles. 3-row result at any scale.
+  def x30(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("part_cents"))
+    val cum = RelationalQueries.globalPrefixSum(per,
+      Seq(col("part_cents").desc, col("l_partkey").asc), col("part_cents"), "cum_cents")
+    val tot = per.agg(sum(col("part_cents")).as("total_cents"))
+    cum.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .withColumn("abc_class",
+        when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
+          .when(col("cum_cents") * 100 <= col("total_cents") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("part_cents")).as("class_cents"))
+      .orderBy(col("abc_class"))
+  }
+
+  private val x30Sql =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS part_cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT part_cents,
+      |  SUM(part_cents) OVER (ORDER BY part_cents DESC, l_partkey
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_cents,
+      |  SUM(part_cents) OVER () AS total_cents
+      |  FROM per)
+      |SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+      |            WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  COUNT(*) AS n_parts, CAST(SUM(part_cents) AS BIGINT) AS class_cents
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v18_skew_audit — join-key skew diagnostics over the fact table: for
+  // each candidate shuffle key, the key count, the hottest key's row
+  // count, the EXACT median per-key count (globalRank's rank-at-middle,
+  // q26's convention — never a sampled guess), and the hot/median ratio
+  // in ppm. This is the planning query that decides salting factors and
+  // AQE skew thresholds before a 100 TB join; per-key counts aggregate
+  // map-side, and the stats tables the medians rank over are
+  // key-cardinality, not row-cardinality.
+  def v18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perKey = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      val counts = li.groupBy(col(k).as("key")).agg(count(lit(1)).as("cnt"))
+      val ranked = RelationalQueries.globalRank(counts,
+        Seq(col("cnt"), col("key")), "rnk")
+      val stats = counts.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      ranked.crossJoin(broadcast(stats)) // 1-row scalar ride-along
+        .filter(col("rnk") === expr("(n_keys + 1) div 2"))
+        .select(lit(k).as("key_col"), col("n_keys"), col("max_cnt"),
+          col("cnt").as("median_cnt"),
+          expr("(max_cnt * 1000000) div cnt").as("skew_ppm"))
+    }
+    perKey.reduce(_ unionAll _).orderBy(col("key_col"))
+  }
+
+  private val v18Sql = {
+    def one(k: String) =
+      s"""SELECT '$k' AS key_col, n_keys, max_cnt, cnt AS median_cnt,
+         |  (max_cnt * 1000000) // cnt AS skew_ppm
+         |FROM (
+         |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, key) AS rnk,
+         |    COUNT(*) OVER () AS n_keys, MAX(cnt) OVER () AS max_cnt
+         |  FROM (SELECT $k AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1))
+         |WHERE rnk = (n_keys + 1) // 2""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
+  // ---------------------------------------------------------------------
+  // v19_dq_suite — declarative data-quality assertion suite (the
+  // Deequ-style contract run before a load is admitted downstream —
+  // the reference's rule engine reports the same verdict shape per
+  // opco): five checks over orders, every metric an exact ppm share,
+  // ALL computed in ONE aggregate pass (A2's one-scan discipline) and
+  // unpivoted to a (check, observed, threshold, passed) verdict table.
+  // 5-row result at any scale.
+  def v19(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderkey")).as("n_dist_ok"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("n_dom"),
+      sum(when(col("o_orderdate") >= lit("1990-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2010-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("n_dates"))
+    agg.select(expr(
+      """stack(5,
+        |  'completeness_custkey', (n_cust * 1000000) div n, 999000L,
+        |  'uniqueness_orderkey',  (n_dist_ok * 1000000) div n, 1000000L,
+        |  'range_totalprice_pos', (n_pos * 1000000) div n, 1000000L,
+        |  'domain_orderstatus',   (n_dom * 1000000) div n, 1000000L,
+        |  'range_orderdate',      (n_dates * 1000000) div n, 1000000L
+        |) AS (check_name, observed_ppm, threshold_ppm)""".stripMargin))
+      .withColumn("passed", col("observed_ppm") >= col("threshold_ppm"))
+      .orderBy(col("check_name"))
+  }
+
+  private val v19Sql =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+      |    COUNT(DISTINCT o_orderkey) AS n_dist_ok,
+      |    SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_pos,
+      |    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_dom,
+      |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+      |             AND o_orderdate < TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS n_dates
+      |  FROM orders),
+      |v(check_name, observed_ppm, threshold_ppm) AS (
+      |  SELECT 'completeness_custkey', (n_cust * 1000000) // n, 999000 FROM a
+      |  UNION ALL SELECT 'uniqueness_orderkey', (n_dist_ok * 1000000) // n, 1000000 FROM a
+      |  UNION ALL SELECT 'range_totalprice_pos', (n_pos * 1000000) // n, 1000000 FROM a
+      |  UNION ALL SELECT 'domain_orderstatus', (n_dom * 1000000) // n, 1000000 FROM a
+      |  UNION ALL SELECT 'range_orderdate', (n_dates * 1000000) // n, 1000000 FROM a)
+      |SELECT check_name, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+      |  CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+      |  observed_ppm >= threshold_ppm AS passed
+      |FROM v ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t31_vocab_growth — vocabulary growth curve (Heaps'-law readout):
+  // for each document, how many corpus-new token types it introduces
+  // and the running vocabulary size at that point. The expanding
+  // distinct collapses to a first-seen reduction (q35's rewrite, over
+  // tokens): one explode → min(doc_id) per token (map-side combined) →
+  // per-doc new-type counts → exact running sum via globalPrefixSum.
+  // Exchanges carry token types, then docs — never token occurrences.
+  def t31(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val firstSeen = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = firstSeen.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    RelationalQueries.globalPrefixSum(perDoc,
+      Seq(col("doc_id")), col("new_terms"), "vocab_cum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val t31Sql =
+    """WITH f AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents),
+      |fs AS (SELECT tok, min(doc_id) AS first_doc FROM f GROUP BY 1),
+      |pd AS (SELECT first_doc AS doc_id, COUNT(*) AS new_terms FROM fs GROUP BY 1)
+      |SELECT doc_id, new_terms,
+      |  SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS vocab_cum
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_abc_pareto" -> (x30 _),
+    "v18_skew_audit" -> (v18 _),
+    "v19_dq_suite" -> (v19 _),
+    "t31_vocab_growth" -> (t31 _),
     "q40_rfm" -> (q40 _),
     "x28_seasonality" -> (x28 _),
     "x29_rolling_wau" -> (x29 _),
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x30_abc_pareto" -> x30Sql,
+    "v18_skew_audit" -> v18Sql,
+    "v19_dq_suite" -> v19Sql,
+    "t31_vocab_growth" -> t31Sql,
     "q40_rfm" -> q40Sql,
     "x28_seasonality" -> x28Sql,
     "x29_rolling_wau" -> x29Sql,

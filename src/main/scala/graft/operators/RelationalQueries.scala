@@ -764,6 +764,31 @@ object RelationalQueries {
       .drop("_pid", "_rn", "_off")
   }
 
+  /** Scalable exact global running sum (the prefix-sum sibling of
+    * [[globalRank]]): range-partition by the sort key, running-sum
+    * within each sorted partition, add per-partition value offsets.
+    * Same O(partitions) offset table, same no-single-reducer property.
+    * `keys` must form a strict total order (unique tie-breaker), which
+    * also makes the default RANGE window frame equal to ROWS — no
+    * tie-group smearing. `valueCol` must be integral (sums are exact). */
+  def globalPrefixSum(df: DataFrame, keys: Seq[Column], valueCol: Column,
+      out: String): DataFrame = {
+    val parts = df.withColumn("_v", valueCol)
+      .repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = parts.groupBy(col("_pid")).agg(sum(col("_v")).as("_n"))
+      .withColumn("_off", coalesce(
+        sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    parts
+      .withColumn("_run",
+        sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(keys: _*)))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, col("_off") + col("_run"))
+      .drop("_pid", "_run", "_off", "_v")
+  }
+
   // ---------------------------------------------------------------------
   // q29_equidepth_hist — exact equi-depth (equal-frequency) histogram
   // over o_totalprice: 8 buckets, bucket = ((rank−1)·8) div n computed

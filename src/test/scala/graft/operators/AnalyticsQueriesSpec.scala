@@ -55,6 +55,65 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("globalPrefixSum == single-window running sum, at any partition count") {
+    import spark.implicits._
+    val df = spark.range(1, 1001).select(
+      (col("id") * 37 % 1000).as("k"), (col("id") % 13).as("v"))
+    val expected = df
+      .withColumn("run", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("v"))
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy(col("k"), col("v")).collect().map(_.getLong(2))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = RelationalQueries.globalPrefixSum(df.repartition(parts),
+        Seq(col("k"), col("v")), col("v"), "run")
+        .orderBy(col("k"), col("v")).collect().map(_.getLong(2))
+      assert(got.toSeq === expected.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("x30_abc_pareto: classes partition parts and respect the Pareto cuts") {
+    val cls = AnalyticsQueries.x30(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("c"))
+    val total = li.agg(sum(col("c"))).head.getLong(0)
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    assert(cls.values.map(_._1).sum === nParts)
+    assert(cls.values.map(_._2).sum === total)
+    // the A class never exceeds 80% of revenue; A+B never exceeds 95%
+    assert(cls("A")._2 * 100 <= total * 80)
+    assert((cls("A")._2 + cls("B")._2) * 100 <= total * 95)
+  }
+
+  test("v18_skew_audit: hot key dominates the median on every key column") {
+    val rows = AnalyticsQueries.v18(spark, dir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("median_cnt") <= r.getAs[Long]("max_cnt"))
+      assert(r.getAs[Long]("skew_ppm") >= 1000000L)
+    }
+  }
+
+  test("v19_dq_suite: the clean gate data passes every check") {
+    val rows = AnalyticsQueries.v19(spark, dir).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("t31_vocab_growth: the curve ends at the corpus vocabulary size") {
+    import graft.functions.TextFunctions
+    val curve = AnalyticsQueries.t31(spark, dir).orderBy(col("doc_id")).collect()
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(curve.last.getAs[Long]("vocab_cum") === vocab)
+    assert(curve.map(_.getAs[Long]("new_terms")).sum === vocab)
+    // running sum is strictly increasing (every emitted doc adds terms)
+    assert(curve.map(_.getAs[Long]("vocab_cum")).toSeq ===
+      curve.map(_.getAs[Long]("vocab_cum")).sorted.toSeq)
+  }
+
   test("d16_containment: full containment is genuine subset inclusion") {
     import graft.dedup.Dedup
     val pairs = AnalyticsQueries.d16(spark, dir)

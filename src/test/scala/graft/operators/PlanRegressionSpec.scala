@@ -53,7 +53,9 @@ class PlanRegressionSpec extends SparkSpec {
                               // so the 1-row broadcast appears 3×
     "q40_rfm" -> 1,           // 1-row (ref_date, n_cust) aggregate
     "x28_seasonality" -> 1,   // 1-row corpus-total aggregate (ppm denom)
-    "x29_rolling_wau" -> 1)   // 1-row (min_day, max_day) bounds aggregate
+    "x29_rolling_wau" -> 1,   // 1-row (min_day, max_day) bounds aggregate
+    "x30_abc_pareto" -> 1,    // 1-row corpus-total aggregate (class cuts)
+    "v18_skew_audit" -> 3)    // 1-row (n_keys, max_cnt) stats per key column
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
