@@ -27,6 +27,15 @@ def main():
         src = p if os.path.isfile(p) else f"{p}/*.parquet"
         if glob.glob(p) or glob.glob(src):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+            if t == "events":
+                # synthetic scale dirs store ts as BIGINT epoch-nanos;
+                # oracles are written against TIMESTAMP (epoch_us-based),
+                # so surface the same logical value (micros are exact)
+                (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"]
+                if ts_type == "BIGINT":
+                    con.execute(
+                        "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{src}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(n for n in oracles if not only or n in only)
     n_pass = n_fail = 0

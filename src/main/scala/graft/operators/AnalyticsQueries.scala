@@ -391,7 +391,88 @@ object AnalyticsQueries {
       |  SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS vocab_cum
       |FROM pd ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x31_compaction_plan — lakehouse small-file compaction planning:
+  // pack the table's natural chunks (ship-date months) into sequential
+  // ~target-row bins, first-fit in date order (compaction must preserve
+  // clustering, so bins are contiguous date ranges, never arbitrary
+  // groupings). bin = rows-before-this-chunk div target — the classic
+  // prefix-sum binning, via [[RelationalQueries.globalPrefixSum]], so
+  // the plan computes distributively over millions of chunks. Chunk
+  // stats aggregate map-side; output is bin-cardinality.
+  def x31(spark: SparkSession, dir: String): DataFrame = {
+    val target = 50000L
+    val chunks = Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("rows"))
+    RelationalQueries.globalPrefixSum(chunks,
+      Seq(col("month")), col("rows"), "cum")
+      .withColumn("bin", expr(s"(cum - rows) div $target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("rows")).as("bin_rows"),
+        min(col("month")).as("month_from"), max(col("month")).as("month_to"))
+      .orderBy(col("bin"))
+  }
+
+  private val x31Sql =
+    """WITH c AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS rows
+      |  FROM lineitem GROUP BY 1),
+      |p AS (SELECT month, rows,
+      |  SUM(rows) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) - rows AS before
+      |  FROM c)
+      |SELECT before // 50000 AS bin, COUNT(*) AS n_chunks,
+      |  CAST(SUM(rows) AS BIGINT) AS bin_rows,
+      |  MIN(month) AS month_from, MAX(month) AS month_to
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q41_chi2 — chi-squared association between market segment and
+  // nation over customers (the "is this dimension independent of that
+  // one" screening test): per-segment contribution Σ (obs·T − r·c)² /
+  // (T·r·c), reported ×1000 (milli-units) in exact integer arithmetic.
+  // Numerators ride DECIMAL(38,0): at 10^8 customers (obs·T)² reaches
+  // ~10^32 and ×1000 stays under the 38-digit ceiling — the same
+  // overflow-proofing as t16's PMI. One (seg, nation) contingency
+  // aggregate; marginals are dimension-sized (segments, nations), the
+  // nation marginal broadcasts, T rides a 1-row crossJoin.
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+    val obs = cust.groupBy(col("seg"), col("nat")).agg(count(lit(1)).as("obs"))
+    val rowTot = cust.groupBy(col("seg")).agg(count(lit(1)).as("r"))
+    val colTot = cust.groupBy(col("nat")).agg(count(lit(1)).as("c"))
+    val tot = cust.agg(count(lit(1)).as("t"))
+    obs.join(rowTot, "seg").join(broadcast(colTot), "nat")
+      .crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .withColumn("contrib_milli", expr(
+        """cast(((cast(obs AS DECIMAL(38,0)) * t - cast(r AS DECIMAL(38,0)) * c)
+          |  * (cast(obs AS DECIMAL(38,0)) * t - cast(r AS DECIMAL(38,0)) * c)
+          |  * 1000) div (cast(t AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
+      .groupBy(col("seg"))
+      .agg(sum(col("obs")).as("n_cust"), count(lit(1)).as("n_cells"),
+        sum(col("contrib_milli")).as("chi2_milli"))
+      .orderBy(col("seg"))
+  }
+
+  private val q41Sql =
+    """WITH cu AS (SELECT c_mktsegment AS seg, c_nationkey AS nat FROM customer),
+      |o AS (SELECT seg, nat, COUNT(*) AS obs FROM cu GROUP BY 1, 2),
+      |rt AS (SELECT seg, COUNT(*) AS r FROM cu GROUP BY 1),
+      |ct AS (SELECT nat, COUNT(*) AS c FROM cu GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS t FROM cu),
+      |j AS (SELECT o.seg, obs, r, c, t,
+      |  ((CAST(obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |   * (CAST(obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |   * 1000) // (CAST(t AS HUGEINT) * r * c) AS contrib_milli
+      |  FROM o JOIN rt USING (seg) JOIN ct USING (nat) CROSS JOIN tt)
+      |SELECT seg, CAST(SUM(obs) AS BIGINT) AS n_cust,
+      |  COUNT(*) AS n_cells, CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_compaction_plan" -> (x31 _),
+    "q41_chi2" -> (q41 _),
     "x30_abc_pareto" -> (x30 _),
     "v18_skew_audit" -> (v18 _),
     "v19_dq_suite" -> (v19 _),
@@ -402,6 +483,8 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x31_compaction_plan" -> x31Sql,
+    "q41_chi2" -> q41Sql,
     "x30_abc_pareto" -> x30Sql,
     "v18_skew_audit" -> v18Sql,
     "v19_dq_suite" -> v19Sql,

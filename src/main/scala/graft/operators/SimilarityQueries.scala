@@ -447,6 +447,57 @@ object SimilarityQueries {
   def s10(spark: SparkSession, dir: String): DataFrame =
     knnEdges(spark, dir, k = 3).orderBy(col("vec_id"), col("rnk"))
 
+  // ---------------------------------------------------------------------
+  // s21_neighbor_jaccard — STRUCTURAL node similarity over the k-NN
+  // graph: Jaccard of neighbor sets, the link-prediction/entity-match
+  // signal that needs no vector math once the graph exists. Shares
+  // s10's edge construction; the undirected edge list symmetrizes via
+  // union+distinct, and common-neighbor counting is the wedge join
+  // (edges joined on the SHARED NEIGHBOR) — per-wedge fan-out is
+  // bounded by the symmetrized degree ≤ 2k, so the exchange carries
+  // wedges, never a node×node grid. Degrees attach by two
+  // node-key equi-joins (degree table is node-cardinality; never
+  // collected). |A∪B| = da+db−common, jac in exact ppm.
+  def s21(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdges(spark, dir, k = 3)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val com = und.select(col("a"), col("b").as("n"))
+      .join(und.select(col("a").as("a2"), col("b").as("n")), "n")
+      .filter(col("a") < col("a2"))
+      .groupBy(col("a").as("node_a"), col("a2").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+    com
+      .join(deg.select(col("node").as("node_a"), col("d").as("da")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("d").as("db")), "node_b")
+      .withColumn("jac_ppm", expr("(common * 1000000) div (da + db - common)"))
+      .filter(col("jac_ppm") >= 400000)
+      .select(col("node_a"), col("node_b"), col("common"), col("jac_ppm"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
+  private val s21Sql =
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, cand_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs),
+       |e AS (SELECT vec_id AS a, cand_id AS b FROM r WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT a, b FROM
+       |        (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)),
+       |deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),
+       |com AS (SELECT x.a AS node_a, y.a AS node_b, COUNT(*) AS common
+       |        FROM und x JOIN und y ON x.b = y.b AND x.a < y.a GROUP BY 1, 2)
+       |SELECT node_a, node_b, common,
+       |  (common * 1000000) // (da.d + db.d - common) AS jac_ppm
+       |FROM com JOIN deg da ON da.node = node_a JOIN deg db ON db.node = node_b
+       |WHERE (common * 1000000) // (da.d + db.d - common) >= 400000
+       |ORDER BY node_a, node_b""".stripMargin
+
   private val s10Sql =
     s"""WITH $scaledCteAdaptive,
        |pairs AS (
@@ -1231,6 +1282,7 @@ object SimilarityQueries {
     "s13_pagerank" -> (s13 _),
     "s12_label_prop_fixpoint" -> (s12 _),
     "s10_knn_graph" -> (s10 _),
+    "s21_neighbor_jaccard" -> (s21 _),
     "s11_label_prop" -> (s11 _),
     "s1_topk_brute" -> (s1 _),
     "s2_topk_bucketed" -> (s2 _),
@@ -1253,6 +1305,7 @@ object SimilarityQueries {
     "s13_pagerank" -> s13Sql,
     "s12_label_prop_fixpoint" -> s12Sql,
     "s10_knn_graph" -> s10Sql,
+    "s21_neighbor_jaccard" -> s21Sql,
     "s11_label_prop" -> s11Sql,
     "s1_topk_brute" -> s1Sql,
     "s2_topk_bucketed" -> s2Sql,

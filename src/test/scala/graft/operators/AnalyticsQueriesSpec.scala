@@ -114,6 +114,34 @@ class AnalyticsQueriesSpec extends SparkSpec {
       curve.map(_.getAs[Long]("vocab_cum")).sorted.toSeq)
   }
 
+  test("x31_compaction_plan: bins cover all rows in contiguous month ranges") {
+    val bins = AnalyticsQueries.x31(spark, dir).orderBy(col("bin")).collect()
+    val total = Tables.lineitem(spark, dir).count()
+    assert(bins.map(_.getAs[Long]("bin_rows")).sum === total)
+    // contiguous, non-overlapping date ranges (clustering preserved)
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("month_to") <= b.getAs[String]("month_from"))
+      case _ => ()
+    }
+  }
+
+  test("q41_chi2: marginals reconcile and contributions are non-negative") {
+    val rows = AnalyticsQueries.q41(spark, dir).collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum === nCust)
+    assert(rows.forall(_.getAs[Long]("chi2_milli") >= 0L))
+  }
+
+  test("s21_neighbor_jaccard: pairs are canonical and jaccard is a true ratio") {
+    val p = SimilarityQueries.s21(spark, dir)
+    assert(p.filter(col("node_a") >= col("node_b")).count() === 0)
+    assert(p.filter(col("jac_ppm") > 1000000L || col("jac_ppm") < 400000L).count() === 0)
+    // symmetric-by-construction: each unordered pair appears exactly once
+    assert(p.groupBy(col("node_a"), col("node_b")).count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("d16_containment: full containment is genuine subset inclusion") {
     import graft.dedup.Dedup
     val pairs = AnalyticsQueries.d16(spark, dir)
