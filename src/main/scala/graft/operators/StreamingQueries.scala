@@ -455,7 +455,34 @@ object StreamingQueries {
       |FROM d, m WHERE (didx + 1) * 86400000000 <= wm
       |ORDER BY day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st18_stream_wau — rolling 7-day active users as a streaming query
+  // (the stream twin of x29_rolling_wau): ×7 day-shift fan-out, then
+  // the st7 chained dedup→window-count shape in the SHIFTED event-time
+  // domain. The oracle is x29's first-distinct rewrite plus the
+  // append-mode finalization cutoff in the shifted domain: a day-D
+  // window's end is (D+1) midnight shifted, and the final watermark is
+  // max event time + 6 days − 1 h, so emitted days satisfy
+  // (D+1)·day ≤ tmax + 6·day − 1h. Days past the data's max day are
+  // REAL emissions (their windows saw only the trailing edge) — the
+  // oracle keeps them, unlike batch x29 which bounds to observed days.
+  def st18(spark: SparkSession, dir: String): DataFrame =
+    Streaming.rollingWauStream(spark, dir).orderBy(col("day_num"))
+
+  private val st18Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |t AS (SELECT max(epoch_us(ts)) AS tmax FROM events WHERE ts IS NOT NULL),
+      |c AS (SELECT DISTINCT user_id, day + k AS day_num
+      |      FROM ud CROSS JOIN range(0, 7) r(k))
+      |SELECT day_num, COUNT(*) AS wau
+      |FROM c CROSS JOIN t
+      |WHERE (day_num + 1) * 86400000000 <= tmax + 6 * 86400000000 - 3600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_wau" -> (st18 _),
     "st16_stream_semi_join" -> (st16 _),
     "st17_window_chain" -> (st17 _),
     "st14_tws_lastn" -> (st14 _),
@@ -475,6 +502,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st18_stream_wau" -> st18Sql,
     "st16_stream_semi_join" -> st16Sql,
     "st17_window_chain" -> st17Sql,
     "st14_tws_lastn" -> st14Sql,

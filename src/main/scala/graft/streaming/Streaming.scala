@@ -179,6 +179,36 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, stream)
   }
 
+  /** Streaming rolling 7-day active users (the stream twin of the
+    * batch x29 gate): each event fans out to the 7 daily windows it can
+    * influence by SHIFTING its event time k days forward (k = 0..6),
+    * then the st7 chained-stateful shape runs in the shifted domain —
+    * watermark on the shifted timestamp, event-time dedup on
+    * (window, user), windowed count. The fan-out is map-side and fixed
+    * (×7, the metric's window length); dedup state holds one row per
+    * (day, active user), evicted as the shifted watermark passes each
+    * day — at no point does state hold more than the 7-day unique-user
+    * horizon, which is the minimum any exact sliding distinct needs. */
+  def rollingWauStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_wau_${queryCounter.incrementAndGet()}"
+    val dayMicros = 86400000000L
+    val stream = eventsStream(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"))
+      .select(col("user_id"), col("tsu"),
+        explode(expr("sequence(0L, 6L)")).as("k"))
+      .withColumn("shifted_ts",
+        timestamp_micros(col("tsu") + col("k") * lit(dayMicros)))
+      .withWatermark("shifted_ts", "1 hour")
+      .select(window(col("shifted_ts"), "1 day").as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("wau"))
+      .select(expr(s"unix_micros(win.start) div $dayMicros").as("day_num"),
+        col("wau"))
+    drainToLocal(spark, name, OutputMode.Append, stream)
+  }
+
   /** Batch sessionization: a new session starts after a >gap silence.
     * Pure window functions — the same plan a warehouse would run. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

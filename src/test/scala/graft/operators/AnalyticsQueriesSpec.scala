@@ -142,6 +142,20 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("st18_stream_wau agrees with batch x29 on every day both emit") {
+    val batch = AnalyticsQueries.x29(spark, dir)
+      .collect().map(r => r.getAs[Long]("day_num") -> r.getAs[Long]("wau")).toMap
+    val stream = StreamingQueries.st18(spark, dir)
+      .collect().map(r => r.getAs[Long]("day_num") -> r.getAs[Long]("wau")).toMap
+    val shared = batch.keySet.intersect(stream.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { d =>
+      assert(batch(d) === stream(d), s"day $d: batch ${batch(d)} vs stream ${stream(d)}")
+    }
+    // the stream also emits the trailing-edge days past the batch bound
+    assert(stream.keySet.max > batch.keySet.max)
+  }
+
   test("d16_containment: full containment is genuine subset inclusion") {
     import graft.dedup.Dedup
     val pairs = AnalyticsQueries.d16(spark, dir)
