@@ -470,7 +470,92 @@ object AnalyticsQueries {
       |  COUNT(*) AS n_cells, CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v20_drift_tvd — distribution drift between two time epochs of the
+  // fact table (the ML-ops monitor that gates a model refresh): the
+  // order-priority distribution before vs from 1998, per-category
+  // shares in exact ppm and the per-category |Δ| — total variation
+  // distance is Σ|Δ|/2 one sum away. PSI's log-ratio needs a libm call
+  // that is not bit-stable across engines; TVD is the integer-exact
+  // drift measure, which is why it is the pinned one. One aggregate
+  // pass, category-cardinality output, 1-row totals ride-along.
+  def v20(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("1998-01-01").cast("timestamp")
+    val per = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        when(col("o_orderdate") < boundary, 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("priority"))
+      .agg(sum(col("in_a")).as("n_a"),
+        sum(lit(1L) - col("in_a")).as("n_b"))
+    val tot = per.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    per.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .withColumn("share_a_ppm", expr("(n_a * 1000000) div t_a"))
+      .withColumn("share_b_ppm", expr("(n_b * 1000000) div t_b"))
+      .withColumn("abs_diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+      .select(col("priority"), col("n_a"), col("n_b"),
+        col("share_a_ppm"), col("share_b_ppm"), col("abs_diff_ppm"))
+      .orderBy(col("priority"))
+  }
+
+  private val v20Sql =
+    """WITH per AS (
+      |  SELECT o_orderpriority AS priority,
+      |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END) AS n_b
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM per)
+      |SELECT priority, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST((n_a * 1000000) // t_a AS BIGINT) AS share_a_ppm,
+      |  CAST((n_b * 1000000) // t_b AS BIGINT) AS share_b_ppm,
+      |  CAST(abs((n_a * 1000000) // t_a - (n_b * 1000000) // t_b) AS BIGINT)
+      |    AS abs_diff_ppm
+      |FROM per CROSS JOIN tot ORDER BY priority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x32_purchase_intervals — repeat-purchase cadence: the day gaps
+  // between each customer's consecutive orders, bucketed into the CRM
+  // bands. One per-customer window (key shuffle + in-partition sort,
+  // the st2 sessionization ordering) produces every gap; the histogram
+  // aggregates map-side. Day arithmetic stays integral (midnight-
+  // aligned dates; datediff == DuckDB date_diff).
+  def x32(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_dt", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_dt").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_dt")).cast("long"))
+      .withColumn("bucket_id",
+        when(col("gap_days") <= 7, 1L).when(col("gap_days") <= 30, 2L)
+          .when(col("gap_days") <= 90, 3L).otherwise(4L))
+      .withColumn("bucket", element_at(
+        array(lit("0-7d"), lit("8-30d"), lit("31-90d"), lit("90d+")),
+        col("bucket_id").cast("int")))
+      .groupBy(col("bucket_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days")).as("sum_gap_days"))
+      .orderBy(col("bucket_id"))
+  }
+
+  private val x32Sql =
+    """WITH g AS (
+      |  SELECT date_diff('day', lag(o_orderdate) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS gap_days
+      |  FROM orders),
+      |b AS (SELECT gap_days,
+      |  CASE WHEN gap_days <= 7 THEN 1 WHEN gap_days <= 30 THEN 2
+      |       WHEN gap_days <= 90 THEN 3 ELSE 4 END AS bucket_id
+      |  FROM g WHERE gap_days IS NOT NULL)
+      |SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+      |  CASE bucket_id WHEN 1 THEN '0-7d' WHEN 2 THEN '8-30d'
+      |                 WHEN 3 THEN '31-90d' ELSE '90d+' END AS bucket,
+      |  COUNT(*) AS n_gaps, CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days
+      |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_drift_tvd" -> (v20 _),
+    "x32_purchase_intervals" -> (x32 _),
     "x31_compaction_plan" -> (x31 _),
     "q41_chi2" -> (q41 _),
     "x30_abc_pareto" -> (x30 _),
@@ -483,6 +568,8 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v20_drift_tvd" -> v20Sql,
+    "x32_purchase_intervals" -> x32Sql,
     "x31_compaction_plan" -> x31Sql,
     "q41_chi2" -> q41Sql,
     "x30_abc_pareto" -> x30Sql,

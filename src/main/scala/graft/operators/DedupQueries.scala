@@ -821,7 +821,88 @@ object DedupQueries {
        |  id AS kept_doc, n_chars AS kept_chars
        |FROM m WHERE rn = 1 ORDER BY component""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d17_minhash_eval — calibration harness for the sketch-based dedup
+  // path (the s15_ann_recall pattern applied to MinHash): surface
+  // candidate pairs from BOTH generators (MinHash 8×4-band LSH, d2's;
+  // 8-token-prefix blocking, d4's), score every surfaced pair with the
+  // EXACT shingle Jaccard, and report each generator's precision/recall
+  // against truth = {surfaced pairs with exact jac ≥ 0.3}. The jac≥0.3
+  // test is the cross-multiplied integer form (10·∩ ≥ 3·|∪|) — no
+  // double division to disagree on. All joins are candidate-cardinality
+  // (banded/blocked, never all-pairs); the full-outer flag merge and
+  // the two shingle-array attachments shuffle only surfaced pairs.
+  // 1-row verdict at any scale.
+  def d17(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mh = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, 4)
+      .withColumn("mh", lit(true))
+    val base = docs.select(col("doc_id"),
+      TextFunctions.prefixFingerprint(col("text"), 8).as("pfp"))
+      .repartition(col("pfp"))
+    val blk = base.select(col("doc_id").as("doc_a"), col("pfp"))
+      .join(base.select(col("doc_id").as("doc_b"), col("pfp")), "pfp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).withColumn("bl", lit(true))
+    val cand = mh.join(blk, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(false, Seq("mh", "bl"))
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
+    val scored = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("istrue",
+        expr("10 * inter >= 3 * (size(sha) + size(shb) - inter)"))
+    scored.agg(
+      sum(when(col("mh"), 1L).otherwise(0L)).as("n_mh"),
+      sum(when(col("bl"), 1L).otherwise(0L)).as("n_bl"),
+      sum(when(col("istrue"), 1L).otherwise(0L)).as("n_true"),
+      sum(when(col("mh") && col("istrue"), 1L).otherwise(0L)).as("tp_mh"),
+      sum(when(col("bl") && col("istrue"), 1L).otherwise(0L)).as("tp_bl"))
+      .select(col("n_mh"), col("n_bl"), col("n_true"), col("tp_mh"), col("tp_bl"),
+        expr("(tp_mh * 1000000) div n_mh").as("precision_mh_ppm"),
+        expr("(tp_mh * 1000000) div n_true").as("recall_mh_ppm"),
+        expr("(tp_bl * 1000000) div n_bl").as("precision_bl_ppm"),
+        expr("(tp_bl * 1000000) div n_true").as("recall_bl_ppm"))
+  }
+
+  private val d17Sql =
+    s"""WITH $pairCtes,
+       |dd AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')) AS pfp,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+       |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS sh
+       |  FROM documents),
+       |blk AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM dd a JOIN dd b ON a.pfp = b.pfp AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT doc_a, doc_b, bool_or(mh) AS mh, bool_or(bl) AS bl FROM (
+       |    SELECT doc_a, doc_b, TRUE AS mh, FALSE AS bl FROM pairs
+       |    UNION ALL SELECT doc_a, doc_b, FALSE, TRUE FROM blk)
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.mh, c.bl,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM cand c JOIN dd a ON a.doc_id = c.doc_a
+       |              JOIN dd b ON b.doc_id = c.doc_b),
+       |agg AS (
+       |  SELECT count(*) FILTER (mh) AS n_mh, count(*) FILTER (bl) AS n_bl,
+       |    count(*) FILTER (10 * inter >= 3 * (na + nb - inter)) AS n_true,
+       |    count(*) FILTER (mh AND 10 * inter >= 3 * (na + nb - inter)) AS tp_mh,
+       |    count(*) FILTER (bl AND 10 * inter >= 3 * (na + nb - inter)) AS tp_bl
+       |  FROM j)
+       |SELECT n_mh, n_bl, n_true, tp_mh, tp_bl,
+       |  (tp_mh * 1000000) // n_mh AS precision_mh_ppm,
+       |  (tp_mh * 1000000) // n_true AS recall_mh_ppm,
+       |  (tp_bl * 1000000) // n_bl AS precision_bl_ppm,
+       |  (tp_bl * 1000000) // n_true AS recall_bl_ppm
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_minhash_eval" -> (d17 _),
     "d15_keepbest" -> (d15 _),
     "d12_cdc_chunks" -> (d12 _),
     "d13_span_scrub" -> (d13 _),
@@ -840,6 +921,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d17_minhash_eval" -> d17Sql,
     "d15_keepbest" -> d15Sql,
     "d12_cdc_chunks" -> d12Sql,
     "d13_span_scrub" -> d13Sql,

@@ -156,6 +156,43 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(stream.keySet.max > batch.keySet.max)
   }
 
+  test("v20_drift_tvd: shares are per-epoch distributions and diffs are consistent") {
+    val rows = AnalyticsQueries.v20(spark, dir).collect()
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum === nOrders)
+    // each epoch's shares sum to 1e6 up to per-category truncation
+    for (c <- Seq("share_a_ppm", "share_b_ppm")) {
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s > 1000000L - rows.length && s <= 1000000L, s"$c sums to $s")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_diff_ppm") ===
+        math.abs(r.getAs[Long]("share_a_ppm") - r.getAs[Long]("share_b_ppm")))
+    }
+  }
+
+  test("x32_purchase_intervals: every repeat order contributes exactly one gap") {
+    val rows = AnalyticsQueries.x32(spark, dir).collect()
+    val o = Tables.orders(spark, dir)
+    val nOrders = o.count()
+    val nCustomers = o.select(col("o_custkey")).distinct().count()
+    // gaps = orders − customers (each customer's first order has no gap)
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === nOrders - nCustomers)
+    assert(rows.forall(_.getAs[Long]("sum_gap_days") >= 0L))
+  }
+
+  test("d17_minhash_eval: confusion counts are internally consistent") {
+    val r = DedupQueries.d17(spark, dir).head
+    val (nMh, nTrue) = (r.getAs[Long]("n_mh"), r.getAs[Long]("n_true"))
+    val (tpMh, tpBl) = (r.getAs[Long]("tp_mh"), r.getAs[Long]("tp_bl"))
+    assert(nTrue > 0, "gate data must contain true near-dup pairs")
+    assert(tpMh <= nMh && tpMh <= nTrue && tpBl <= nTrue)
+    assert(r.getAs[Long]("precision_mh_ppm") <= 1000000L)
+    assert(r.getAs[Long]("recall_mh_ppm") <= 1000000L)
+    // every true pair was surfaced by at least one generator
+    assert(tpMh + tpBl >= nTrue)
+  }
+
   test("d16_containment: full containment is genuine subset inclusion") {
     import graft.dedup.Dedup
     val pairs = AnalyticsQueries.d16(spark, dir)

@@ -56,7 +56,8 @@ class PlanRegressionSpec extends SparkSpec {
     "x29_rolling_wau" -> 1,   // 1-row (min_day, max_day) bounds aggregate
     "x30_abc_pareto" -> 1,    // 1-row corpus-total aggregate (class cuts)
     "v18_skew_audit" -> 3,    // 1-row (n_keys, max_cnt) stats per key column
-    "q41_chi2" -> 1)          // 1-row grand-total aggregate (expected freq)
+    "q41_chi2" -> 1,          // 1-row grand-total aggregate (expected freq)
+    "v20_drift_tvd" -> 1)     // 1-row per-epoch totals aggregate (ppm denoms)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
