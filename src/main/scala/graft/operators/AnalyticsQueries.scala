@@ -553,7 +553,213 @@ object AnalyticsQueries {
       |  COUNT(*) AS n_gaps, CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days
       |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42_spearman — Spearman rank correlation between per-customer order
+  // FREQUENCY and MONETARY value, in exact ppm. Ranks are row_number
+  // ranks with the custkey tie-break (the deterministic variant — both
+  // engines compute the identical permutation), so
+  // rho = 1 − 6·Σd² / (n(n²−1)) is a pure rational and needs no float:
+  // Σd² rides DECIMAL(38,0) (d² ≤ n², summed over n rows → n³ ≈ 1e24 at
+  // 10^8 customers) and the denominator n(n²−1) is DECIMAL too. Scale
+  // shape: the ranked table is customer-cardinality and each ranking is
+  // a globalRank (range partitions + offsets, no single-reducer
+  // window); the final reduction is one 1-row aggregate — numerator and
+  // denominator never leave the executors un-aggregated.
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("freq"), sum(col("cents")).as("mon")))
+
+  /** Spearman over a (o_custkey, freq, mon) frame — factored so specs
+    * can pin the ±1e6 extremes on constructed rankings. */
+  private[operators] def spearmanOf(per: DataFrame): DataFrame = {
+    val ranked = Seq(
+      ("rf", Seq(col("freq").asc, col("o_custkey").asc)),
+      ("rm", Seq(col("mon").asc, col("o_custkey").asc)))
+      .foldLeft(per) { case (df, (out, keys)) =>
+        RelationalQueries.globalRank(df, keys, out)
+      }
+    ranked
+      .select(expr("cast(rf - rm AS DECIMAL(38,0)) * (rf - rm)").as("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .select(col("n"),
+        col("sum_d2").cast("decimal(38,0)").as("sum_d2"),
+        expr("""CASE WHEN n <= 1 THEN 1000000
+               |ELSE cast(1000000 - (6000000 * sum_d2)
+               |  div (cast(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
+               |END""".stripMargin).as("rho_ppm"))
+  }
+
+  private val q42Sql =
+    """WITH per AS (
+      |  SELECT o_custkey, COUNT(*) AS freq,
+      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mon
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT o_custkey,
+      |  ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rf,
+      |  ROW_NUMBER() OVER (ORDER BY mon, o_custkey) AS rm FROM per),
+      |s AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(rf - rm AS HUGEINT) * (rf - rm)) AS sum_d2 FROM rk)
+      |SELECT n, CAST(sum_d2 AS DECIMAL(38,0)) AS sum_d2,
+      |  CASE WHEN n <= 1 THEN 1000000
+      |       ELSE CAST(1000000 - (6000000 * sum_d2)
+      |         // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+      |  END AS rho_ppm
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43_gini — Gini coefficient of customer spend concentration in
+  // exact ppm, the inequality measure behind x30's ABC classes. With
+  // spend sorted ascending and i the (deterministic, custkey
+  // tie-broken) rank, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — every term a
+  // pure integer once cents are BIGINT, so the whole statistic is one
+  // cross-multiplied division. Σi·xᵢ ≈ n²·x̄ needs DECIMAL(38,0) at
+  // warehouse scale (10^8 customers × 10^9 cents ≈ 1e25). Scale shape:
+  // one globalRank over the customer-cardinality aggregate, one 1-row
+  // reduction; the ×1e6 scaling happens after the sums, not per row.
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("cents")))
+
+  /** Gini over a (o_custkey, cents) frame — factored so specs can pin
+    * the closed-form extremes (uniform → 0, one-owner → (n−1)/n). */
+  private[operators] def giniOf(per: DataFrame): DataFrame = {
+    RelationalQueries
+      .globalRank(per, Seq(col("cents").asc, col("o_custkey").asc), "i")
+      .select(col("cents"),
+        expr("cast(i AS DECIMAL(38,0)) * cents").as("ix"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("ix")).as("sum_ix"))
+      .select(col("n"), col("sum_cents"),
+        expr("""CASE WHEN n = 0 OR sum_cents <= 0 THEN 0
+               |ELSE cast(((2 * sum_ix - (cast(n AS DECIMAL(38,0)) + 1) * sum_cents)
+               |  * 1000000) div (cast(n AS DECIMAL(38,0)) * sum_cents) AS BIGINT)
+               |END""".stripMargin).as("gini_ppm"))
+  }
+
+  private val q43Sql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT cents,
+      |  ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM per),
+      |s AS (SELECT COUNT(*) AS n, SUM(cents) AS sum_cents,
+      |  SUM(CAST(i AS HUGEINT) * cents) AS sum_ix FROM rk)
+      |SELECT n, CAST(sum_cents AS BIGINT) AS sum_cents,
+      |  CASE WHEN n = 0 OR sum_cents <= 0 THEN 0
+      |       ELSE CAST(((2 * sum_ix - (CAST(n AS HUGEINT) + 1) * sum_cents)
+      |         * 1000000) // (CAST(n AS HUGEINT) * sum_cents) AS BIGINT)
+      |  END AS gini_ppm
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v21_simpson — per-column concentration profiling via the Simpson
+  // index Σpᵢ² (the log-free cousin of entropy — exact in integers,
+  // unlike Shannon's libm log): for each monitored categorical column,
+  // (Σcᵢ²·1e6) div n² in ppm, plus the distinct count. 1e6/simpson is
+  // the "effective number of categories" a profiler reports. One
+  // two-level aggregate per column — the inner groupBy is
+  // value-cardinality (absorbed map-side), the outer is a 1-row
+  // reduction, so nothing row-cardinality crosses an exchange. Σcᵢ² ≤
+  // n² ≈ 1e18 at a billion rows and ×1e6 overflows BIGINT → the
+  // numerator rides DECIMAL(38,0) (t16's convention).
+  def v21(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, colName: String): DataFrame =
+      df.groupBy(col(colName).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("cast(c AS DECIMAL(38,0)) * c")).as("sum_c2"))
+        .select(lit(colName).as("column_name"),
+          col("n"), col("n_distinct"),
+          expr("""cast((sum_c2 * 1000000)
+                 |  div (cast(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+            .as("simpson_ppm"))
+    one(Tables.orders(spark, dir), "o_orderpriority")
+      .unionAll(one(Tables.orders(spark, dir), "o_orderstatus"))
+      .unionAll(one(Tables.customer(spark, dir), "c_mktsegment"))
+      .unionAll(one(Tables.lineitem(spark, dir), "l_returnflag"))
+      .orderBy(col("column_name"))
+  }
+
+  private val v21Sql = {
+    def one(table: String, colName: String): String =
+      s"""SELECT '$colName' AS column_name, n, n_distinct,
+         |  CAST((sum_c2 * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         |    AS simpson_ppm
+         |FROM (SELECT SUM(c) AS n, COUNT(*) AS n_distinct,
+         |        SUM(CAST(c AS HUGEINT) * c) AS sum_c2
+         |      FROM (SELECT $colName, COUNT(*) AS c FROM $table GROUP BY 1))""".stripMargin
+    Seq(one("orders", "o_orderpriority"), one("orders", "o_orderstatus"),
+      one("customer", "c_mktsegment"), one("lineitem", "l_returnflag"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // x33_ivm — incremental view maintenance of the daily-revenue
+  // materialized view: a CDC delta batch (late inserts from 1998
+  // onward, retractions for every 97th base order) is folded into the
+  // pre-aggregated base WITHOUT rescanning base facts — the
+  // count-and-sum view class is self-maintainable, so the merge is
+  // base_agg ⟗ delta_agg with signed counts, dropping groups whose
+  // count reaches zero. THE gate contract: maintained == full
+  // recompute over (base ∖ deletes) ∪ inserts — which is exactly what
+  // the oracle computes, so the hash match IS the IVM correctness
+  // proof. Scale shape: the base is touched only in its aggregated
+  // (day-cardinality) form, the delta aggregate is delta-cardinality,
+  // and the merge is one day-key outer join — at 100 TB the whole
+  // maintenance pass costs O(delta + view), never O(base).
+  def x33(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    // The standing view: daily totals over the base epoch.
+    val baseAgg = o.filter(col("o_orderdate") < cutoff)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    // CDC batch: +1 rows arriving from 1998 on, −1 retractions of every
+    // 97th base order. Aggregated BEFORE touching the view.
+    val delta = o.filter(col("o_orderdate") >= cutoff)
+      .select(col("day"), lit(1L).as("sign"), col("cents"))
+      .unionAll(o
+        .filter(col("o_orderdate") < cutoff && col("o_orderkey") % 97 === 0)
+        .select(col("day"), lit(-1L).as("sign"), col("cents")))
+      .groupBy(col("day"))
+      .agg(sum(col("sign")).as("d_n"),
+        sum(col("sign") * col("cents")).as("d_cents"))
+    baseAgg.join(delta, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("rev_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .as("rev_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("day"))
+  }
+
+  private val x33Sql =
+    // Full recompute of the post-delta state — the equality against the
+    // engine's incremental merge is the point of the gate.
+    """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+      |  SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      |FROM orders
+      |WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_spearman" -> (q42 _),
+    "q43_gini" -> (q43 _),
+    "v21_simpson" -> (v21 _),
+    "x33_ivm" -> (x33 _),
     "v20_drift_tvd" -> (v20 _),
     "x32_purchase_intervals" -> (x32 _),
     "x31_compaction_plan" -> (x31 _),
@@ -568,6 +774,10 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q42_spearman" -> q42Sql,
+    "q43_gini" -> q43Sql,
+    "v21_simpson" -> v21Sql,
+    "x33_ivm" -> x33Sql,
     "v20_drift_tvd" -> v20Sql,
     "x32_purchase_intervals" -> x32Sql,
     "x31_compaction_plan" -> x31Sql,

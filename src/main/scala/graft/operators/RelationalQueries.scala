@@ -1264,7 +1264,55 @@ object RelationalQueries {
       |      * 1000 * MAX(((n-1) * 3) % 4) // 4 AS BIGINT) AS q3_millicents
       |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q44_listagg — ordered string aggregation (SQL LISTAGG / string_agg
+  // WITHIN GROUP): the top-3 customers by account balance per nation,
+  // concatenated in rank order. The naive shape — a per-group window
+  // rank then string_agg — shuffles EVERY customer row to its nation's
+  // partition; this plan ships only the ANSWER: the k-bounded
+  // TopKAggregator reduces each nation to 3 (score, custkey) pairs
+  // map-side, names attach by one equi-join whose probe side is
+  // 3×nations rows, and the final concat sorts a ≤3-element array
+  // in-row. Balance cents ride the aggregator's double score losslessly
+  // (|cents| < 2^53). Nation names come from a broadcast dim join.
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator.TopK(3))
+    val top = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      .groupBy(col("c_nationkey"))
+      .agg(topk(col("cents").cast("double"), col("c_custkey")).as("t"))
+      .select(col("c_nationkey"), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("c_custkey"))
+    top
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        Seq("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rk"), col("c_name")))),
+        x => x.getField("c_name")), ",").as("top_names"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name"), col("top_names"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q44Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_custkey, c_name,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |        ORDER BY cents DESC, c_custkey) AS rk FROM c)
+      |SELECT n_name, string_agg(c_name, ',' ORDER BY rk) AS top_names
+      |FROM r JOIN nation ON n_nationkey = c_nationkey
+      |WHERE rk <= 3
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_listagg" -> (q44 _),
     "q39_quartiles" -> (q39 _),
     "q37_drawdown" -> (q37 _),
     "q38_mode" -> (q38 _),
@@ -1305,6 +1353,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q44_listagg" -> q44Sql,
     "q39_quartiles" -> q39Sql,
     "q37_drawdown" -> q37Sql,
     "q38_mode" -> q38Sql,

@@ -1271,7 +1271,195 @@ object SimilarityQueries {
        |CROSS JOIN mm
        |ORDER BY nd.label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s22_kcore — k-CORE decomposition (k=3) of the symmetrized k-NN
+  // graph: iteratively peel nodes whose surviving degree is < k until
+  // fixpoint — the dense-region extractor that separates well-connected
+  // cluster cores from stragglers before community analysis. Peeling is
+  // MONOTONE (survivor sets only shrink), so an early-stopped engine
+  // loop and a cap-unrolled oracle are identical: post-fixpoint rounds
+  // are no-ops. Engine loop = one degree aggregate + one filter per
+  // round over the k-bounded edge list (edges checkpoint ONCE, node
+  // sets are the only per-round state — vec-cardinality scalars, never
+  // vectors), convergence = a 1-row removed-count scalar, round cap 8.
+  // At 100 TB the per-round cost is O(edges) with the k-bounded fanout,
+  // and the cap bounds total work at 8 passes.
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdges(spark, dir, k = 3)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    kcoreOf(Tables.embeddings(spark, dir).select(col("vec_id")), e,
+      kCore = 3, maxRounds = 8)
+  }
+
+  /** The peel loop over a DIRECTED edge list (symmetrized here) —
+    * factored so specs can drive constructed graphs with real peeling
+    * cascades (the gate data is k-NN-regular enough that the 3-core
+    * keeps everything; cascade behavior still needs pinning). */
+  private[operators] def kcoreOf(nodes: DataFrame, e: DataFrame,
+      kCore: Int, maxRounds: Int): DataFrame = {
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint(eager = false)
+    var surv = und.select(col("a").as("node")).distinct()
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = und
+        .join(surv.select(col("node").as("a")), Seq("a"))
+        .join(surv.select(col("node").as("b")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kCore).select(col("node"))
+        .localCheckpoint(eager = false)
+      val removed = surv.count() - next.count() // 1 driver scalar per round
+      surv = next
+      rounds += 1
+      converged = removed == 0
+    }
+    val coreDeg = und
+      .join(surv.select(col("node").as("a")), Seq("a"))
+      .join(surv.select(col("node").as("b")), Seq("b"))
+      .groupBy(col("a").as("vec_id")).agg(count(lit(1)).as("core_deg"))
+    nodes
+      .join(coreDeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_deg").isNotNull, 1L).otherwise(0L).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One unrolled oracle peeling round: degrees over edges whose BOTH
+    * endpoints survive, keep nodes with degree >= k. MATERIALIZED is
+    * load-bearing: each round references its predecessor twice (both
+    * endpoints), so inlined CTEs would double the plan per round —
+    * 2^8 copies of the candidate-cosine join OOMs DuckDB at sf0.1. */
+  private def kcoreRoundSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT x.a AS node FROM und x
+       |  JOIN $prev pa ON pa.node = x.a JOIN $prev pb ON pb.node = x.b
+       |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+
+  private val s22Sql = {
+    val rounds = (0 until 8).map(i => kcoreRoundSql(s"s$i", s"s${i + 1}"))
+      .mkString(",\n")
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs),
+       |e AS (SELECT vec_id AS a, cand_id AS b FROM r WHERE rnk <= 3),
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |        (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)),
+       |s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+       |$rounds,
+       |cd AS (SELECT x.a AS vec_id, COUNT(*) AS core_deg FROM und x
+       |       JOIN s8 pa ON pa.node = x.a JOIN s8 pb ON pb.node = x.b
+       |       GROUP BY 1)
+       |SELECT v.vec_id,
+       |  CAST(CASE WHEN cd.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+       |  CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
+       |FROM n v LEFT JOIN cd ON cd.vec_id = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // s23_hits — HITS hubs & authorities over the DIRECTED k-NN graph
+  // (s13's PageRank sibling: PageRank scores global reachability, HITS
+  // separates "points at good content" from "is good content" — on a
+  // k-NN graph, high authority = vectors many others choose as
+  // neighbors, the medoid signal). Cross-engine determinism via s13's
+  // fixed-point discipline: scores are BIGINT units of 1e-12, each
+  // round's L1 normalization is ONE cross-multiplied floor division
+  // (raw·1e12 div Σraw, product on DECIMAL(38,0) — Σraw ≤ k·1e12
+  // overflows BIGINT when ×1e12). 3 rounds, alternating auth←Σ_in hub,
+  // hub←Σ_out auth. Scale shape: scores shuffle on node keys (vectors
+  // never move), each normalization total rides a 1-row broadcast,
+  // per-round state is node-cardinality scalars with lazy
+  // localCheckpoint lineage cuts.
+  def s23(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(
+      Tables.embeddings(spark, dir).select(col("vec_id")),
+      knnEdges(spark, dir, k = 3)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      rounds = 3)
+
+  /** The HITS iteration over an arbitrary (src, dst) edge list —
+    * factored so specs can pin closed-form graphs (star → the center
+    * takes ALL authority and zero hub). */
+  private[operators] def hitsOf(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(eager = false)
+    val renorm = "cast((raw * cast(1000000000000 AS DECIMAL(38,0))) div s AS BIGINT)"
+    var hub = nodes
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+      .select(col("vec_id"), expr("1000000000000 div nn").as("w"))
+      .localCheckpoint(eager = false)
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val ar = e.join(hub.select(col("vec_id").as("src"), col("w")), Seq("src"))
+        .groupBy(col("dst").as("vec_id")).agg(sum(col("w")).as("raw"))
+      auth = nodes.join(ar, Seq("vec_id"), "left")
+        .crossJoin(broadcast(ar.agg(sum(col("raw")).as("s"))))
+        .select(col("vec_id"), coalesce(expr(renorm), lit(0L)).as("w"))
+        .localCheckpoint(eager = false)
+      val hr = e.join(auth.select(col("vec_id").as("dst"), col("w").as("aw")), Seq("dst"))
+        .groupBy(col("src").as("vec_id")).agg(sum(col("aw")).as("raw"))
+      hub = nodes.join(hr, Seq("vec_id"), "left")
+        .crossJoin(broadcast(hr.agg(sum(col("raw")).as("s"))))
+        .select(col("vec_id"), coalesce(expr(renorm), lit(0L)).as("w"))
+        .localCheckpoint(eager = false)
+    }
+    hub.select(col("vec_id"), col("w").as("hub_scaled"))
+      .join(auth.select(col("vec_id"), col("w").as("auth_scaled")), Seq("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One unrolled HITS oracle round (auth then hub, each L1-renormalized
+    * to 1e12 by the same cross-multiplied floor division the engine
+    * uses). MATERIALIZED keeps DuckDB from re-inlining the
+    * candidate-cosine pipeline once per downstream reference. */
+  private def hitsRoundSql(i: Int, hprev: String): String =
+    s"""a${i}r AS (SELECT e.nbr AS vec_id, SUM(h.w) AS raw
+       |  FROM eh e JOIN $hprev h ON h.vec_id = e.vec_id GROUP BY 1),
+       |a${i}s AS (SELECT SUM(raw) AS s FROM a${i}r),
+       |a$i AS MATERIALIZED (SELECT v.vec_id,
+       |    COALESCE(CAST((r.raw * CAST(1000000000000 AS HUGEINT)) // t.s
+       |      AS BIGINT), 0) AS w
+       |  FROM n v LEFT JOIN a${i}r r ON r.vec_id = v.vec_id CROSS JOIN a${i}s t),
+       |h${i}r AS (SELECT e.vec_id AS vec_id, SUM(a.w) AS raw
+       |  FROM eh e JOIN a$i a ON a.vec_id = e.nbr GROUP BY 1),
+       |h${i}s AS (SELECT SUM(raw) AS s FROM h${i}r),
+       |h$i AS MATERIALIZED (SELECT v.vec_id,
+       |    COALESCE(CAST((r.raw * CAST(1000000000000 AS HUGEINT)) // t.s
+       |      AS BIGINT), 0) AS w
+       |  FROM n v LEFT JOIN h${i}r r ON r.vec_id = v.vec_id CROSS JOIN h${i}s t)"""
+      .stripMargin
+
+  private val s23Sql = {
+    val rounds = (1 to 3).map(i => hitsRoundSql(i, if (i == 1) "h0" else s"h${i - 1}"))
+      .mkString(",\n")
+    s"""WITH $scaledCteAdaptive,
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM prs),
+       |eh AS MATERIALIZED (SELECT vec_id, cand_id AS nbr FROM rk WHERE rnk <= 3),
+       |c0 AS (SELECT COUNT(*) AS nn FROM n),
+       |h0 AS (SELECT vec_id, 1000000000000 // nn AS w FROM n, c0),
+       |$rounds
+       |SELECT h3.vec_id, h3.w AS hub_scaled, a3.w AS auth_scaled
+       |FROM h3 JOIN a3 ON a3.vec_id = h3.vec_id
+       |ORDER BY h3.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_hits" -> (s23 _),
+    "s22_kcore" -> (s22 _),
     "s20_modularity" -> (s20 _),
     "s18_ppr" -> (s18 _),
     "s19_kmeans" -> (s19 _),
@@ -1295,6 +1483,8 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s23_hits" -> s23Sql,
+    "s22_kcore" -> s22Sql,
     "s20_modularity" -> s20Sql,
     "s18_ppr" -> s18Sql,
     "s19_kmeans" -> s19Sql,

@@ -1358,7 +1358,55 @@ object TextQueries {
       |FROM g JOIN o USING (h)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t32_pps_sample — SYSTEMATIC probability-proportional-to-size
+  // sampling of the corpus by document weight (n_chars): lay the docs
+  // on a deterministic pseudo-random circle (t22's Knuth-hash order),
+  // prefix-sum the weights, and take one hit at every multiple of
+  // W/64 — each doc's inclusion count is how many multiples its
+  // cumulative interval covers, so Σ multiplicity == 64 EXACTLY and a
+  // doc with w ≥ W/64 is ALWAYS sampled (the Horvitz–Thompson property
+  // a training-mixture sampler wants; i.i.d. Bernoulli gives neither).
+  // Everything is integer: hits in [cum−w, cum) = (cum·64) div W −
+  // ((cum−w)·64) div W. Scale shape: the circle order + running sum is
+  // [[RelationalQueries.globalPrefixSum]] (range partitions + offset
+  // table, no single-reducer window), W rides a 1-row broadcast, and
+  // the multiplicity filter is map-side — the exchange carries
+  // doc-cardinality scalars, never text. BIGINT bound: cum·64 needs
+  // corpus chars < 1.4e17 — beyond 100 TB of text.
+  def t32(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        expr("(doc_id * 2654435761L) % 4294967296L").as("smpkey"))
+    val cum = RelationalQueries.globalPrefixSum(w,
+      Seq(col("smpkey"), col("doc_id")), col("w"), "cum")
+    val tot = w.agg(sum(col("w")).as("tot_w"))
+    cum.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .withColumn("multiplicity",
+        expr("(cum * 64) div tot_w - ((cum - w) * 64) div tot_w"))
+      .filter(col("multiplicity") >= 1)
+      .select(col("doc_id"), col("w"), col("multiplicity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t32Sql =
+    """WITH k AS (
+      |  SELECT doc_id, greatest(n_chars, 1) AS w,
+      |    (doc_id * 2654435761) % 4294967296 AS smpkey
+      |  FROM documents),
+      |c AS (SELECT doc_id, w,
+      |  SUM(w) OVER (ORDER BY smpkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM k),
+      |t AS (SELECT SUM(w) AS tot_w FROM k)
+      |SELECT doc_id, w,
+      |  (cum * 64) // tot_w - ((cum - w) * 64) // tot_w AS multiplicity
+      |FROM c CROSS JOIN t
+      |WHERE (cum * 64) // tot_w - ((cum - w) * 64) // tot_w >= 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_pps_sample" -> (t32 _),
     "t30_ngram_novelty" -> (t30 _),
     "t28_inverted_index" -> (t28 _),
     "t29_feature_hash" -> (t29 _),
@@ -1391,6 +1439,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t32_pps_sample" -> t32Sql,
     "t30_ngram_novelty" -> t30Sql,
     "t28_inverted_index" -> t28Sql,
     "t29_feature_hash" -> t29Sql,

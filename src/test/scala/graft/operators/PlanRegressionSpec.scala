@@ -57,7 +57,8 @@ class PlanRegressionSpec extends SparkSpec {
     "x30_abc_pareto" -> 1,    // 1-row corpus-total aggregate (class cuts)
     "v18_skew_audit" -> 3,    // 1-row (n_keys, max_cnt) stats per key column
     "q41_chi2" -> 1,          // 1-row grand-total aggregate (expected freq)
-    "v20_drift_tvd" -> 1)     // 1-row per-epoch totals aggregate (ppm denoms)
+    "v20_drift_tvd" -> 1,     // 1-row per-epoch totals aggregate (ppm denoms)
+    "t32_pps_sample" -> 1)    // 1-row total-weight aggregate (PPS stride)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants for the round-5 session-7 gates beyond their hash
+  * oracles: Spearman/Gini closed-form extremes on constructed
+  * rankings, the Simpson uniform lower bound, the IVM merge-vs-rebuild
+  * contract proven in-engine, the PPS sampler's exact-quota and
+  * certainty-inclusion properties, and k-core degeneracy conditions.
+  */
+class Round5Session7Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q42 spearman hits +1e6 on identical rankings, -1e6 on reversed") {
+    import spark.implicits._
+    val same = (1L to 50L).map(i => (i, i, i * 10L)).toDF("o_custkey", "freq", "mon")
+    val sameRho = AnalyticsQueries.spearmanOf(same).collect().head
+    assert(sameRho.getAs[Long]("rho_ppm") === 1000000L)
+    // freq ascending, mon descending: ranks are exact mirrors
+    val rev = (1L to 50L).map(i => (i, i, (51L - i) * 10L)).toDF("o_custkey", "freq", "mon")
+    val revRho = AnalyticsQueries.spearmanOf(rev).collect().head
+    assert(revRho.getAs[Long]("rho_ppm") === -1000000L)
+  }
+
+  test("q42 gate output is a single bounded row") {
+    val r = AnalyticsQueries.queries("q42_spearman")(spark, dir).collect()
+    assert(r.length === 1)
+    val rho = r.head.getAs[Long]("rho_ppm")
+    assert(rho >= -1000000L && rho <= 1000000L)
+  }
+
+  test("q43 gini closed forms: uniform -> 0, single-owner -> (n-1)/n") {
+    import spark.implicits._
+    val uniform = (1L to 40L).map(i => (i, 700L)).toDF("o_custkey", "cents")
+    assert(AnalyticsQueries.giniOf(uniform).collect().head
+      .getAs[Long]("gini_ppm") === 0L)
+    val oneOwner = ((1L to 39L).map(i => (i, 0L)) :+ (40L, 123400L))
+      .toDF("o_custkey", "cents")
+    // G = (n-1)/n with x sorted ascending and all mass on the last rank
+    assert(AnalyticsQueries.giniOf(oneOwner).collect().head
+      .getAs[Long]("gini_ppm") === (39L * 1000000L) / 40L)
+  }
+
+  test("v21 simpson: bounded by [uniform floor, 1e6], distincts positive") {
+    val rows = AnalyticsQueries.queries("v21_simpson")(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (k, s) = (r.getAs[Long]("n_distinct"), r.getAs[Long]("simpson_ppm"))
+      assert(k >= 1)
+      assert(s <= 1000000L, s"${r.getString(0)}: simpson > 1")
+      // uniform distribution minimizes sum(c^2) at n^2/k -> floor slack < k
+      assert(s * k >= 1000000L - k, s"${r.getString(0)}: below uniform floor")
+    }
+  }
+
+  test("x33 incremental maintenance equals full recompute (in-engine)") {
+    val maintained = AnalyticsQueries.queries("x33_ivm")(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    val recomputed = o
+      .filter(!(col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+        col("o_orderkey") % 97 === 0))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "maintained view diverges from full recompute")
+    // and the delta actually did something: some base day lost an order
+    assert(maintained.count() > 0)
+  }
+
+  test("t32 PPS quota is exactly 64 and heavy docs are certainty-included") {
+    val rows = TextQueries.queries("t32_pps_sample")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("multiplicity")).sum === 64L)
+    val w = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+    val totW = w.agg(sum(col("w"))).collect().head.getLong(0)
+    val sampled = rows.map(_.getAs[Long]("doc_id")).toSet
+    val heavy = w.filter(col("w") * 64 >= totW).collect()
+    heavy.foreach { r =>
+      assert(sampled.contains(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} has w >= W/64 but was not sampled")
+    }
+  }
+
+  test("s22 k-core: every in-core node keeps >= 3 in-core neighbors") {
+    val rows = SimilarityQueries.queries("s22_kcore")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val inCore = rows.filter(_.getAs[Long]("in_core") == 1L)
+    val outCore = rows.filter(_.getAs[Long]("in_core") == 0L)
+    assert(inCore.nonEmpty)
+    inCore.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L,
+      s"vec ${r.getAs[Long]("vec_id")} in core with degree ${r.getAs[Long]("core_deg")}"))
+    outCore.foreach(r => assert(r.getAs[Long]("core_deg") === 0L))
+  }
+
+  test("s22 peel cascades: pendant chain unravels hop by hop, clique survives") {
+    import spark.implicits._
+    // K5 clique (nodes 1-5, degree 4) + a tail rigged so every tail node
+    // STARTS at degree >= 3 except the tip: 6~{4,5,7}, 7~{5,6,8}, 8~{7}.
+    // Round 1 peels only 8 (deg 1); 7 drops to 2 and peels in round 2;
+    // 6 drops to 2 and peels in round 3 — a genuine hop-by-hop cascade,
+    // which is what the round cap must accommodate (a single-pass filter
+    // on initial degree would WRONGLY keep 6 and 7).
+    val clique = for {
+      i <- 1L to 5L; j <- 1L to 5L if i < j
+    } yield (i, j)
+    val tail = Seq((4L, 6L), (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L))
+    val edges = (clique ++ tail).toDF("a", "b")
+    val nodes = (1L to 8L).map(Tuple1(_)).toDF("vec_id")
+    val res = SimilarityQueries.kcoreOf(nodes, edges, kCore = 3, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 5L).foreach(i => assert(res(i)._1 === 1L && res(i)._2 === 4L,
+      s"clique node $i should keep all 4 neighbors, got ${res(i)}"))
+    (6L to 8L).foreach(i => assert(res(i) === ((0L, 0L)),
+      s"path node $i should peel, got ${res(i)}"))
+    // a cap too low to finish the cascade leaves the half-peeled state —
+    // the monotone-peel/capped-oracle equivalence depends on this shape
+    val capped = SimilarityQueries.kcoreOf(nodes, edges, kCore = 3, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(8L) === 0L && capped(6L) === 1L,
+      "round 1 must peel only the chain tail")
+  }
+
+  test("s23 HITS: star graph sends all authority to the center, zero hub") {
+    import spark.implicits._
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("vec_id")
+    val star = (2L to 6L).map(i => (i, 1L)).toDF("src", "dst")
+    val res = SimilarityQueries.hitsOf(nodes, star, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // center: the only authority (renormalized to exactly 1e12), no out-edges
+    assert(res(1L) === ((0L, 1000000000000L)))
+    // leaves: equal hubs (1e12/5 after floor), zero authority
+    (2L to 6L).foreach { i =>
+      assert(res(i)._2 === 0L, s"leaf $i has authority")
+      assert(res(i)._1 === 1000000000000L / 5, s"leaf $i hub ${res(i)._1}")
+    }
+  }
+
+  test("s23 gate conserves L1 mass to within floor slack") {
+    val rows = SimilarityQueries.queries("s23_hits")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val hubSum = rows.map(_.getAs[Long]("hub_scaled")).sum
+    val authSum = rows.map(_.getAs[Long]("auth_scaled")).sum
+    // each renormalized score loses < 1 unit to the floor, n rows
+    assert(hubSum <= 1000000000000L && hubSum > 1000000000000L - n, s"hub mass $hubSum")
+    assert(authSum <= 1000000000000L && authSum > 1000000000000L - n, s"auth mass $authSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hub_scaled") >= 0L && r.getAs[Long]("auth_scaled") >= 0L)
+    }
+  }
+
+  test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
+    val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val richest = graft.Tables.customer(spark, dir)
+      .join(graft.Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+          .orderBy(floor(col("c_acctbal") * 100).desc, col("c_custkey"))))
+      .filter(col("rk") === 1)
+      .select(col("n_name"), col("c_name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val names = r.getAs[String]("top_names").split(",")
+      assert(names.length <= 3 && names.nonEmpty)
+      assert(names.head === richest(r.getAs[String]("n_name")),
+        s"${r.getAs[String]("n_name")}: ${names.head} is not the richest")
+    }
+  }
+}
