@@ -1451,7 +1451,107 @@ object CrossQueries {
       |FROM t WHERE from_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x34_locf — last-observation-carried-forward imputation (the time-
+  // series repair primitive): only 'click' events carry a trusted
+  // reading here; every event gets the latest trusted value at-or-
+  // before it on its user's timeline. `last(..., ignoreNulls)` over a
+  // (user, time) window — ONE key-shuffle + in-partition sort, the st2
+  // sessionization ordering; no self-join, no point-in-time probe per
+  // row. The carried value is a STORED double (no arithmetic), so
+  // cross-engine equality is bit-exact. Rows before a user's first
+  // trusted reading stay null — LOCF has nothing to carry, and the
+  // output says so honestly.
+  def x34(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tsu = graft.streaming.Streaming.tsMicros(col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), tsu.as("tsu"),
+        col("event_type"),
+        when(col("event_type") === "click", col("value")).as("reading"))
+      .withColumn("carried", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("reading"), col("carried"))
+      .orderBy(col("event_id"))
+  }
+
+  private val x34Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type,
+      |    CASE WHEN event_type = 'click' THEN value END AS reading
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, reading,
+      |  last_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY tsu, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |FROM e ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x35_grid_join — SPATIAL radius self-join by grid bucketing (the
+  // scale-correct shape for "all pairs within distance r": bucket
+  // points into r-sized cells, probe only the 3×3 neighborhood, never
+  // the all-pairs grid). Coordinates are hash-derived BIGINT grid
+  // positions (both engines run the identical modular arithmetic — no
+  // trig, no floats; a real deployment swaps in projected integer
+  // coordinates), r=8 on a 300×300 grid (coordinates mix through a post-offset Knuth multiply so the 2^32 wrap engages for every key). Each UNORDERED pair is
+  // found exactly once: b's cell falls in exactly one of a's nine
+  // probe cells, and a<b keeps one direction. Candidate volume is
+  // 9×|points| keys joined cell-equi — the exchange carries cell keys,
+  // and the distance² filter is exact integer. Output is a
+  // distance²-histogram (26-row result at any scale).
+  def x35(spark: SparkSession, dir: String): DataFrame = {
+    // xor-shift mix: a bare multiplicative hash is LINEAR in the key, so
+    // pair DIFFERENCES depend only on key differences and the "random"
+    // points collapse onto a lattice (observed: every dist2 was 2k2).
+    // The xor of the high half breaks the linearity in both engines
+    // identically (BIGINT ops only, no overflow: h < 2^32, x40503 < 2^48).
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+        expr("((((((c_custkey) * 2654435761L) % 4294967296L) ^ shiftright(((c_custkey) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("x"),
+        expr("((((((c_custkey + 7919L) * 2654435761L) % 4294967296L) ^ shiftright(((c_custkey + 7919L) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("y"))
+      .withColumn("cx", expr("x div 8"))
+      .withColumn("cy", expr("y div 8"))
+    val probes = pts.select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        explode(sequence(col("cx") - 1, col("cx") + 1)).as("pcx"), col("cy"))
+      .select(col("a"), col("ax"), col("ay"), col("pcx"),
+        explode(sequence(col("cy") - 1, col("cy") + 1)).as("pcy"))
+    probes
+      .join(pts.select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+          col("cx").as("pcx"), col("cy").as("pcy")),
+        Seq("pcx", "pcy"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= 64)
+      .groupBy(col("dist2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("dist2"))
+  }
+
+  private val x35Sql =
+    """WITH p AS (
+      |  SELECT c_custkey AS id,
+      |    ((xor((((c_custkey) * 2654435761) % 4294967296), (((c_custkey) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS x,
+      |    ((xor((((c_custkey + 7919) * 2654435761) % 4294967296), (((c_custkey + 7919) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS y
+      |  FROM customer),
+      |c AS (SELECT id, x, y, x // 8 AS cx, y // 8 AS cy FROM p),
+      |pairs AS (
+      |  SELECT a.id AS a, b.id AS b,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      |  FROM c a
+      |  CROSS JOIN range(-1, 2) dx(i) CROSS JOIN range(-1, 2) dy(j)
+      |  JOIN c b ON b.cx = a.cx + dx.i AND b.cy = a.cy + dy.j AND a.id < b.id)
+      |SELECT dist2, COUNT(*) AS n_pairs
+      |FROM pairs WHERE dist2 <= 64
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_locf" -> (x34 _),
+    "x35_grid_join" -> (x35 _),
     "x27_event_pathing" -> (x27 _),
     "x26_ab_lift" -> (x26 _),
     "x24_hierarchy_rollup" -> (x24 _),
@@ -1482,6 +1582,8 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x34_locf" -> x34Sql,
+    "x35_grid_join" -> x35Sql,
     "x27_event_pathing" -> x27Sql,
     "x26_ab_lift" -> x26Sql,
     "x24_hierarchy_rollup" -> x24Sql,
