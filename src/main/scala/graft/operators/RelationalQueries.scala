@@ -1311,7 +1311,111 @@ object RelationalQueries {
       |WHERE rk <= 3
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q45_local_volume — the TPC-H Q5 shape: revenue delivered by
+  // LOCAL suppliers (customer and supplier in the same nation) per
+  // nation of one region and one order-year — the canonical 6-table
+  // join-ordering workout. The plan story is the point: lineitem is the
+  // only fact-sized input; region→nation prunes to a 5-row build side,
+  // customer/supplier joins shuffle on their keys, and Catalyst is free
+  // to reorder because everything is declarative equi-joins. The
+  // same-nation predicate rides the supplier join (c_nationkey =
+  // s_nationkey), not a post-filter, so the join itself prunes.
+  // Revenue = Σ extendedprice·(1−discount) through the DECIMAL(18,4)
+  // dsum (deterministic across engines and partitionings).
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q45Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46_returned_revenue — the TPC-H Q10 shape: top-20 customers by
+  // revenue lost to returned items in one quarter. Fact-side: lineitem
+  // filtered to returns joins orders filtered to the quarter (both
+  // filters pushed to the scans), revenue aggregates per customer,
+  // THEN the customer dim attaches — aggregate-before-join keeps the
+  // dim join at customer-cardinality, and the final top-20 is a
+  // TakeOrderedAndProject, not a global sort. Deterministic total
+  // order: revenue is bucketed to exact cents for the ranking
+  // (DECIMAL(18,4) compare is exact), tie-broken by custkey.
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val per = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev_exact"), count(lit(1)).as("n_returns"))
+    per
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("rev_exact").cast(DoubleType).as("revenue"), col("n_returns"))
+      .orderBy(col("rev_exact").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q46Sql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev_exact,
+      |    COUNT(*) AS n_returns
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(rev_exact AS DOUBLE) AS revenue, n_returns
+      |FROM per JOIN customer ON o_custkey = c_custkey
+      |ORDER BY rev_exact DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_local_volume" -> (q45 _),
+    "q46_returned_revenue" -> (q46 _),
     "q44_listagg" -> (q44 _),
     "q39_quartiles" -> (q39 _),
     "q37_drawdown" -> (q37 _),
@@ -1353,6 +1457,8 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q45_local_volume" -> q45Sql,
+    "q46_returned_revenue" -> q46Sql,
     "q44_listagg" -> q44Sql,
     "q39_quartiles" -> q39Sql,
     "q37_drawdown" -> q37Sql,

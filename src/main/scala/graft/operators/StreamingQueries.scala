@@ -481,7 +481,29 @@ object StreamingQueries {
       |WHERE (day_num + 1) * 86400000000 <= tmax + 6 * 86400000000 - 3600000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st19_stream_locf — x34's LOCF imputation as a STREAMING stateful
+  // operator (transformWithState, List + Value state): events buffer
+  // per user until the watermark finalizes them, then fold in event-time
+  // order through a carried-reading ValueState that SURVIVES batches.
+  // The oracle is x34's batch window restricted to non-null users (the
+  // stream key is a primitive Long).
+  def st19(spark: SparkSession, dir: String): DataFrame =
+    Streaming.locfTws(spark, dir).orderBy(col("event_id"))
+
+  private val st19Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type,
+      |    CASE WHEN event_type = 'click' THEN value END AS reading
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT event_id, user_id, event_type, reading,
+      |  last_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY tsu, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |FROM e ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_locf" -> (st19 _),
     "st18_stream_wau" -> (st18 _),
     "st16_stream_semi_join" -> (st16 _),
     "st17_window_chain" -> (st17 _),
@@ -502,6 +524,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st19_stream_locf" -> st19Sql,
     "st18_stream_wau" -> st18Sql,
     "st16_stream_semi_join" -> st16Sql,
     "st17_window_chain" -> st17Sql,

@@ -631,6 +631,83 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, recents.toDF(), forceRocksDb = true)
   }
 
+  final case class LocfEvt(user_id: Long, event_id: Long, tsu: Long,
+      event_type: String, value: Double, event_ts: java.sql.Timestamp)
+  final case class PendEvt(tsu: Long, event_id: Long, event_type: String, value: Double)
+  final case class LocfRow(event_id: Long, user_id: Long, event_type: String,
+      reading: Option[Double], carried: Option[Double])
+
+  /** Streaming LOCF (last-observation-carried-forward, x34's stream
+    * twin): per-user, every event is annotated with the latest trusted
+    * ('click') reading at-or-before it in EVENT TIME, while arrival
+    * order is whatever the source delivers. Buffer-until-watermark:
+    * events buffer in ListState, a finalize timer re-arms at the key's
+    * max event time, and on expiry the buffer is event-time-sorted and
+    * folded through a ValueState carrying the last reading — which
+    * SURVIVES the drain, so the next batch's events continue from the
+    * carried value, not from null (the property that makes this a
+    * streaming operator and not a batch sort per batch). Buffered state
+    * is bounded by the watermark horizon per key, same contract as the
+    * st6 session buffers. */
+  class LocfProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LocfEvt, LocfRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendEvt] = _
+    @transient private var lastR: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendEvt](
+        "pending", E.product[PendEvt], TTLConfig.NONE)
+      lastR = getHandle.getValueState[Double]("last", E.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[LocfEvt],
+        timers: TimerValues): Iterator[LocfRow] = {
+      val batch = rows.map(e => PendEvt(e.tsu, e.event_id, e.event_type, e.value)).toArray
+      pending.appendList(batch)
+      val maxMs = batch.map(_.tsu / 1000).max
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(maxMs, timers.getCurrentWatermarkInMs + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[LocfRow] = {
+      val evs = pending.get().toArray.sortBy(e => (e.tsu, e.event_id))
+      val out = evs.map { e =>
+        val isClick = e.event_type == "click"
+        if (isClick) lastR.update(e.value)
+        val carried = if (lastR.exists()) Some(lastR.get()) else None
+        LocfRow(e.event_id, uid, e.event_type,
+          if (isClick) Some(e.value) else None, carried)
+      }
+      pending.clear() // lastR intentionally survives: it IS the carry
+      out.iterator
+    }
+  }
+
+  /** [[LocfProcessor]] as a real streaming query (append mode,
+    * AvailableNow, RocksDB). */
+  def locfTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = s"graft_stream_twslocf_${queryCounter.incrementAndGet()}"
+    val events = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"),
+        col("event_type"), col("value"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[LocfEvt]
+    val rows = events.groupByKey(_.user_id)
+      .transformWithState(
+        new LocfProcessor, TimeMode.EventTime(), OutputMode.Append)
+    drainToLocal(spark, name, OutputMode.Append, rows.toDF(), forceRocksDb = true)
+  }
+
   /** Engine-native streaming dedup: `dropDuplicatesWithinWatermark` on
     * (user_id, event_type) — first-arrival keeps the row, duplicate
     * arrivals are dropped, and (unlike plain `dropDuplicates`) the
