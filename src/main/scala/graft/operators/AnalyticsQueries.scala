@@ -691,7 +691,7 @@ object AnalyticsQueries {
 
   private val v21Sql = {
     def one(table: String, colName: String): String =
-      s"""SELECT '$colName' AS column_name, n, n_distinct,
+      s"""SELECT '$colName' AS column_name, CAST(n AS BIGINT) AS n, n_distinct,
          |  CAST((sum_c2 * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT)
          |    AS simpson_ppm
          |FROM (SELECT SUM(c) AS n, COUNT(*) AS n_distinct,
@@ -750,7 +750,7 @@ object AnalyticsQueries {
     // Full recompute of the post-delta state — the equality against the
     // engine's incremental merge is the point of the gate.
     """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
-      |  SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM orders
       |WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -901,7 +901,87 @@ object DedupQueries {
        |  (tp_bl * 1000000) // n_true AS recall_bl_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d18_bbit_minhash — b-bit MinHash calibration (d17's harness family,
+  // pointed at the SKETCH-COMPRESSION trade): keep only the LOWEST BIT
+  // of each of the 8 minhash functions — one BYTE of signature per doc
+  // instead of 16 — and score the resulting Jaccard estimator
+  // Ĵ = 2·agree/k − 1 against exact shingle Jaccard on the d2 LSH
+  // candidate pairs. Every quantity is integer (agree counts, ppm by
+  // floor division), so the error report is cross-engine exact; the
+  // expected |err| at k=8 is large (~1/√k) and the gate REPORTS it —
+  // the honest cost of 16× signature compression, which is the number
+  // a 100 TB dedup run needs before choosing b-bit storage. One
+  // aggregate row; candidate volume is d2's banded join, never
+  // all-pairs.
+  def d18(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bits = docs
+      .select(col("doc_id"), Dedup.minhashSigExpr(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        expr("transform(sig, m -> cast(conv(substring(m, 4, 1), 16, 10) AS INT) % 2)")
+          .as("bits"))
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
+    Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, 4)
+      .join(bits.select(col("doc_id").as("doc_a"), col("bits").as("ba")), "doc_a")
+      .join(bits.select(col("doc_id").as("doc_b"), col("bits").as("bb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("agree", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("est_ppm",
+        expr("greatest((2 * agree * 1000000) div 8 - 1000000, 0L)"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac_ppm",
+        expr("(inter * 1000000) div (size(sha) + size(shb) - inter)"))
+      .withColumn("abs_err", abs(col("est_ppm") - col("jac_ppm")))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        max(col("abs_err")).as("max_abs_err_ppm"),
+        sum(col("est_ppm")).as("sum_est"),
+        sum(col("jac_ppm")).as("sum_jac"))
+      .select(col("n_pairs"),
+        expr("sum_abs_err div n_pairs").as("mean_abs_err_ppm"),
+        col("max_abs_err_ppm"),
+        expr("sum_est div n_pairs").as("mean_est_ppm"),
+        expr("sum_jac div n_pairs").as("mean_jac_ppm"))
+  }
+
+  private val d18Sql =
+    s"""WITH $pairCtes,
+       |bt AS (
+       |  SELECT doc_id, list_transform(s,
+       |    m -> CAST(CAST(concat('0x', substr(m, 4, 1)) AS INTEGER) % 2 AS INTEGER)) AS bits
+       |  FROM sig),
+       |dd AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+       |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS sh
+       |  FROM documents),
+       |scored AS (
+       |  SELECT
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> CASE WHEN ba.bits[i] = bb.bits[i] THEN 1 ELSE 0 END)) AS agree,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM pairs p
+       |  JOIN bt ba ON ba.doc_id = p.doc_a JOIN bt bb ON bb.doc_id = p.doc_b
+       |  JOIN dd a ON a.doc_id = p.doc_a JOIN dd b ON b.doc_id = p.doc_b),
+       |e AS (
+       |  SELECT greatest((2 * agree * 1000000) // 8 - 1000000, 0) AS est_ppm,
+       |    (inter * 1000000) // (na + nb - inter) AS jac_ppm
+       |  FROM scored)
+       |SELECT COUNT(*) AS n_pairs,
+       |  CAST(SUM(abs(est_ppm - jac_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+       |  CAST(MAX(abs(est_ppm - jac_ppm)) AS BIGINT) AS max_abs_err_ppm,
+       |  CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+       |  CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS mean_jac_ppm
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_bbit_minhash" -> (d18 _),
     "d17_minhash_eval" -> (d17 _),
     "d15_keepbest" -> (d15 _),
     "d12_cdc_chunks" -> (d12 _),
@@ -921,6 +1001,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d18_bbit_minhash" -> d18Sql,
     "d17_minhash_eval" -> d17Sql,
     "d15_keepbest" -> d15Sql,
     "d12_cdc_chunks" -> d12Sql,

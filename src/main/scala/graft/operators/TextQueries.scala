@@ -1400,12 +1400,58 @@ object TextQueries {
       |  FROM k),
       |t AS (SELECT SUM(w) AS tot_w FROM k)
       |SELECT doc_id, w,
-      |  (cum * 64) // tot_w - ((cum - w) * 64) // tot_w AS multiplicity
+      |  CAST((cum * 64) // tot_w - ((cum - w) * 64) // tot_w AS BIGINT)
+      |    AS multiplicity
       |FROM c CROSS JOIN t
       |WHERE (cum * 64) // tot_w - ((cum - w) * 64) // tot_w >= 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t33_hash_collisions — collision audit for t29's feature-hashing
+  // space at several widths (2^6, 2^10, 2^16): distinct token TYPES vs
+  // occupied buckets, collisions and load in exact ppm — the number
+  // that justifies (or vetoes) a hashing-trick width before a 100 TB
+  // featurization run. One pass builds the type table (token explode
+  // collapses map-side to vocabulary cardinality); each width is then
+  // an aggregate over TYPES (vocabulary-sized, never corpus-sized),
+  // and the three width rows union. Same md5-prefix bucket function as
+  // t29, so the audit measures exactly the space t29 uses.
+  def t33(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+    val widths = Seq(64L, 1024L, 65536L)
+    widths.map { w =>
+      types.select((col("h") % w).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_types"), count(lit(1)).as("n_buckets_used"))
+        .select(lit(w).as("width"), col("n_types"), col("n_buckets_used"),
+          (col("n_types") - col("n_buckets_used")).as("n_collided"),
+          expr("((n_types - n_buckets_used) * 1000000) div n_types")
+            .as("collision_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("width"))
+  }
+
+  private val t33Sql = {
+    def one(w: Long): String =
+      s"""SELECT $w AS width, CAST(SUM(c) AS BIGINT) AS n_types,
+         |  COUNT(*) AS n_buckets_used,
+         |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_collided,
+         |  CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT) AS collision_ppm
+         |FROM (
+         |  SELECT CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT) % $w
+         |    AS BIGINT) AS bucket, COUNT(*) AS c
+         |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1)""".stripMargin
+    Seq(64L, 1024L, 65536L).map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY width")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_hash_collisions" -> (t33 _),
     "t32_pps_sample" -> (t32 _),
     "t30_ngram_novelty" -> (t30 _),
     "t28_inverted_index" -> (t28 _),
@@ -1439,6 +1485,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t33_hash_collisions" -> t33Sql,
     "t32_pps_sample" -> t32Sql,
     "t30_ngram_novelty" -> t30Sql,
     "t28_inverted_index" -> t28Sql,

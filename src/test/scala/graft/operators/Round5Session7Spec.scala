@@ -189,6 +189,36 @@ class Round5Session7Spec extends SparkSpec {
     assert(gate === brute, s"grid join diverges from brute force:\n$gate\n$brute")
   }
 
+  test("d18 b-bit estimate and exact jaccard stay in [0, 1e6]; pairs exist") {
+    val r = DedupQueries.queries("d18_bbit_minhash")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    Seq("mean_abs_err_ppm", "max_abs_err_ppm", "mean_est_ppm", "mean_jac_ppm")
+      .foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c = $v out of ppm range")
+      }
+    // the 1-bit estimator's error can't beat the full-sketch floor for
+    // free: mean error must be positive on LSH candidates (they are
+    // similar-but-not-identical) — a zero here would mean the estimate
+    // is being read from the exact side
+    assert(r.getAs[Long]("max_abs_err_ppm") > 0L)
+  }
+
+  test("t33 collision audit: wider spaces collide less, types constant") {
+    val rows = TextQueries.queries("t33_hash_collisions")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("width")).toSeq === Seq(64L, 1024L, 65536L))
+    val types = rows.map(_.getAs[Long]("n_types")).distinct
+    assert(types.length === 1, "token-type count must not depend on width")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets_used") <= r.getAs[Long]("width"))
+      assert(r.getAs[Long]("n_collided") ===
+        r.getAs[Long]("n_types") - r.getAs[Long]("n_buckets_used"))
+    }
+    val ppm = rows.map(_.getAs[Long]("collision_ppm"))
+    assert(ppm(0) >= ppm(1) && ppm(1) >= ppm(2),
+      s"collisions must not increase with width: ${ppm.toSeq}")
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
