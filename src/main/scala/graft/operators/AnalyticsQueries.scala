@@ -755,7 +755,65 @@ object AnalyticsQueries {
       |WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q47_linreg — ordinary least squares of daily revenue on the day
+  // index, EXACT: slope and intercept are closed-form rationals of five
+  // integer sums (n, Σt, Σy, Σt², Σty), so both engines compute
+  // identical micro-unit results with zero float arithmetic. The one
+  // portability trap is SIGN: slope can be negative, Spark's `div`
+  // truncates toward zero while DuckDB's `//` floors — adding a large
+  // positive offset before the division and subtracting it after makes
+  // both floor on a positive numerator (s19's offset-division trick).
+  // Scale shape: the day aggregate absorbs the fact table map-side;
+  // the regression itself is ONE 1-row reduction over day-cardinality
+  // rows. DECIMAL(38,0) keeps n·Σty exact far past warehouse scale.
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+    val idx = RelationalQueries.globalRank(daily, Seq(col("day")), "rn")
+      .select((col("rn") - 1).as("t"), col("y"))
+    val off = "1000000000000" // |slope_micro|, |intercept_milli| << 1e12
+    idx.select(
+      col("t").cast("decimal(38,0)").as("t"),
+      col("y").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"),
+        sum(expr("t * t")).as("stt"), sum(expr("t * y")).as("sty"))
+      .select(col("n"),
+        expr(s"""CASE WHEN n < 2 THEN 0 ELSE cast(
+               |  ((n * sty - st * sy) * 1000000 + $off * (n * stt - st * st))
+               |    div (n * stt - st * st) - $off AS BIGINT) END""".stripMargin)
+          .as("slope_micro"),
+        expr(s"""CASE WHEN n < 2 THEN 0 ELSE cast(
+               |  ((sy * stt - st * sty) * 1000 + $off * (n * stt - st * st))
+               |    div (n * stt - st * st) - $off AS BIGINT) END""".stripMargin)
+          .as("intercept_milli"))
+  }
+
+  private val q47Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, y FROM d),
+      |s AS (SELECT COUNT(*) AS n, SUM(CAST(t AS HUGEINT)) AS st,
+      |        SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(t AS HUGEINT) * t) AS stt,
+      |        SUM(CAST(t AS HUGEINT) * y) AS sty FROM i)
+      |SELECT n,
+      |  CASE WHEN n < 2 THEN 0 ELSE CAST(
+      |    ((n * sty - st * sy) * 1000000
+      |       + 1000000000000 * (n * stt - st * st))
+      |      // (n * stt - st * st) - 1000000000000 AS BIGINT) END AS slope_micro,
+      |  CASE WHEN n < 2 THEN 0 ELSE CAST(
+      |    ((sy * stt - st * sty) * 1000
+      |       + 1000000000000 * (n * stt - st * st))
+      |      // (n * stt - st * st) - 1000000000000 AS BIGINT) END AS intercept_milli
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_linreg" -> (q47 _),
     "q42_spearman" -> (q42 _),
     "q43_gini" -> (q43 _),
     "v21_simpson" -> (v21 _),
@@ -774,6 +832,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q47_linreg" -> q47Sql,
     "q42_spearman" -> q42Sql,
     "q43_gini" -> q43Sql,
     "v21_simpson" -> v21Sql,

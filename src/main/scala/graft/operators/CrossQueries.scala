@@ -1549,7 +1549,60 @@ object CrossQueries {
       |FROM pairs WHERE dist2 <= 64
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x36_cusum — CUSUM changepoint detection over the daily-revenue
+  // series (the classic drift alarm, and the SEQUENTIAL-recurrence
+  // contrast to v16's pointwise MAD outliers: CUSUM accumulates small
+  // sustained shifts that no per-day threshold sees). Everything is
+  // integer: mu = total div n, slack = mu div 20 (5%), and the
+  // one-sided statistic S_t = max(0, S_{t-1} + x_t − mu − slack) is
+  // x20's clamp recurrence — inherently sequential, so it runs as a
+  // bounded typed fold over the DAY-cardinality series (the volume was
+  // absorbed by the per-day aggregate; the fold input is ~thousands of
+  // rows at ANY corpus scale, which is why a single sequential pass is
+  // the honest plan, not a compromise). Alarm when S_t > mu div 2.
+  def x36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(String, Long)]
+    daily.groupByKey(_ => 0).flatMapGroups { (_, it) =>
+      val days = it.toArray.sortBy(_._1)
+      val n = days.length.toLong
+      val mu = if (n == 0) 0L else days.map(_._2).sum / n
+      val slack = mu / 20
+      val h = mu / 2
+      var s = 0L
+      days.iterator.map { case (day, x) =>
+        s = math.max(0L, s + x - mu - slack)
+        (day, x, s, if (s > h) 1L else 0L)
+      }
+    }.toDF("day", "cents", "s_up", "alarm")
+      .orderBy(col("day"))
+  }
+
+  private val x36Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu FROM d),
+      |o AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+      |r(rn, day, cents, s) AS (
+      |  SELECT rn, day, cents,
+      |    GREATEST(cents - mu - mu // 20, 0)
+      |  FROM o, m WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.cents,
+      |    GREATEST(r.s + o.cents - mu - mu // 20, 0)
+      |  FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN m)
+      |SELECT day, cents, CAST(s AS BIGINT) AS s_up,
+      |  CAST(CASE WHEN s > mu // 2 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM r CROSS JOIN m ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_cusum" -> (x36 _),
     "x34_locf" -> (x34 _),
     "x35_grid_join" -> (x35 _),
     "x27_event_pathing" -> (x27 _),
@@ -1582,6 +1635,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x36_cusum" -> x36Sql,
     "x34_locf" -> x34Sql,
     "x35_grid_join" -> x35Sql,
     "x27_event_pathing" -> x27Sql,

@@ -219,6 +219,41 @@ class Round5Session7Spec extends SparkSpec {
       s"collisions must not increase with width: ${ppm.toSeq}")
   }
 
+  test("x36 CUSUM replays exactly from its own daily series") {
+    val rows = CrossQueries.queries("x36_cusum")(spark, dir).collect()
+      .sortBy(_.getString(0))
+    assert(rows.nonEmpty)
+    val mu = rows.map(_.getAs[Long]("cents")).sum / rows.length
+    var s = 0L
+    rows.foreach { r =>
+      s = math.max(0L, s + r.getAs[Long]("cents") - mu - mu / 20)
+      assert(r.getAs[Long]("s_up") === s, s"day ${r.getString(0)}: statistic diverges")
+      assert(r.getAs[Long]("alarm") === (if (s > mu / 2) 1L else 0L))
+    }
+  }
+
+  test("q47 OLS matches an independent BigInt recomputation exactly") {
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val n = BigInt(daily.length)
+    val ts = daily.indices.map(BigInt(_))
+    val ys = daily.map(d => BigInt(d._2))
+    val (st, sy) = (ts.sum, ys.sum)
+    val stt = ts.map(t => t * t).sum
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+    val den = n * stt - st * st
+    val off = BigInt("1000000000000")
+    def floordiv(a: BigInt, b: BigInt): BigInt =
+      (a + off * b) / b - off // numerator forced positive -> / floors
+    val expSlope = floordiv((n * sty - st * sy) * 1000000, den)
+    val expIcpt = floordiv((sy * stt - st * sty) * 1000, den)
+    val r = AnalyticsQueries.queries("q47_linreg")(spark, dir).collect().head
+    assert(BigInt(r.getAs[Long]("slope_micro")) === expSlope)
+    assert(BigInt(r.getAs[Long]("intercept_milli")) === expIcpt)
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
