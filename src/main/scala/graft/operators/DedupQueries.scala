@@ -980,7 +980,58 @@ object DedupQueries {
        |  CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS mean_jac_ppm
        |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d19_rendezvous — rendezvous (highest-random-weight) sharding audit:
+  // assign every document to one of 8 shards by argmax of a per-(doc,
+  // shard) hash weight, then remove shard 3 and re-assign. THE property
+  // that makes HRW the right sharding for a 100 TB dedup/index fleet —
+  // only the removed shard's documents move, everyone else's argmax is
+  // untouched — is structural, and the gate's (before, after) migration
+  // matrix exhibits it (spec asserts it row by row). Engine-portable
+  // determinism: the weight is x35's xor-shift mix (BIGINT only), and
+  // the argmax-with-tie-break packs into ONE integer key
+  // w·8 + (7 − shard) so a plain MAX replaces arg_max (DuckDB's
+  // arg_max has no composite key — the s12 lesson). Map-side 8× fanout,
+  // one doc-key aggregate, 1-per-doc exchange rows, ≤64-row output.
+  def d19(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = // mix((doc_id % 67108864) * 31 + s): h = LCG mod 2^32, then xor-fold
+      "(((((doc_id % 67108864) * 31 + s) * 2654435761L) % 4294967296L ^ " +
+        "shiftright((((doc_id % 67108864) * 31 + s) * 2654435761L) % 4294967296L, 16)) " +
+        "* 40503L) % 4294967296L"
+    val weighted = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("s"))
+      .withColumn("key", expr(s"($mixed) * 8 + (7 - s)"))
+    val before = weighted.groupBy(col("doc_id"))
+      .agg(expr("7 - (max(key) % 8)").as("shard_before"))
+    val after = weighted.filter(col("s") =!= 3)
+      .groupBy(col("doc_id"))
+      .agg(expr("7 - (max(key) % 8)").as("shard_after"))
+    before.join(after, Seq("doc_id"))
+      .groupBy(col("shard_before"), col("shard_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard_before"), col("shard_after"))
+  }
+
+  private val d19Sql = {
+    val mixed =
+      "(xor((((doc_id % 67108864) * 31 + s) * 2654435761) % 4294967296, " +
+        "((((doc_id % 67108864) * 31 + s) * 2654435761) % 4294967296) >> 16) " +
+        "* 40503) % 4294967296"
+    s"""WITH w AS (
+       |  SELECT doc_id, s, ($mixed) * 8 + (7 - s) AS key
+       |  FROM documents CROSS JOIN range(0, 8) t(s)),
+       |b AS (SELECT doc_id, 7 - (MAX(key) % 8) AS shard_before
+       |      FROM w GROUP BY 1),
+       |a AS (SELECT doc_id, 7 - (MAX(key) % 8) AS shard_after
+       |      FROM w WHERE s <> 3 GROUP BY 1)
+       |SELECT CAST(shard_before AS BIGINT) AS shard_before,
+       |  CAST(shard_after AS BIGINT) AS shard_after, COUNT(*) AS n_docs
+       |FROM b JOIN a USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_rendezvous" -> (d19 _),
     "d18_bbit_minhash" -> (d18 _),
     "d17_minhash_eval" -> (d17 _),
     "d15_keepbest" -> (d15 _),
@@ -1001,6 +1052,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d19_rendezvous" -> d19Sql,
     "d18_bbit_minhash" -> d18Sql,
     "d17_minhash_eval" -> d17Sql,
     "d15_keepbest" -> d15Sql,

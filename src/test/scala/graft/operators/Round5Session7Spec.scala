@@ -254,6 +254,21 @@ class Round5Session7Spec extends SparkSpec {
     assert(BigInt(r.getAs[Long]("intercept_milli")) === expIcpt)
   }
 
+  test("d19 rendezvous: removing a shard moves ONLY that shard's docs") {
+    val rows = DedupQueries.queries("d19_rendezvous")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, a) = (r.getAs[Long]("shard_before"), r.getAs[Long]("shard_after"))
+      assert(a !== 3L, "a doc landed on the removed shard")
+      assert(b === a || b === 3L,
+        s"minimal disruption violated: $b -> $a moved without its shard dying")
+    }
+    // the removed shard's docs spread over several survivors (HRW, not
+    // a single successor like naive ring hashing with one vnode)
+    val spread = rows.filter(_.getAs[Long]("shard_before") == 3L)
+    assert(spread.length > 1, "shard-3 docs all moved to one successor")
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
