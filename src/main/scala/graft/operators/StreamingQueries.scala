@@ -502,7 +502,26 @@ object StreamingQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
       |FROM e ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st20_stream_enrich — stream-STATIC broadcast dimension join (the
+  // join family member st4/st11/st12/st16 don't cover: no state, dim
+  // re-read per micro-batch) feeding a Complete-mode aggregate:
+  // (market segment, event type) activity counts with exact scaled
+  // value sums. Full drain == the batch join+GROUP BY oracle.
+  def st20(spark: SparkSession, dir: String): DataFrame =
+    Streaming.enrichedSegmentCounts(spark, dir)
+      .orderBy(col("segment"), col("event_type"))
+
+  private val st20Sql =
+    """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_scaled
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE user_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_enrich" -> (st20 _),
     "st19_stream_locf" -> (st19 _),
     "st18_stream_wau" -> (st18 _),
     "st16_stream_semi_join" -> (st16 _),
@@ -524,6 +543,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st20_stream_enrich" -> st20Sql,
     "st19_stream_locf" -> st19Sql,
     "st18_stream_wau" -> st18Sql,
     "st16_stream_semi_join" -> st16Sql,

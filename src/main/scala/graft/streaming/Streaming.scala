@@ -150,6 +150,27 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Complete, stream)
   }
 
+  /** STREAM-STATIC enrichment join + aggregation, the dimension-join
+    * family member the stream-stream gates don't cover: the event
+    * stream joins a STATIC customer dim (re-read per micro-batch,
+    * broadcast under the micro-batch plan — no state, unlike
+    * stream-stream joins) and the enriched rows aggregate to
+    * (segment, event_type) counts in Complete mode. At 100 TB the dim
+    * is the broadcast side and the stream never shuffles for the join;
+    * exact `value` sums ride the 1e-4 scaled-long convention. */
+  def enrichedSegmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_enrich_${queryCounter.incrementAndGet()}"
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast(LongType)).as("sum_value_scaled"))
+    drainToLocal(spark, name, OutputMode.Complete, stream)
+  }
+
   /** Streaming distinct-user counts per (hour, event_type): event-time
     * dedup chained into a windowed aggregate — TWO stateful operators
     * in one append-mode query (the Spark 3.5+ chained-stateful
