@@ -812,7 +812,63 @@ object AnalyticsQueries {
       |      // (n * stt - st * st) - 1000000000000 AS BIGINT) END AS intercept_milli
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q48_rolling_ols — q47's regression as a ROLLING 30-day window: per
+  // day, the exact OLS slope of daily revenue over the trailing 30
+  // observations, from four windowed integer sums (Σt, Σy, Σt², Σty)
+  // in ONE ordered pass — the rolling-trend signal a monitoring
+  // dashboard plots. Sums ride DECIMAL(38,0); the slope uses q47's
+  // offset division so negative trends floor identically in both
+  // engines. The unpartitioned window runs on the DAY-cardinality
+  // series (volume absorbed by the per-day aggregate — x36's
+  // argument), with partial head windows kept (n < 30 is real data,
+  // both engines agree). Guard: n = 1 has no slope → 0.
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+    val idx = RelationalQueries.globalRank(daily, Seq(col("day")), "rn")
+      .select(col("day"), (col("rn") - 1).cast("decimal(38,0)").as("t"),
+        col("y").cast("decimal(38,0)").as("y"))
+    val w = Window.orderBy(col("t")).rowsBetween(-29, Window.currentRow)
+    idx
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("st", sum(col("t")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("stt", sum(expr("t * t")).over(w))
+      .withColumn("sty", sum(expr("t * y")).over(w))
+      .select(col("day"), col("n").as("n_win"),
+        expr("""CASE WHEN n < 2 THEN 0 ELSE cast(
+               |  ((n * sty - st * sy) * 1000000
+               |     + 1000000000000 * (n * stt - st * st))
+               |    div (n * stt - st * st) - 1000000000000 AS BIGINT) END"""
+          .stripMargin).as("slope_micro"))
+      .orderBy(col("day"))
+  }
+
+  private val q48Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, y FROM d),
+      |s AS (SELECT day,
+      |  COUNT(*) OVER w AS n,
+      |  SUM(CAST(t AS HUGEINT)) OVER w AS st,
+      |  SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+      |  SUM(CAST(t AS HUGEINT) * t) OVER w AS stt,
+      |  SUM(CAST(t AS HUGEINT) * y) OVER w AS sty
+      |  FROM i WINDOW w AS (ORDER BY t ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT day, n AS n_win,
+      |  CASE WHEN n < 2 THEN 0 ELSE CAST(
+      |    ((n * sty - st * sy) * 1000000
+      |       + 1000000000000 * (n * stt - st * st))
+      |      // (n * stt - st * st) - 1000000000000 AS BIGINT) END AS slope_micro
+      |FROM s ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
     "q42_spearman" -> (q42 _),
     "q43_gini" -> (q43 _),
@@ -832,6 +888,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,
     "q42_spearman" -> q42Sql,
     "q43_gini" -> q43Sql,

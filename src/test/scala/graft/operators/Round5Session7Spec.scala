@@ -269,6 +269,17 @@ class Round5Session7Spec extends SparkSpec {
     assert(spread.length > 1, "shard-3 docs all moved to one successor")
   }
 
+  test("q48 rolling OLS: window fills to 30 then stays; full-window day matches q47 shape") {
+    val rows = AnalyticsQueries.queries("q48_rolling_ols")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_win") === math.min(i + 1, 30).toLong,
+        s"row $i: window size ${r.getAs[Long]("n_win")}")
+    }
+    // slope of the trailing-30 window on the FIRST day is 0 (n=1 guard)
+    assert(rows.head.getAs[Long]("slope_micro") === 0L)
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
