@@ -867,7 +867,60 @@ object AnalyticsQueries {
       |      // (n * stt - st * st) - 1000000000000 AS BIGINT) END AS slope_micro
       |FROM s ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v22_temporal_audit — cross-table TEMPORAL integrity (the DQ
+  // dimension v17's FK-orphan audit doesn't see): every lineitem must
+  // ship on or after its order date. One fact-fact equi-join on the
+  // order key (orders side projects two columns), violations counted
+  // and the legal ship-lags histogrammed into ops bands — so the gate
+  // both enforces the invariant (violation count pinned by the oracle)
+  // and profiles the fulfillment distribution. Exact integer day lag
+  // (micros div — exact because both timestamp columns are
+  // midnight-aligned, so the division has no remainder and Spark's
+  // truncating div equals DuckDB's flooring // even on negative lags);
+  // band-cardinality output.
+  def v22(spark: SparkSession, dir: String): DataFrame = {
+    val lag = expr( // NTZ parquet timestamps need the cast before unix_micros
+      "(unix_micros(cast(l_shipdate AS TIMESTAMP)) " +
+        "- unix_micros(cast(o_orderdate AS TIMESTAMP))) div 86400000000")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(lag.as("lag_days"))
+      .withColumn("band",
+        when(col("lag_days") < 0, lit("violation"))
+          .when(col("lag_days") <= 7, lit("0-7d"))
+          .when(col("lag_days") <= 30, lit("8-30d"))
+          .when(col("lag_days") <= 90, lit("31-90d"))
+          .otherwise(lit("90d+")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lag_days")).as("min_lag"),
+        max(col("lag_days")).as("max_lag"))
+      .orderBy(col("band"))
+  }
+
+  private val v22Sql =
+    """WITH j AS (
+      |  SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+      |    AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |b AS (SELECT lag_days,
+      |  CASE WHEN lag_days < 0 THEN 'violation'
+      |       WHEN lag_days <= 7 THEN '0-7d'
+      |       WHEN lag_days <= 30 THEN '8-30d'
+      |       WHEN lag_days <= 90 THEN '31-90d'
+      |       ELSE '90d+' END AS band
+      |  FROM j)
+      |SELECT band, COUNT(*) AS n_lines,
+      |  CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+      |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
     "q42_spearman" -> (q42 _),
@@ -888,6 +941,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,
     "q42_spearman" -> q42Sql,

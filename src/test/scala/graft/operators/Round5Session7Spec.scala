@@ -280,6 +280,24 @@ class Round5Session7Spec extends SparkSpec {
     assert(rows.head.getAs[Long]("slope_micro") === 0L)
   }
 
+  test("v22 temporal audit: bands partition all lineitems, violations negative") {
+    val rows = AnalyticsQueries.queries("v22_temporal_audit")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_lines")).sum
+    assert(total === graft.Tables.lineitem(spark, dir).count(),
+      "every lineitem lands in exactly one band")
+    rows.foreach { r =>
+      val (band, lo, hi) = (r.getString(0), r.getAs[Long]("min_lag"), r.getAs[Long]("max_lag"))
+      band match {
+        case "violation" => assert(hi < 0L)
+        case "0-7d" => assert(lo >= 0L && hi <= 7L)
+        case "8-30d" => assert(lo >= 8L && hi <= 30L)
+        case "31-90d" => assert(lo >= 31L && hi <= 90L)
+        case "90d+" => assert(lo >= 91L)
+        case other => fail(s"unexpected band $other")
+      }
+    }
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
