@@ -1601,7 +1601,51 @@ object CrossQueries {
       |  CAST(CASE WHEN s > mu // 2 THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM r CROSS JOIN m ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x37_weighted_median — exact WEIGHTED quantiles of line price with
+  // quantity weights (the inventory-valuation cut: "the price at which
+  // half the UNITS trade", not half the line items): sort by (cents,
+  // line identity), cumulative weight via
+  // [[RelationalQueries.globalPrefixSum]], and each quantile is the
+  // first row whose cumulative weight crosses the target fraction —
+  // which, because the qualifying set is a suffix of the sort order,
+  // is just MIN(cents) over the qualifying rows: three aggregates over
+  // one prefix-summed pass, no per-row quantile join. Integer
+  // arithmetic throughout (cum·4 vs k·W cross-multiplication).
+  def x37(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+    val cum = RelationalQueries.globalPrefixSum(li,
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), col("w"), "cw")
+    val tot = li.agg(sum(col("w")).as("wt"))
+    cum.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .agg(max(col("wt")).as("total_weight"),
+        min(when(col("cw") * 4 >= col("wt"), col("cents"))).as("wp25_cents"),
+        min(when(col("cw") * 2 >= col("wt"), col("cents"))).as("wmedian_cents"),
+        min(when(col("cw") * 4 >= col("wt") * 3, col("cents"))).as("wp75_cents"))
+  }
+
+  private val x37Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |c AS (SELECT cents, w,
+      |  SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING) AS cw
+      |  FROM li),
+      |t AS (SELECT SUM(w) AS wt FROM li)
+      |SELECT CAST(MAX(wt) AS BIGINT) AS total_weight,
+      |  CAST(MIN(CASE WHEN cw * 4 >= wt THEN cents END) AS BIGINT) AS wp25_cents,
+      |  CAST(MIN(CASE WHEN cw * 2 >= wt THEN cents END) AS BIGINT) AS wmedian_cents,
+      |  CAST(MIN(CASE WHEN cw * 4 >= wt * 3 THEN cents END) AS BIGINT) AS wp75_cents
+      |FROM c CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_weighted_median" -> (x37 _),
     "x36_cusum" -> (x36 _),
     "x34_locf" -> (x34 _),
     "x35_grid_join" -> (x35 _),
@@ -1635,6 +1679,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x37_weighted_median" -> x37Sql,
     "x36_cusum" -> x36Sql,
     "x34_locf" -> x34Sql,
     "x35_grid_join" -> x35Sql,

@@ -1413,7 +1413,43 @@ object RelationalQueries {
       |FROM per JOIN customer ON o_custkey = c_custkey
       |ORDER BY rev_exact DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q49_null_semantics — pins SQL THREE-VALUED LOGIC on the NOT IN
+  // null trap, the classic engine-compatibility hazard a user
+  // migrating real SQL hits first: against the SAME null-polluted
+  // membership set, NOT IN returns ZERO rows (any comparison with the
+  // NULL element is UNKNOWN, so no row can prove non-membership) while
+  // NOT EXISTS returns the real complement (the NULL row simply never
+  // equals anything). Both counts in one result row — the gate fails
+  // if either engine "helpfully" collapses the distinction.
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q49_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("q49_nation")
+    spark.sql(
+      """WITH s AS (
+        |  SELECT n_nationkey AS k FROM q49_nation WHERE n_regionkey = 2
+        |  UNION ALL SELECT CAST(NULL AS INT))
+        |SELECT
+        |  (SELECT COUNT(*) FROM q49_customer
+        |   WHERE c_nationkey NOT IN (SELECT k FROM s)) AS not_in_with_null,
+        |  (SELECT COUNT(*) FROM q49_customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = c.c_nationkey))
+        |    AS not_exists_with_null""".stripMargin)
+  }
+
+  private val q49Sql =
+    """WITH s AS (
+      |  SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 2
+      |  UNION ALL SELECT CAST(NULL AS INT))
+      |SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT k FROM s)) AS not_in_with_null,
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = c.c_nationkey))
+      |    AS not_exists_with_null""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_null_semantics" -> (q49 _),
     "q45_local_volume" -> (q45 _),
     "q46_returned_revenue" -> (q46 _),
     "q44_listagg" -> (q44 _),
@@ -1457,6 +1493,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q49_null_semantics" -> q49Sql,
     "q45_local_volume" -> q45Sql,
     "q46_returned_revenue" -> q46Sql,
     "q44_listagg" -> q44Sql,

@@ -58,7 +58,8 @@ class PlanRegressionSpec extends SparkSpec {
     "v18_skew_audit" -> 3,    // 1-row (n_keys, max_cnt) stats per key column
     "q41_chi2" -> 1,          // 1-row grand-total aggregate (expected freq)
     "v20_drift_tvd" -> 1,     // 1-row per-epoch totals aggregate (ppm denoms)
-    "t32_pps_sample" -> 1)    // 1-row total-weight aggregate (PPS stride)
+    "t32_pps_sample" -> 1,    // 1-row total-weight aggregate (PPS stride)
+    "x37_weighted_median" -> 1) // 1-row total-weight aggregate (quantile cuts)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
@@ -75,9 +76,19 @@ class PlanRegressionSpec extends SparkSpec {
       name -> fn(spark, dir).queryExecution.sparkPlan
     }
 
-  private def countNodes(p: SparkPlan, names: String*): Int =
-    p.collect { case n if names.contains(n.nodeName) => n }.size +
-      p.subqueries.map(countNodes(_, names: _*)).sum
+  // QueryPlan-generic: at the `sparkPlan` (pre-execution) stage scalar
+  // subqueries still hold LOGICAL plans (PlanSubqueries runs later), so
+  // a SparkPlan-typed recursion ClassCastExceptions on them (q49).
+  private def countNodes(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_],
+      names: String*): Int =
+    p.collect {
+      case n: org.apache.spark.sql.catalyst.trees.TreeNode[_]
+          if names.contains(n.nodeName) => n
+    }.size +
+      p.subqueries.collect {
+        case q: org.apache.spark.sql.catalyst.plans.QueryPlan[_] =>
+          countNodes(q, names: _*)
+      }.sum
 
   test("no unintended cartesian or nested-loop joins anywhere in the gate") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -106,9 +117,11 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("every scan with a pushable predicate actually pushed a filter down") {
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    def scans(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Seq[FileSourceScanExec] =
       p.collect { case f: FileSourceScanExec => f } ++
-        p.subqueries.flatMap(scans)
+        p.subqueries.collect {
+          case q: org.apache.spark.sql.catalyst.plans.QueryPlan[_] => scans(q)
+        }.flatten
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       scans(p).filter(s => pushableOn(s) &&
           s.metadata.get("PushedFilters").forall(_ == "[]"))

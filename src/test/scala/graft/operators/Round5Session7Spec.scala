@@ -298,6 +298,29 @@ class Round5Session7Spec extends SparkSpec {
     }
   }
 
+  test("q49 three-valued logic: NOT IN with a NULL is empty, NOT EXISTS is not") {
+    val r = RelationalQueries.queries("q49_null_semantics")(spark, dir).collect().head
+    assert(r.getAs[Long]("not_in_with_null") === 0L,
+      "NOT IN over a null-polluted set must return no rows")
+    assert(r.getAs[Long]("not_exists_with_null") > 0L,
+      "NOT EXISTS must ignore the null member and return the complement")
+  }
+
+  test("x37 weighted quantiles are ordered and bracket half the weight") {
+    import spark.implicits._
+    val r = CrossQueries.queries("x37_weighted_median")(spark, dir).collect().head
+    val (w, p25, med, p75) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(p25 <= med && med <= p75)
+    // weight strictly below the median value is < W/2; at-or-below is >= W/2
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w")).as[(Long, Long)].collect()
+    val below = li.filter(_._1 < med).map(_._2).sum
+    val atOrBelow = li.filter(_._1 <= med).map(_._2).sum
+    assert(below * 2 < w && atOrBelow * 2 >= w,
+      s"median $med does not split the weight: below=$below atOrBelow=$atOrBelow W=$w")
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
