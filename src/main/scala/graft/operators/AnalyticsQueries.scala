@@ -759,11 +759,13 @@ object AnalyticsQueries {
   // q47_linreg — ordinary least squares of daily revenue on the day
   // index, EXACT: slope and intercept are closed-form rationals of five
   // integer sums (n, Σt, Σy, Σt², Σty), so both engines compute
-  // identical micro-unit results with zero float arithmetic. The one
-  // portability trap is SIGN: slope can be negative, Spark's `div`
-  // truncates toward zero while DuckDB's `//` floors — adding a large
-  // positive offset before the division and subtracting it after makes
-  // both floor on a positive numerator (s19's offset-division trick).
+  // identical micro-unit results with zero float arithmetic. The slope
+  // can be NEGATIVE, where integer-division conventions (truncate vs
+  // floor) are a classic cross-engine hazard — the large positive
+  // offset added before the division and subtracted after makes the
+  // numerator positive, where every convention agrees (s19's
+  // offset-division trick; measured: both engines truncate, so this is
+  // defense-in-depth that also documents the intent).
   // Scale shape: the day aggregate absorbs the fact table map-side;
   // the regression itself is ONE 1-row reduction over day-cardinality
   // rows. DECIMAL(38,0) keeps n·Σty exact far past warehouse scale.
@@ -818,8 +820,8 @@ object AnalyticsQueries {
   // observations, from four windowed integer sums (Σt, Σy, Σt², Σty)
   // in ONE ordered pass — the rolling-trend signal a monitoring
   // dashboard plots. Sums ride DECIMAL(38,0); the slope uses q47's
-  // offset division so negative trends floor identically in both
-  // engines. The unpartitioned window runs on the DAY-cardinality
+  // offset division so negative slopes divide convention-independently
+  // in both engines. The unpartitioned window runs on the DAY-cardinality
   // series (volume absorbed by the per-day aggregate — x36's
   // argument), with partial head windows kept (n < 30 is real data,
   // both engines agree). Guard: n = 1 has no slope → 0.
@@ -919,7 +921,60 @@ object AnalyticsQueries {
       |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v23_pseudonymize — deterministic keyed pseudonymization audit (the
+  // privacy-pipeline masking step): user keys map through a salted
+  // xor-shift mix into a 32-bit pseudonym space, and the gate verifies
+  // the property masking MUST preserve — join consistency: the
+  // events⋈customer row count on raw keys vs on pseudonyms, plus
+  // distinct-count conservation per table (a collision shows up as
+  // fewer pseudonyms or extra join rows, REPORTED, not hidden). Keys
+  // pre-mod 2^31−1 before the multiply so the product stays in BIGINT
+  // at any replica offset (d19's overflow lesson). Map-side mixing,
+  // two key-shuffle joins, 1-row output.
+  def v23(spark: SparkSession, dir: String): DataFrame = {
+    def mix(e: String): String = {
+      val h1 = s"((($e) % 2147483647 + 424243) * 2654435761L) % 4294967296L"
+      s"((($h1) ^ shiftright($h1, 16)) * 40503L) % 4294967296L"
+    }
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr(mix("user_id")).as("p_user"))
+    val cu = Tables.customer(spark, dir)
+      .select(col("c_custkey"), expr(mix("c_custkey")).as("p_cust"))
+    val rawJoin = ev.join(cu, col("user_id") === col("c_custkey"))
+      .agg(count(lit(1)).as("raw_join_n"))
+    val maskedJoin = ev.join(cu, col("p_user") === col("p_cust"))
+      .agg(count(lit(1)).as("masked_join_n"))
+    val stats = ev.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("p_user")).as("n_pseudo_users"))
+    val cstats = cu.agg(
+      countDistinct(col("c_custkey")).as("n_cust"),
+      countDistinct(col("p_cust")).as("n_pseudo_cust"))
+    rawJoin.crossJoin(maskedJoin).crossJoin(stats).crossJoin(cstats) // 1-row each
+  }
+
+  private val v23Sql = {
+    def mix(e: String): String = {
+      val h1 = s"((($e) % 2147483647 + 424243) * 2654435761) % 4294967296"
+      s"((xor(($h1), ($h1) >> 16)) * 40503) % 4294967296"
+    }
+    s"""WITH ev AS (SELECT user_id, ${mix("user_id")} AS p_user
+       |            FROM events WHERE user_id IS NOT NULL),
+       |cu AS (SELECT c_custkey, ${mix("c_custkey")} AS p_cust FROM customer),
+       |rj AS (SELECT COUNT(*) AS raw_join_n FROM ev JOIN cu ON user_id = c_custkey),
+       |mj AS (SELECT COUNT(*) AS masked_join_n FROM ev JOIN cu ON p_user = p_cust),
+       |s AS (SELECT COUNT(DISTINCT user_id) AS n_users,
+       |        COUNT(DISTINCT p_user) AS n_pseudo_users FROM ev),
+       |c AS (SELECT COUNT(DISTINCT c_custkey) AS n_cust,
+       |        COUNT(DISTINCT p_cust) AS n_pseudo_cust FROM cu)
+       |SELECT raw_join_n, masked_join_n, n_users, n_pseudo_users,
+       |  n_cust, n_pseudo_cust
+       |FROM rj CROSS JOIN mj CROSS JOIN s CROSS JOIN c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v23_pseudonymize" -> (v23 _),
     "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
@@ -941,6 +996,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v23_pseudonymize" -> v23Sql,
     "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,

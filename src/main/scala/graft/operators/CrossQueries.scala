@@ -1644,7 +1644,63 @@ object CrossQueries {
       |  CAST(MIN(CASE WHEN cw * 4 >= wt * 3 THEN cents END) AS BIGINT) AS wp75_cents
       |FROM c CROSS JOIN t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x38_holt_forecast — Holt double exponential smoothing (level +
+  // trend) of the daily-revenue series, the one-step-up from x23's
+  // single EWMA and the simplest real FORECASTING operator: with
+  // α = β = 1/4 the whole recurrence is integer —
+  //   level_t = (y_t + 3·(level + trend)) floordiv 4
+  //   trend_t = ((level_t − level_{t−1}) + 3·trend) floordiv 4
+  // — with TRUNCATING division on both sides: the trend goes negative
+  // on downswings, and DuckDB's integer `//` truncates toward zero
+  // (-7 // 4 = -1, measured) exactly like Scala's `/` — so plain
+  // division is the portable spelling here, and Math.floorDiv would be
+  // the bug. (The q47 offset trick exists for DECIMAL/HUGEINT division
+  // where the engines' conventions do differ.)
+  // Runs as the bounded typed fold over the day-cardinality aggregate
+  // (x36's argument); output is a 1-row summary with the 7-day-ahead
+  // linear forecast.
+  def x38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(String, Long)]
+    daily.groupByKey(_ => 0).mapGroups { (_, it) =>
+      val days = it.toArray.sortBy(_._1)
+      var level = days.head._2
+      var trend = 0L
+      days.drop(1).foreach { case (_, y) =>
+        val prev = level
+        level = (y + 3 * (level + trend)) / 4
+        trend = ((level - prev) + 3 * trend) / 4
+      }
+      (days.length.toLong, level, trend, level + 7 * trend)
+    }.toDF("n_days", "level_cents", "trend_cents", "forecast7_cents")
+  }
+
+  private val x38Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+      |r(rn, level, trend) AS (
+      |  SELECT rn, y, CAST(0 AS BIGINT) FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn,
+      |    (o.y + 3 * (r.level + r.trend)) // 4,
+      |    (((o.y + 3 * (r.level + r.trend)) // 4 - r.level) + 3 * r.trend) // 4
+      |  FROM r JOIN o ON o.rn = r.rn + 1)
+      |SELECT MAX(rn) AS n_days,
+      |  CAST(arg_max(level, rn) AS BIGINT) AS level_cents,
+      |  CAST(arg_max(trend, rn) AS BIGINT) AS trend_cents,
+      |  CAST(arg_max(level, rn) + 7 * arg_max(trend, rn) AS BIGINT)
+      |    AS forecast7_cents
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_holt_forecast" -> (x38 _),
     "x37_weighted_median" -> (x37 _),
     "x36_cusum" -> (x36 _),
     "x34_locf" -> (x34 _),
@@ -1679,6 +1735,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x38_holt_forecast" -> x38Sql,
     "x37_weighted_median" -> x37Sql,
     "x36_cusum" -> x36Sql,
     "x34_locf" -> x34Sql,

@@ -59,7 +59,8 @@ class PlanRegressionSpec extends SparkSpec {
     "q41_chi2" -> 1,          // 1-row grand-total aggregate (expected freq)
     "v20_drift_tvd" -> 1,     // 1-row per-epoch totals aggregate (ppm denoms)
     "t32_pps_sample" -> 1,    // 1-row total-weight aggregate (PPS stride)
-    "x37_weighted_median" -> 1) // 1-row total-weight aggregate (quantile cuts)
+    "x37_weighted_median" -> 1, // 1-row total-weight aggregate (quantile cuts)
+    "v23_pseudonymize" -> 3)  // 1-row audit frames (join counts × distincts)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(

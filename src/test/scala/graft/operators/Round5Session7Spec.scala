@@ -321,6 +321,35 @@ class Round5Session7Spec extends SparkSpec {
       s"median $med does not split the weight: below=$below atOrBelow=$atOrBelow W=$w")
   }
 
+  test("x38 Holt forecast replays exactly from the daily series") {
+    import spark.implicits._
+    val days = graft.Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    var level = days.head._2
+    var trend = 0L
+    days.drop(1).foreach { case (_, y) =>
+      val prev = level
+      level = (y + 3 * (level + trend)) / 4
+      trend = ((level - prev) + 3 * trend) / 4
+    }
+    val r = CrossQueries.queries("x38_holt_forecast")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") === days.length.toLong)
+    assert(r.getAs[Long]("level_cents") === level)
+    assert(r.getAs[Long]("trend_cents") === trend)
+    assert(r.getAs[Long]("forecast7_cents") === level + 7 * trend)
+  }
+
+  test("v23 pseudonymization preserves joins and distinct counts (no collisions here)") {
+    val r = AnalyticsQueries.queries("v23_pseudonymize")(spark, dir).collect().head
+    assert(r.getAs[Long]("raw_join_n") === r.getAs[Long]("masked_join_n"),
+      "masking changed the join cardinality")
+    assert(r.getAs[Long]("n_users") === r.getAs[Long]("n_pseudo_users"))
+    assert(r.getAs[Long]("n_cust") === r.getAs[Long]("n_pseudo_cust"))
+    assert(r.getAs[Long]("raw_join_n") > 0L)
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
