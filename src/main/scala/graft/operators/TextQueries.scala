@@ -1450,7 +1450,56 @@ object TextQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY width")
   }
 
+  // ---------------------------------------------------------------------
+  // t34_effective_tokens — the number a training-data owner actually
+  // budgets with: TOKENS SURVIVING DEDUP, per source. Raw token counts
+  // overstate the corpus (duplicates train nothing new); this gate
+  // reports per source the raw docs/tokens, the exact-dedup keeper
+  // docs/tokens (d1's first-owner convention: min doc_id per
+  // whitespace-normalized fingerprint), and the kept ratio in ppm.
+  // One pass computes fingerprint AND token count per doc map-side;
+  // the keeper election is one fingerprint-key aggregate joined back
+  // doc-cardinality. At 100 TB nothing but (doc_id, fp, n_tokens)
+  // scalars shuffle — text never leaves the scan.
+  def t34(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("f"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    val keeper = docs.groupBy(col("f")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(keeper, Seq("f"))
+      .withColumn("is_keeper", (col("doc_id") === col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_keeper")).as("n_kept_docs"),
+        sum(col("is_keeper") * col("n_tok")).as("n_kept_tokens"))
+      .withColumn("kept_tokens_ppm",
+        expr("(n_kept_tokens * 1000000) div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val t34Sql =
+    """WITH fp AS (
+      |  SELECT source, doc_id,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |k AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept_docs,
+      |  CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS n_kept_tokens,
+      |  CAST((SUM(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END) * 1000000)
+      |    // SUM(n_tok) AS BIGINT) AS kept_tokens_ppm
+      |FROM fp JOIN k USING (f)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_effective_tokens" -> (t34 _),
     "t33_hash_collisions" -> (t33 _),
     "t32_pps_sample" -> (t32 _),
     "t30_ngram_novelty" -> (t30 _),
@@ -1485,6 +1534,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t34_effective_tokens" -> t34Sql,
     "t33_hash_collisions" -> t33Sql,
     "t32_pps_sample" -> t32Sql,
     "t30_ngram_novelty" -> t30Sql,

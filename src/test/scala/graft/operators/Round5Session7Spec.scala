@@ -350,6 +350,23 @@ class Round5Session7Spec extends SparkSpec {
     assert(r.getAs[Long]("raw_join_n") > 0L)
   }
 
+  test("t34 effective tokens: kept <= raw, totals agree with d1's keeper count") {
+    val rows = TextQueries.queries("t34_effective_tokens")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_kept_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("kept_tokens_ppm") <= 1000000L)
+    }
+    // cross-operator consistency: total keepers == d1's distinct
+    // fingerprints (one keeper per fingerprint, by construction)
+    val keptTotal = rows.map(_.getAs[Long]("n_kept_docs")).sum
+    val d1Unique = DedupQueries.queries("d1_exact_dedup")(spark, dir)
+      .agg(sum(col("n_kept"))).collect().head.getLong(0)
+    assert(keptTotal === d1Unique,
+      s"t34 keepers $keptTotal != d1 keeper count $d1Unique")
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
