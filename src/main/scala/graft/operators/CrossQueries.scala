@@ -1699,7 +1699,36 @@ object CrossQueries {
       |    AS forecast7_cents
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x39_vwap — monthly volume-weighted average price (x37's weighted
+  // MEAN sibling, the standard market/pricing readout): per ship
+  // month, VWAP = Σ(price·qty) / Σqty in exact milli-cents by one
+  // cross-multiplied division. Σ(cents·qty) rides DECIMAL(38,0) (a
+  // warehouse-scale month exceeds BIGINT×1000). One map-side-combined
+  // aggregate, month-cardinality output.
+  def x39(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("month"))
+      .agg(sum(col("qty")).as("total_qty"),
+        sum(expr("cast(cents AS DECIMAL(38,0)) * qty")).as("pv"))
+      .select(col("month"), col("total_qty"),
+        expr("cast((pv * 1000) div total_qty AS BIGINT)").as("vwap_millicents"))
+      .orderBy(col("month"))
+  }
+
+  private val x39Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |  CAST((SUM(CAST(floor(l_extendedprice * 100) AS HUGEINT)
+      |    * CAST(l_quantity AS BIGINT)) * 1000)
+      |    // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_millicents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_vwap" -> (x39 _),
     "x38_holt_forecast" -> (x38 _),
     "x37_weighted_median" -> (x37 _),
     "x36_cusum" -> (x36 _),
@@ -1735,6 +1764,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x39_vwap" -> x39Sql,
     "x38_holt_forecast" -> x38Sql,
     "x37_weighted_median" -> x37Sql,
     "x36_cusum" -> x36Sql,

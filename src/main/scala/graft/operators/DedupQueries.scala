@@ -1030,7 +1030,41 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d20_cluster_sizes — duplicate-cluster SIZE distribution from d1's
+  // exact fingerprints: how many fingerprints have exactly k copies
+  // (k capped into a 10+ tail bucket). The diagnostic that tells a
+  // corpus owner whether duplication is a flat 2×-ish haze (cheap to
+  // keep) or a power-law head of mega-clusters (where dedup pays) —
+  // and the sizing input for d5's connected-components work. Two
+  // aggregates, both map-side-combining: docs → fingerprint counts
+  // (fingerprint-cardinality) → size histogram (≤10 rows).
+  def d20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(TextFunctions.fingerprint(col("text")).as("f"))
+      .filter(col("f").isNotNull)
+      .groupBy(col("f")).agg(count(lit(1)).as("k"))
+      .select(least(col("k"), lit(10L)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs",
+        when(col("cluster_size") < 10, col("cluster_size") * col("n_clusters")))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val d20Sql =
+    """WITH fp AS (
+      |  SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT f, COUNT(*) AS k FROM fp GROUP BY f),
+      |h AS (SELECT least(k, 10) AS cluster_size FROM g)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  CASE WHEN cluster_size < 10
+      |       THEN CAST(cluster_size * COUNT(*) AS BIGINT) END AS n_docs
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_cluster_sizes" -> (d20 _),
     "d19_rendezvous" -> (d19 _),
     "d18_bbit_minhash" -> (d18 _),
     "d17_minhash_eval" -> (d17 _),
@@ -1052,6 +1086,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d20_cluster_sizes" -> d20Sql,
     "d19_rendezvous" -> d19Sql,
     "d18_bbit_minhash" -> d18Sql,
     "d17_minhash_eval" -> d17Sql,

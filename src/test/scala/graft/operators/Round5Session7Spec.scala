@@ -367,6 +367,36 @@ class Round5Session7Spec extends SparkSpec {
       s"t34 keepers $keptTotal != d1 keeper count $d1Unique")
   }
 
+  test("d20 cluster-size histogram accounts for every unique fingerprint") {
+    val rows = DedupQueries.queries("d20_cluster_sizes")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalClusters = rows.map(_.getAs[Long]("n_clusters")).sum
+    val d1Unique = DedupQueries.queries("d1_exact_dedup")(spark, dir)
+      .agg(sum(col("n_kept"))).collect().head.getLong(0)
+    assert(totalClusters === d1Unique,
+      s"histogram clusters $totalClusters != d1 unique fingerprints $d1Unique")
+    rows.foreach(r => assert(r.getAs[Long]("cluster_size") >= 1L &&
+      r.getAs[Long]("cluster_size") <= 10L))
+  }
+
+  test("x39 VWAP stays inside each month's price envelope") {
+    val rows = CrossQueries.queries("x39_vwap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bounds = graft.Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("lo"),
+        max(floor(col("l_extendedprice") * 100).cast("long")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (m, v) = (r.getString(0), r.getAs[Long]("vwap_millicents"))
+      val (lo, hi) = bounds(m)
+      // a weighted mean cannot escape [min, max]; floor costs < 1 millicent
+      assert(v >= lo * 1000L - 1000L && v <= hi * 1000L,
+        s"month $m: vwap $v outside [${lo * 1000}, ${hi * 1000}]")
+      assert(r.getAs[Long]("total_qty") > 0L)
+    }
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
