@@ -1457,7 +1457,42 @@ object SimilarityQueries {
        |ORDER BY h3.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s24_degree_histogram — degree distribution of the symmetrized k-NN
+  // graph (d20's diagnostic, graph edition): out-degree is fixed at ≤k
+  // by construction, so the SYMMETRIZED degree distribution is the
+  // in-degree story — a heavy tail means hub vectors (near-duplicates
+  // or mode collapse in the embedding space) that will skew every
+  // downstream graph operator; the histogram is the number that says
+  // whether s14's degree-orientation and the LSH salting actually have
+  // work to do. Two aggregates over the k-bounded edge list; ≤max-deg
+  // rows out.
+  def s24(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdges(spark, dir, k = 3)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+  }
+
+  private val s24Sql =
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs),
+       |e AS (SELECT vec_id AS a, cand_id AS b FROM r WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT a, b FROM
+       |        (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)),
+       |dg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1)
+       |SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_degree_histogram" -> (s24 _),
     "s23_hits" -> (s23 _),
     "s22_kcore" -> (s22 _),
     "s20_modularity" -> (s20 _),
@@ -1483,6 +1518,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s24_degree_histogram" -> s24Sql,
     "s23_hits" -> s23Sql,
     "s22_kcore" -> s22Sql,
     "s20_modularity" -> s20Sql,

@@ -397,6 +397,20 @@ class Round5Session7Spec extends SparkSpec {
     }
   }
 
+  test("s24 degree histogram: nodes conserved, total degree = 2x undirected edges") {
+    val rows = SimilarityQueries.queries("s24_degree_histogram")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getAs[Long]("n_nodes")).sum
+    val degSum = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+    // every edge endpoint is counted once per direction in the
+    // symmetrized list -> handshake lemma: sum of degrees is even
+    assert(degSum % 2 === 0L, s"odd total degree $degSum")
+    // nodes with edges <= all vectors; min degree >= 1 by construction
+    val total = graft.Tables.embeddings(spark, dir).count()
+    assert(nodes <= total && nodes > 0)
+    rows.foreach(r => assert(r.getAs[Long]("deg") >= 1L))
+  }
+
   test("q44 listagg: <= 3 names per nation, first is the nation's richest") {
     val rows = RelationalQueries.queries("q44_listagg")(spark, dir).collect()
     assert(rows.nonEmpty)
