@@ -8,10 +8,12 @@ the parquet tables in <sfDir>, and compares against the Spark result
 parquet the graft.Verify main wrote to <verifyOutDir>/<name>/.
 
 Compare contract (matches the driver's): row count, column-name set,
-and exact value equality with columns sorted by name (implemented here
-as a two-way EXCEPT ALL with the oracle side cast to the Spark result's
-column types — stricter than a hash, so a PASS here implies the
-driver's hash check passes).
+exact value equality with columns sorted by name (two-way EXCEPT ALL,
+NO casts), AND DuckDB-described type equality per column. The driver's
+hash is representation-sensitive (no casts), so an oracle column that
+comes back HUGEINT/DECIMAL where the Spark parquet reads BIGINT is a
+driver hash FAIL even when the values are equal — this script flags
+those as TYPE mismatches instead of masking them with a cast.
 
 Dev tooling only — the Scala library has no Python dependency.
 """
@@ -50,9 +52,14 @@ def main():
                 print(f"FAIL {name}: columns spark={sorted(atypes)} oracle={sorted(btypes)}")
                 n_fail += 1
                 continue
+            tdiff = {c: (atypes[c], btypes[c]) for c in atypes if atypes[c] != btypes[c]}
+            if tdiff:
+                print(f"FAIL {name}: TYPE mismatch (driver hash is no-cast) {tdiff}")
+                n_fail += 1
+                continue
             cols = sorted(atypes)
             sel_a = ", ".join(f'"{c}"' for c in cols)
-            sel_b = ", ".join(f'CAST("{c}" AS {atypes[c]}) AS "{c}"' for c in cols)
+            sel_b = ", ".join(f'"{c}"' for c in cols)
             na = con.execute("SELECT count(*) FROM sparkres").fetchone()[0]
             nb = con.execute("SELECT count(*) FROM oracleres").fetchone()[0]
             d1 = con.execute(

@@ -16,7 +16,8 @@ object SparkEntry {
       graft.operators.StreamingQueries.queries ++
       graft.operators.CrossQueries.queries ++
       graft.operators.SketchQueries.queries ++
-      graft.operators.AnalyticsQueries.queries
+      graft.operators.AnalyticsQueries.queries ++
+      graft.operators.TpchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.operators.StreamingQueries.oracleSql ++
       graft.operators.CrossQueries.oracleSql ++
       graft.operators.SketchQueries.oracleSql ++
-      graft.operators.AnalyticsQueries.oracleSql
+      graft.operators.AnalyticsQueries.oracleSql ++
+      graft.operators.TpchQueries.oracleSql
 }

@@ -109,7 +109,7 @@ object AnalyticsQueries {
   // scale; one partial-agg pass over orders.
   def x28(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
-      .select((weekday(col("o_orderdate")) + lit(1)).as("isodow"),
+      .select((weekday(col("o_orderdate")) + lit(1)).cast("long").as("isodow"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("isodow"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("dow_cents"))
@@ -388,7 +388,8 @@ object AnalyticsQueries {
       |fs AS (SELECT tok, min(doc_id) AS first_doc FROM f GROUP BY 1),
       |pd AS (SELECT first_doc AS doc_id, COUNT(*) AS new_terms FROM fs GROUP BY 1)
       |SELECT doc_id, new_terms,
-      |  SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS vocab_cum
+      |  CAST(SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS vocab_cum
       |FROM pd ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -421,7 +422,7 @@ object AnalyticsQueries {
       |p AS (SELECT month, rows,
       |  SUM(rows) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) - rows AS before
       |  FROM c)
-      |SELECT before // 50000 AS bin, COUNT(*) AS n_chunks,
+      |SELECT CAST(before // 50000 AS BIGINT) AS bin, COUNT(*) AS n_chunks,
       |  CAST(SUM(rows) AS BIGINT) AS bin_rows,
       |  MIN(month) AS month_from, MAX(month) AS month_to
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
@@ -581,11 +582,13 @@ object AnalyticsQueries {
       .foldLeft(per) { case (df, (out, keys)) =>
         RelationalQueries.globalRank(df, keys, out)
       }
+    // sum_d2 stays INTERNAL: DECIMAL(38,0) hashes differently from the
+    // oracle's HUGEINT in the driver's no-cast hash — the gate output
+    // is BIGINT-only (n, rho_ppm).
     ranked
       .select(expr("cast(rf - rm AS DECIMAL(38,0)) * (rf - rm)").as("d2"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
       .select(col("n"),
-        col("sum_d2").cast("decimal(38,0)").as("sum_d2"),
         expr("""CASE WHEN n <= 1 THEN 1000000
                |ELSE cast(1000000 - (6000000 * sum_d2)
                |  div (cast(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
@@ -602,7 +605,7 @@ object AnalyticsQueries {
       |  ROW_NUMBER() OVER (ORDER BY mon, o_custkey) AS rm FROM per),
       |s AS (SELECT COUNT(*) AS n,
       |  SUM(CAST(rf - rm AS HUGEINT) * (rf - rm)) AS sum_d2 FROM rk)
-      |SELECT n, CAST(sum_d2 AS DECIMAL(38,0)) AS sum_d2,
+      |SELECT n,
       |  CASE WHEN n <= 1 THEN 1000000
       |       ELSE CAST(1000000 - (6000000 * sum_d2)
       |         // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
@@ -720,7 +723,7 @@ object AnalyticsQueries {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"),
-        to_date(col("o_orderdate")).as("day"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
     // The standing view: daily totals over the base epoch.
     val baseAgg = o.filter(col("o_orderdate") < cutoff)
@@ -749,7 +752,7 @@ object AnalyticsQueries {
   private val x33Sql =
     // Full recompute of the post-delta state — the equality against the
     // engine's incremental merge is the point of the gate.
-    """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM orders
       |WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0)

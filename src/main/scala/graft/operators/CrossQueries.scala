@@ -1510,8 +1510,8 @@ object CrossQueries {
     // identically (BIGINT ops only, no overflow: h < 2^32, x40503 < 2^48).
     val pts = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"),
-        expr("((((((c_custkey) * 2654435761L) % 4294967296L) ^ shiftright(((c_custkey) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("x"),
-        expr("((((((c_custkey + 7919L) * 2654435761L) % 4294967296L) ^ shiftright(((c_custkey + 7919L) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("y"))
+        expr("(((((((c_custkey) % 67108864) * 2654435761L) % 4294967296L) ^ shiftright((((c_custkey) % 67108864) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("x"),
+        expr("(((((((c_custkey + 7919L) % 67108864) * 2654435761L) % 4294967296L) ^ shiftright((((c_custkey + 7919L) % 67108864) * 2654435761L) % 4294967296L, 16)) * 40503L) % 4294967296L) % 300").as("y"))
       .withColumn("cx", expr("x div 8"))
       .withColumn("cy", expr("y div 8"))
     val probes = pts.select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
@@ -1535,8 +1535,8 @@ object CrossQueries {
   private val x35Sql =
     """WITH p AS (
       |  SELECT c_custkey AS id,
-      |    ((xor((((c_custkey) * 2654435761) % 4294967296), (((c_custkey) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS x,
-      |    ((xor((((c_custkey + 7919) * 2654435761) % 4294967296), (((c_custkey + 7919) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS y
+      |    ((xor(((((c_custkey) % 67108864) * 2654435761) % 4294967296), ((((c_custkey) % 67108864) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS x,
+      |    ((xor(((((c_custkey + 7919) % 67108864) * 2654435761) % 4294967296), ((((c_custkey + 7919) % 67108864) * 2654435761) % 4294967296) >> 16) * 40503) % 4294967296) % 300 AS y
       |  FROM customer),
       |c AS (SELECT id, x, y, x // 8 AS cx, y // 8 AS cy FROM p),
       |pairs AS (
@@ -1570,7 +1570,12 @@ object CrossQueries {
     daily.groupByKey(_ => 0).flatMapGroups { (_, it) =>
       val days = it.toArray.sortBy(_._1)
       val n = days.length.toLong
-      val mu = if (n == 0) 0L else days.map(_._2).sum / n
+      // sum via BigInt: the oracle's HUGEINT sum never wraps, so a Scala
+      // Long sum (which wraps silently past ~9.2e18 total cents) would
+      // diverge at warehouse scale; mu itself fits a Long (≤ max daily).
+      val mu =
+        if (n == 0) 0L
+        else (days.iterator.map(d => BigInt(d._2)).sum / n).toLong
       val slack = mu / 20
       val h = mu / 2
       var s = 0L
@@ -1666,7 +1671,7 @@ object CrossQueries {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
       .as[(String, Long)]
-    daily.groupByKey(_ => 0).mapGroups { (_, it) =>
+    val folded = daily.groupByKey(_ => 0).mapGroups { (_, it) =>
       val days = it.toArray.sortBy(_._1)
       var level = days.head._2
       var trend = 0L
@@ -1677,6 +1682,16 @@ object CrossQueries {
       }
       (days.length.toLong, level, trend, level + 7 * trend)
     }.toDF("n_days", "level_cents", "trend_cents", "forecast7_cents")
+    // Empty-input shape: mapGroups over zero groups emits ZERO rows, but
+    // the oracle's ungrouped aggregate emits ONE all-NULL row. The guard
+    // is a left-anti against the folded result (kept iff folded is
+    // empty) — distributed, no driver-side isEmpty probe.
+    val nullRow = spark.range(1).select(
+      lit(null).cast("long").as("n_days"),
+      lit(null).cast("long").as("level_cents"),
+      lit(null).cast("long").as("trend_cents"),
+      lit(null).cast("long").as("forecast7_cents"))
+    folded.unionByName(nullRow.join(folded, lit(true), "left_anti"))
   }
 
   private val x38Sql =

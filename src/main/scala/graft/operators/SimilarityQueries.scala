@@ -975,9 +975,10 @@ object SimilarityQueries {
     val sym = base
       .unionAll(base.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .distinct()
-      .withColumn("w", lit(1L) + pmod(
-        least(col("vec_id"), col("nbr_id")) * lit(2654435761L) +
-          greatest(col("vec_id"), col("nbr_id")) * lit(40503L), lit(9L)))
+      .withColumn("w", lit(1L) + pmod( // pre-mod: keeps products < 2^58
+        (least(col("vec_id"), col("nbr_id")) % 67108864) * lit(2654435761L) +
+          (greatest(col("vec_id"), col("nbr_id")) % 67108864) * lit(40503L),
+        lit(9L)))
       .localCheckpoint(eager = false)
     var state = Tables.embeddings(spark, dir)
       .select(col("vec_id")).filter(col("vec_id") % 97 === 0)
@@ -1010,7 +1011,8 @@ object SimilarityQueries {
        |sym AS (SELECT vec_id AS a, nbr AS b FROM knn
        |        UNION SELECT nbr, vec_id FROM knn),
        |symw AS (SELECT a, b,
-       |    1 + (least(a, b) * 2654435761 + greatest(a, b) * 40503) % 9 AS w
+       |    1 + ((least(a, b) % 67108864) * 2654435761
+       |         + (greatest(a, b) % 67108864) * 40503) % 9 AS w
        |  FROM sym),
        |it(round, vec_id, d) AS (
        |  SELECT 0, vec_id, 0 FROM n WHERE vec_id % 97 = 0

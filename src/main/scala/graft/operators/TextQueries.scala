@@ -948,9 +948,11 @@ object TextQueries {
   // docs per source), the mixture-construction primitive a data planner
   // runs after fixing per-source token budgets. Two design points:
   //   1. The "random" order is a deterministic multiplicative hash,
-  //      (doc_id * 2654435761) % 2^32 (Knuth's golden-ratio constant) —
-  //      products stay below 2^63 so BOTH engines compute the identical
-  //      BIGINT with plain arithmetic; no engine-hash parity needed, and
+  //      ((doc_id % 2^26) * 2654435761) % 2^32 (Knuth's golden-ratio
+  //      constant; pre-mod keeps the product < 2^58 — d19's overflow
+  //      lesson, since Spark wraps silently where DuckDB raises) — so
+  //      BOTH engines compute the identical BIGINT with plain
+  //      arithmetic; no engine-hash parity needed, and
   //      the sample is reproducible run over run (what a training-data
   //      freeze requires). Bernoulli `sample()` gives neither exact
   //      quotas nor cross-engine determinism.
@@ -965,7 +967,7 @@ object TextQueries {
     val topk = udaf(graft.functions.TopKAggregator.TopK(50))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        expr("CAST(-((doc_id * 2654435761L) % 4294967296L) AS DOUBLE)").as("score"))
+        expr("CAST(-(((doc_id % 67108864) * 2654435761L) % 4294967296L) AS DOUBLE)").as("score"))
       .groupBy(col("source"))
       .agg(topk(col("score"), col("doc_id")).as("smp"))
       .select(col("source"), posexplode(col("smp")).as(Seq("pos", "e")))
@@ -977,7 +979,7 @@ object TextQueries {
   private val t22Sql =
     """WITH k AS (
       |  SELECT source, doc_id,
-      |    (doc_id * 2654435761) % 4294967296 AS smpkey
+      |    ((doc_id % 67108864) * 2654435761) % 4294967296 AS smpkey
       |  FROM documents),
       |r AS (
       |  SELECT source, doc_id,
@@ -1375,10 +1377,13 @@ object TextQueries {
   // doc-cardinality scalars, never text. BIGINT bound: cum·64 needs
   // corpus chars < 1.4e17 — beyond 100 TB of text.
   def t32(spark: SparkSession, dir: String): DataFrame = {
+    // pre-mod before the Knuth multiply (d19's overflow lesson): a bare
+    // doc_id * 2654435761 wraps silently in Spark for doc_id ≳ 3.47e9
+    // while DuckDB raises — the pre-mod keeps the product < 2^58 in both.
     val w = Tables.documents(spark, dir)
       .select(col("doc_id"),
         greatest(col("n_chars"), lit(1L)).as("w"),
-        expr("(doc_id * 2654435761L) % 4294967296L").as("smpkey"))
+        expr("((doc_id % 67108864) * 2654435761L) % 4294967296L").as("smpkey"))
     val cum = RelationalQueries.globalPrefixSum(w,
       Seq(col("smpkey"), col("doc_id")), col("w"), "cum")
     val tot = w.agg(sum(col("w")).as("tot_w"))
@@ -1393,7 +1398,7 @@ object TextQueries {
   private val t32Sql =
     """WITH k AS (
       |  SELECT doc_id, greatest(n_chars, 1) AS w,
-      |    (doc_id * 2654435761) % 4294967296 AS smpkey
+      |    ((doc_id % 67108864) * 2654435761) % 4294967296 AS smpkey
       |  FROM documents),
       |c AS (SELECT doc_id, w,
       |  SUM(w) OVER (ORDER BY smpkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -1436,7 +1441,7 @@ object TextQueries {
 
   private val t33Sql = {
     def one(w: Long): String =
-      s"""SELECT $w AS width, CAST(SUM(c) AS BIGINT) AS n_types,
+      s"""SELECT CAST($w AS BIGINT) AS width, CAST(SUM(c) AS BIGINT) AS n_types,
          |  COUNT(*) AS n_buckets_used,
          |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_collided,
          |  CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT) AS collision_ppm

@@ -1,0 +1,525 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Classic decision-support shapes (the TPC-H Q3/Q4/Q8/Q14/Q16/Q17/
+  * Q18/Q19/Q21/Q22 patterns), adapted to the TESTDATA schema — the
+  * query family a warehouse user migrating off the reference stack
+  * (/root/reference/src/price_zone/transform_spark_job.py's
+  * filter-join-aggregate pipelines, generalized) runs daily. Each is
+  * a pure declarative plan: filters reach the parquet scans,
+  * dimension joins are explicit `broadcast()`, aggregation happens
+  * BEFORE fact-side joins wherever the group key allows it, and
+  * every top-k is an ORDER BY + LIMIT that Spark executes as
+  * TakeOrderedAndProject (no global sort).
+  *
+  * Oracle-parity conventions (see RelationalQueries): exact revenue
+  * sums ride DECIMAL(18,4); ratios are exact integer ppm with the
+  * wide intermediate on DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+  * where `div` and `//` both truncate toward zero (measured; holds
+  * for negative numerators — x38's lesson); dates surface as
+  * yyyy-MM-dd strings; DuckDB's HUGEINT aggregates are CAST back to
+  * BIGINT so the driver's no-cast hash sees identical
+  * representations.
+  */
+object TpchQueries {
+  import RelationalQueries.dsum
+
+  private val D184 = DecimalType(18, 4)
+
+  // ---------------------------------------------------------------------
+  // q50_shipping_priority — TPC-H Q3: unshipped-revenue top-10 for one
+  // market segment. Scale shape: lineitem pre-aggregates per ORDER
+  // (map-side combined, the fact exchange carries order-cardinality
+  // partials, never line items), the segment-filtered customer dim
+  // broadcasts into orders, and the final top-10 is
+  // TakeOrderedAndProject on the exact DECIMAL revenue (custkey-free
+  // deterministic tie-break on orderkey).
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184).as("rev"))
+      .groupBy(col("l_orderkey")).agg(sum(col("rev")).as("rev_exact"))
+    rev.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .orderBy(col("rev_exact").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey").as("orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority").as("priority"),
+        col("rev_exact").cast(DoubleType).as("revenue"))
+  }
+
+  private val q50Sql =
+    """WITH rev AS (
+      |  SELECT l_orderkey AS orderkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev_exact
+      |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01' GROUP BY 1)
+      |SELECT orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority AS priority, CAST(rev_exact AS DOUBLE) AS revenue
+      |FROM rev JOIN orders ON orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND c_mktsegment = 'BUILDING'
+      |ORDER BY rev_exact DESC, orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q51_late_priority — TPC-H Q4: order-priority tally of one quarter's
+  // orders that had at least one line shipped >30 days after order
+  // date. The EXISTS decorrelates to a LEFT SEMI join with the
+  // non-equi lateness predicate in the join condition — one pass over
+  // each side, no count-then-filter, duplicates never materialize.
+  // Output is priority-cardinality (5 rows at any scale).
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q51Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q52_promo_share — TPC-H Q14: promo-type parts' share of one
+  // month's revenue, in exact ppm. Revenue sums ride DECIMAL(18,4)
+  // (exact, order-independent); the share multiplies the e4-scaled
+  // integer through DECIMAL(38,0)/HUGEINT before the truncating
+  // divide, so the ppm is bit-identical cross-engine (a double ratio
+  // would not be). The part dim broadcasts; one aggregate, 1-row out.
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184).as("rev"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast(D184))).as("promo"),
+        sum(col("rev")).as("total"))
+      .select(col("n_lines"),
+        expr("cast(promo * 10000 AS BIGINT)").as("promo_e4"),
+        expr("cast(total * 10000 AS BIGINT)").as("total_e4"),
+        expr("""cast((cast(promo * 10000 AS DECIMAL(38,0)) * 1000000)
+               |  div cast(total * 10000 AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin).as("promo_ppm"))
+  }
+
+  private val q52Sql =
+    """WITH j AS (
+      |  SELECT p_type,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01'),
+      |s AS (SELECT COUNT(*) AS n_lines,
+      |  SUM(CASE WHEN p_type = 'PROMO' THEN rev
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+      |  SUM(rev) AS total FROM j)
+      |SELECT n_lines, CAST(promo * 10000 AS BIGINT) AS promo_e4,
+      |  CAST(total * 10000 AS BIGINT) AS total_e4,
+      |  CAST((CAST(promo * 10000 AS HUGEINT) * 1000000)
+      |    // CAST(total * 10000 AS HUGEINT) AS BIGINT) AS promo_ppm
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q53_market_share — TPC-H Q8: per order-year, the revenue share
+  // (ppm) of one supplier NATION within one customer REGION's orders.
+  // Dims chain region→nation→customer entirely broadcast-side; the
+  // fact path is lineitem ⋈ (orders semi-filtered to the region's
+  // customers) with supplier's nation broadcast onto lines. One
+  // (year)-grouped aggregate computes both the total and the
+  // nation's slice — no second pass, shares via exact e4-integer ppm.
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .filter(col("n_regionkey") === 2).select(col("n_nationkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("s_nationkey") === 7, col("rev"))
+          .otherwise(lit(0).cast(D184))).as("nat"),
+        sum(col("rev")).as("total"))
+      .select(col("yr"),
+        expr("cast(nat * 10000 AS BIGINT)").as("nation_e4"),
+        expr("cast(total * 10000 AS BIGINT)").as("total_e4"),
+        expr("""cast((cast(nat * 10000 AS DECIMAL(38,0)) * 1000000)
+               |  div cast(total * 10000 AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin).as("share_ppm"))
+      .orderBy(col("yr"))
+  }
+
+  private val q53Sql =
+    """WITH j AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, s_nationkey,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE o_custkey IN (
+      |    SELECT c_custkey FROM customer
+      |    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 2)),
+      |s AS (SELECT yr,
+      |  SUM(CASE WHEN s_nationkey = 7 THEN rev
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat,
+      |  SUM(rev) AS total FROM j GROUP BY 1)
+      |SELECT yr, CAST(nat * 10000 AS BIGINT) AS nation_e4,
+      |  CAST(total * 10000 AS BIGINT) AS total_e4,
+      |  CAST((CAST(nat * 10000 AS HUGEINT) * 1000000)
+      |    // CAST(total * 10000 AS HUGEINT) AS BIGINT) AS share_ppm
+      |FROM s ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q54_parts_supplier — TPC-H Q16: distinct-supplier counts per part
+  // (brand, type, size) bucket, excluding complained-about suppliers.
+  // The NOT IN (guaranteed-non-null probe side) is a LEFT ANTI join
+  // against the tiny bad-supplier set (broadcast); the part dim
+  // broadcasts with brand/size filters pushed to its scan; the
+  // distinct-count shuffles (partkey,suppkey)-deduped partials, not
+  // raw lines.
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q54Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q55_small_qty_revenue — TPC-H Q17: revenue locked in "small"
+  // orders of one brand's parts, where small means quantity below 20%
+  // of that part's average order quantity. The correlated average
+  // decorrelates to a per-part aggregate joined back on partkey;
+  // 0.2·avg = sum/(5·cnt) compares EXACTLY by cross-multiplication
+  // (qty·5·cnt < sum) — quantities are integral, so no float
+  // tolerance anywhere. Brand filter broadcasts off the part dim and
+  // prunes the fact scan before any shuffle.
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val per = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+    li.join(per, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("cnt") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  private val q55Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'),
+      |per AS (SELECT l_partkey AS pk, SUM(qty) AS sq, COUNT(*) AS cnt
+      |        FROM li GROUP BY 1)
+      |SELECT COUNT(*) AS n_lines, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |FROM li JOIN per ON l_partkey = pk
+      |WHERE qty * 5 * cnt < sq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q56_large_orders — TPC-H Q18: top-20 largest-quantity orders. The
+  // HAVING sum(qty) > 300 runs as the lineitem pre-aggregate (map-side
+  // combined, order-cardinality partials) and its survivors — a tiny
+  // fraction — join orders; the exact-cents sort key makes the top-20
+  // deterministic (TakeOrderedAndProject, no global sort).
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q56Sql =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |    AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY total_cents DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q57_disjunctive — TPC-H Q19: revenue under an OR-of-ANDs predicate
+  // spanning both the fact and the dim (brand × size-range ×
+  // quantity-range triples). The disjunction can't prune the fact scan
+  // (quantity ranges overlap), but every brand/size conjunct prunes
+  // the broadcast part dim, and the whole filter evaluates inside one
+  // whole-stage-codegen'd join-project — no per-branch passes, no
+  // union of three scans.
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184).as("rev"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(15, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(30, 50)))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("rev")).as("revenue"))
+  }
+
+  private val q57Sql =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+      |        AND l_quantity BETWEEN 15 AND 35)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+      |        AND l_quantity BETWEEN 30 AND 50)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58_blocking_supplier — TPC-H Q21: suppliers who were the SOLE
+  // late shipper in multi-supplier orders (shipped >60 days after
+  // order date while every co-supplier shipped on time). The
+  // EXISTS/NOT-EXISTS pair becomes LEFT SEMI then LEFT ANTI on the
+  // deduped (order, supplier) pair sets — both sides are
+  // pair-cardinality (lines collapse first), both joins hash on
+  // orderkey, and the inequality on suppkey rides the join condition.
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = li.select(col("l_orderkey").as("pok"), col("l_suppkey").as("psk"))
+      .distinct()
+    late
+      .join(pairs, col("ok") === col("pok") && col("sk") =!= col("psk"),
+        "left_semi")
+      .join(late.select(col("ok").as("ook"), col("sk").as("osk")),
+        col("ok") === col("ook") && col("sk") =!= col("osk"), "left_anti")
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  private val q58Sql =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      |pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |          FROM lineitem)
+      |SELECT l.sk AS s_suppkey, COUNT(*) AS numwait
+      |FROM late l
+      |WHERE EXISTS (SELECT 1 FROM pairs p
+      |              WHERE p.ok = l.ok AND p.sk <> l.sk)
+      |  AND NOT EXISTS (SELECT 1 FROM late o
+      |                  WHERE o.ok = l.ok AND o.sk <> l.sk)
+      |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59_idle_rich — TPC-H Q22: per nation, customers with
+  // above-average (among positive balances) account balance and NO
+  // recent orders. The scalar average rides a 1-row broadcast and the
+  // comparison cross-multiplies (cents·cnt > sum_cents — exact, no
+  // division); the NOT EXISTS is a LEFT ANTI against the
+  // date-pruned orders projection. Balance cents via floor(x·100):
+  // both engines evaluate the identical IEEE double ops on the same
+  // parquet values, so the integer is deterministic cross-engine.
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val pos = cust.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(pos)) // 1-row scalar ride-along
+      .filter(col("cents") * col("c") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q59Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |pos AS (SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS c
+      |        FROM cust WHERE cents > 0)
+      |SELECT c_nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+      |FROM cust CROSS JOIN pos
+      |WHERE cents * c > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x40_acf — autocorrelation of the daily-revenue series at lags
+  // 1/2/3/7/30 in exact ppm (the seasonality detector behind x28's
+  // day-of-week index: lag-7 ≫ lag-1 ⇒ weekly cycle). Mean-centering
+  // is EXACT by scaling through n: with S = Σx, dev_t = n·x_t − S is
+  // an integer, and acf_k = Σ dev_t·dev_{t+k} / Σ dev_t² — the n²
+  // factors cancel. Products ride DECIMAL(38,0)/HUGEINT (dev ≲
+  // n·max_day ≈ 2.5e3·1e15 at 100 TB → dev² ≈ 6e36, inside both
+  // engines' 38-digit ceiling for the SUM only because days are
+  // bounded — the comment-pinned bound, not an accident); `div`//`//`
+  // truncate identically for the possibly-negative numerator. Scale
+  // shape: the volume collapses in the per-day aggregate (x36's
+  // argument); the lag joins are rn+k equi-joins over the bounded
+  // day-cardinality series, localCheckpointed once and reused by all
+  // five lags.
+  def x40(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rn = RelationalQueries.globalRank(daily, Seq(col("day")), "rn")
+    val tot = daily.agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val base = rn.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .select(col("rn"),
+        expr("cast(n AS DECIMAL(38,0)) * cents - s").as("dev"))
+      .localCheckpoint(eager = false) // day-cardinality; reused 11×
+    val den = base.agg(sum(expr("dev * dev")).as("den"))
+    Seq(1, 2, 3, 7, 30).map { k =>
+      base.select(col("rn"), col("dev"))
+        .join(base.select((col("rn") - k).as("rn2"), col("dev").as("dev2")),
+          col("rn") === col("rn2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("dev * dev2")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"),
+          expr("cast((num * 1000000) div den AS BIGINT)").as("acf_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("lag"))
+  }
+
+  private val x40Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+      |t AS (SELECT CAST(SUM(cents) AS HUGEINT) AS s, COUNT(*) AS n FROM d),
+      |b AS (SELECT rn, CAST(n AS HUGEINT) * cents - s AS dev
+      |      FROM o CROSS JOIN t),
+      |den AS (SELECT SUM(dev * dev) AS den FROM b),
+      |lags AS (SELECT * FROM (VALUES (1), (2), (3), (7), (30)) v(k)),
+      |num AS (SELECT k, COUNT(*) AS n_pairs, SUM(a.dev * c.dev) AS num
+      |        FROM lags JOIN b a ON TRUE JOIN b c ON c.rn = a.rn + k
+      |        GROUP BY k)
+      |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+      |  CAST((num * 1000000) // den AS BIGINT) AS acf_ppm
+      |FROM num CROSS JOIN den ORDER BY lag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_shipping_priority" -> (q50 _),
+    "q51_late_priority" -> (q51 _),
+    "q52_promo_share" -> (q52 _),
+    "q53_market_share" -> (q53 _),
+    "q54_parts_supplier" -> (q54 _),
+    "q55_small_qty_revenue" -> (q55 _),
+    "q56_large_orders" -> (q56 _),
+    "q57_disjunctive" -> (q57 _),
+    "q58_blocking_supplier" -> (q58 _),
+    "q59_idle_rich" -> (q59 _),
+    "x40_acf" -> (x40 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_shipping_priority" -> q50Sql,
+    "q51_late_priority" -> q51Sql,
+    "q52_promo_share" -> q52Sql,
+    "q53_market_share" -> q53Sql,
+    "q54_parts_supplier" -> q54Sql,
+    "q55_small_qty_revenue" -> q55Sql,
+    "q56_large_orders" -> q56Sql,
+    "q57_disjunctive" -> q57Sql,
+    "q58_blocking_supplier" -> q58Sql,
+    "q59_idle_rich" -> q59Sql,
+    "x40_acf" -> x40Sql)
+}

@@ -60,7 +60,14 @@ class PlanRegressionSpec extends SparkSpec {
     "v20_drift_tvd" -> 1,     // 1-row per-epoch totals aggregate (ppm denoms)
     "t32_pps_sample" -> 1,    // 1-row total-weight aggregate (PPS stride)
     "x37_weighted_median" -> 1, // 1-row total-weight aggregate (quantile cuts)
-    "v23_pseudonymize" -> 3)  // 1-row audit frames (join counts × distincts)
+    "v23_pseudonymize" -> 3,  // 1-row audit frames (join counts × distincts)
+    "x38_holt_forecast" -> 1, // 1-row empty-input guard anti-join (both
+                              // sides ≤1 row: oracle-shape parity)
+    "q59_idle_rich" -> 1,     // 1-row positive-balance average aggregate
+    "x40_acf" -> 12)          // 1-row (S, n) totals + 1-row den frames,
+                              // re-expanded per lag branch pre-execution
+                              // (the lazy localCheckpoint collapses them
+                              // at run time)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
