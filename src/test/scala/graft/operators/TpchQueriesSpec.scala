@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Invariants for the classic decision-support gates (q50–q59, x40)
+  * beyond the DuckDB hash oracles: bound/ordering properties the hash
+  * can't articulate as a failure message, cross-gate consistency, and
+  * the x38 empty-input shape the oracles only exercise implicitly.
+  */
+class TpchQueriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q50 top-10 is revenue-descending and respects both date cuts") {
+    val rows = TpchQueries.queries("q50_shipping_priority")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "top-10 not revenue-descending")
+    assert(rows.forall(_.getAs[String]("orderdate") < "1998-06-01"),
+      "an order past the cutoff leaked in")
+  }
+
+  test("q51 semi-join counts never exceed the plain quarter counts") {
+    val late = TpchQueries.queries("q51_late_priority")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(late.nonEmpty)
+    late.foreach { case (p, n) =>
+      assert(n <= all(p), s"priority $p: EXISTS count $n > base ${all(p)}")
+    }
+  }
+
+  test("q52/q53 shares are exact ppm fractions of their totals") {
+    val r52 = TpchQueries.queries("q52_promo_share")(spark, dir).collect().head
+    val (p, t) = (r52.getAs[Long]("promo_e4"), r52.getAs[Long]("total_e4"))
+    assert(p >= 0 && p <= t)
+    assert(r52.getAs[Long]("promo_ppm") === p * 1000000L / t)
+    TpchQueries.queries("q53_market_share")(spark, dir).collect().foreach { r =>
+      val (n, tt) = (r.getAs[Long]("nation_e4"), r.getAs[Long]("total_e4"))
+      assert(n >= 0 && n <= tt)
+      assert(r.getAs[Long]("share_ppm") === n * 1000000L / tt)
+    }
+  }
+
+  test("q54 excludes negative-balance suppliers from every count") {
+    val nGood = graft.Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") >= 0).count()
+    val rows = TpchQueries.queries("q54_parts_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("supplier_cnt") <= nGood),
+      "a bucket counts more suppliers than exist with non-negative balance")
+  }
+
+  test("q55 equals a direct recompute of the 20%-of-average rule") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir).filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val per = li.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).sum, xs.length.toLong)
+    }
+    val expect = li.filter { case (k, q, _) =>
+      val (sq, cnt) = per(k); q * 5 * cnt < sq
+    }
+    val r = TpchQueries.queries("q55_small_qty_revenue")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_lines") === expect.length.toLong)
+    if (expect.nonEmpty)
+      assert(r.getAs[Long]("revenue_cents") === expect.map(_._3).sum)
+  }
+
+  test("q56 rows all clear the quantity threshold, sorted by exact cents") {
+    val rows = TpchQueries.queries("q56_large_orders")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("sum_qty") > 300))
+    val cents = rows.map(_.getAs[Long]("total_cents"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q58 sole-late-supplier rule holds on a recomputed pair table") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val byOrder = li.groupBy(_._1)
+    val expected = li.filter(_._3).map(t => (t._1, t._2)).distinct
+      .filter { case (ok, sk) =>
+        val rows = byOrder(ok)
+        rows.exists(_._2 != sk) && !rows.exists(r => r._2 != sk && r._3)
+      }
+      .groupBy(_._2).map { case (sk, xs) => sk -> xs.map(_._1).distinct.size.toLong }
+    val got = TpchQueries.queries("q58_blocking_supplier")(spark, dir)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait"))
+    got.foreach { case (sk, n) =>
+      assert(expected.getOrElse(sk, 0L) === n, s"supplier $sk numwait")
+    }
+  }
+
+  test("q59 keeps only above-positive-average balances with no recent orders") {
+    val rows = TpchQueries.queries("q59_idle_rich")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_cust")).sum
+    assert(total > 0 && total < graft.Tables.customer(spark, dir).count(),
+      "filter kept everyone or no one — predicate is degenerate")
+  }
+
+  test("x40 acf is bounded by ±1e6 with n_pairs = n - lag") {
+    val n = graft.Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd")).distinct().count()
+    val rows = TpchQueries.queries("x40_acf")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (lag, pairs, acf) = (r.getAs[Long]("lag"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("acf_ppm"))
+      assert(pairs === n - lag, s"lag $lag pair count")
+      // Cauchy–Schwarz over the full-sample denominator
+      assert(math.abs(acf) <= 1000000L, s"lag $lag acf $acf out of bounds")
+    }
+  }
+
+  test("x38 empty input yields the oracle's one-all-NULL-row shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    graft.Tables.orders(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val rows = CrossQueries.queries("x38_holt_forecast")(spark, tmp).collect()
+    assert(rows.length === 1, "empty input must emit exactly one row")
+    val r = rows.head
+    Seq("n_days", "level_cents", "trend_cents", "forecast7_cents").foreach { c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL on empty input")
+    }
+    // and x36's recursive-CTE shape: zero rows on empty input
+    assert(CrossQueries.queries("x36_cusum")(spark, tmp).count() === 0L)
+  }
+}
