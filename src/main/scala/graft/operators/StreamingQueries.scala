@@ -520,7 +520,26 @@ object StreamingQueries {
       |WHERE user_id IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st21_stream_topk — streaming GLOBAL top-5 leaderboard (per-user
+  // event counts) in Complete mode: the sort+limit runs over the
+  // user-cardinality aggregate state re-emitted per micro-batch —
+  // Append could never retract an already-emitted rank, which is why
+  // Complete is the only correct mode for a streaming leaderboard.
+  // Deterministic (count desc, user_id) tie-break; full drain == the
+  // batch top-k oracle.
+  def st21(spark: SparkSession, dir: String): DataFrame =
+    Streaming.topUsersByEvents(spark, dir, k = 5)
+
+  private val st21Sql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_scaled
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_topk" -> (st21 _),
     "st20_stream_enrich" -> (st20 _),
     "st19_stream_locf" -> (st19 _),
     "st18_stream_wau" -> (st18 _),
@@ -543,6 +562,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st21_stream_topk" -> st21Sql,
     "st20_stream_enrich" -> st20Sql,
     "st19_stream_locf" -> st19Sql,
     "st18_stream_wau" -> st18Sql,

@@ -1511,7 +1511,57 @@ object TextQueries {
       |FROM fp JOIN k USING (f)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t35_concordance — KWIC (keyword-in-context) concordance of the
+  // corpus's single most frequent token: the (left, right) neighbor
+  // pattern table a corpus linguist (or a tokenizer-debugging pipeline)
+  // reads to see HOW a term is used, top-20 patterns by frequency.
+  // Sentence edges surface as '^'/'$'. The target token is an argmax
+  // with lexicographic tie-break, computed once and broadcast as a
+  // 1-row ride-along. Scale shape: context extraction happens entirely
+  // MAP-SIDE inside one higher-order projection over the token array
+  // (filter indices → struct neighbors — text never shuffles, only
+  // (left, right) token pairs do), and the exchange carries the
+  // pattern-cardinality aggregate partials.
+  def t35(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("ts"))
+    val target = docs.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(1)
+      .select(col("t").as("tgt"))
+    docs.crossJoin(broadcast(target)) // 1-row scalar ride-along
+      .select(explode(expr(
+        """transform(
+          |  filter(sequence(1, size(ts)), i -> element_at(ts, i) = tgt),
+          |  i -> struct(
+          |    IF(i = 1, '^', element_at(ts, i - 1)) AS l,
+          |    IF(i = size(ts), '$', element_at(ts, i + 1)) AS r))"""
+          .stripMargin)).as("ctx"))
+      .select(col("ctx.l").as("l"), col("ctx.r").as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(20)
+  }
+
+  private val t35Sql =
+    """WITH d AS (
+      |  SELECT string_split(text, ' ') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT unnest(ts) AS t FROM d),
+      |tg AS (SELECT t AS tgt FROM tok GROUP BY t
+      |       ORDER BY COUNT(*) DESC, t LIMIT 1),
+      |occ AS (
+      |  SELECT CASE WHEN i = 1 THEN '^' ELSE ts[i - 1] END AS l,
+      |         CASE WHEN i = len(ts) THEN '$' ELSE ts[i + 1] END AS r
+      |  FROM d CROSS JOIN tg
+      |  CROSS JOIN UNNEST(range(1, len(ts) + 1)) u(i)
+      |  WHERE ts[i] = tgt)
+      |SELECT l, r, COUNT(*) AS n FROM occ GROUP BY 1, 2
+      |ORDER BY n DESC, l, r LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_concordance" -> (t35 _),
     "t34_effective_tokens" -> (t34 _),
     "t33_hash_collisions" -> (t33 _),
     "t32_pps_sample" -> (t32 _),
@@ -1547,6 +1597,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t35_concordance" -> t35Sql,
     "t34_effective_tokens" -> t34Sql,
     "t33_hash_collisions" -> t33Sql,
     "t32_pps_sample" -> t32Sql,

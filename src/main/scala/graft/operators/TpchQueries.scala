@@ -497,7 +497,64 @@ object TpchQueries {
       |  CAST((num * 1000000) // den AS BIGINT) AS acf_ppm
       |FROM num CROSS JOIN den ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x41_stl — STL-style decomposition of the daily-revenue series into
+  // trend + weekly seasonal + residual, entirely in integers: trend is
+  // the centered 7-day moving average (full windows only — edges stay
+  // NULL rather than fabricating a shorter-window trend), the seasonal
+  // term is the per-ISO-weekday mean of the detrended series, and the
+  // residual is what x36's CUSUM or v16's MAD should alarm on AFTER
+  // calendar structure is removed. Truncating-division parity holds for
+  // the possibly-negative detrended sums (x38's measured fact). Scale
+  // shape: the volume collapses in the per-day aggregate (x36's
+  // argument); the centered window runs over the bounded day-cardinality
+  // series (single ordered pass), and the 7-row seasonal dim broadcasts
+  // back.
+  def x41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    // bounded day-cardinality series — the single-partition window is
+    // the honest plan here, not a compromise (x36's argument)
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("wsum", sum(col("cents")).over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .withColumn("trend", when(col("wcnt") === 7, expr("wsum div 7")))
+      .withColumn("dow", (weekday(to_date(col("day"))) + 1).cast("long"))
+    val seas = t.filter(col("trend").isNotNull)
+      .groupBy(col("dow"))
+      .agg(expr("sum(cents - trend) div count(1)").as("seasonal"))
+    t.join(broadcast(seas), Seq("dow"))
+      .select(col("day"), col("cents"), col("trend"), col("seasonal"),
+        (col("cents") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  private val x41Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT day, cents,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS wsum,
+      |    COUNT(*) OVER w AS wcnt,
+      |    CAST(isodow(CAST(day AS DATE)) AS BIGINT) AS dow
+      |  FROM d
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t2 AS (SELECT day, cents, dow,
+      |    CASE WHEN wcnt = 7 THEN wsum // 7 END AS trend FROM t),
+      |s AS (SELECT dow,
+      |    CAST(SUM(cents - trend) // COUNT(*) AS BIGINT) AS seasonal
+      |  FROM t2 WHERE trend IS NOT NULL GROUP BY 1)
+      |SELECT day, cents, CAST(trend AS BIGINT) AS trend, seasonal,
+      |  CAST(cents - trend - seasonal AS BIGINT) AS resid
+      |FROM t2 JOIN s USING (dow) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_stl" -> (x41 _),
     "q50_shipping_priority" -> (q50 _),
     "q51_late_priority" -> (q51 _),
     "q52_promo_share" -> (q52 _),
@@ -511,6 +568,7 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x41_stl" -> x41Sql,
     "q50_shipping_priority" -> q50Sql,
     "q51_late_priority" -> q51Sql,
     "q52_promo_share" -> q52Sql,

@@ -150,6 +150,25 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Complete, stream)
   }
 
+  /** Streaming GLOBAL TOP-K in Complete mode — the leaderboard shape:
+    * per-user event counts, sorted (count desc, user_id) with LIMIT k.
+    * Complete mode is what makes sort+limit legal in a streaming query
+    * (Append can never retract a previously emitted rank); the full
+    * aggregate state re-emits per micro-batch and the sort runs over
+    * the AGGREGATED (user-cardinality) frame, never the event stream.
+    * AvailableNow drains, so the final emission == the batch top-k. */
+  def topUsersByEvents(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val name = s"graft_stream_topk_${queryCounter.incrementAndGet()}"
+    val stream = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast(LongType)).as("sum_value_scaled"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+    drainToLocal(spark, name, OutputMode.Complete, stream)
+  }
+
   /** STREAM-STATIC enrichment join + aggregation, the dimension-join
     * family member the stream-stream gates don't cover: the event
     * stream joins a STATIC customer dim (re-read per micro-batch,

@@ -64,6 +64,8 @@ class PlanRegressionSpec extends SparkSpec {
     "x38_holt_forecast" -> 1, // 1-row empty-input guard anti-join (both
                               // sides ≤1 row: oracle-shape parity)
     "q59_idle_rich" -> 1,     // 1-row positive-balance average aggregate
+    "sk6_bloom_fpr" -> 2,     // 1-row member-count + bit-count aggregates
+    "t35_concordance" -> 1,   // 1-row argmax target-token ride-along
     "x40_acf" -> 12)          // 1-row (S, n) totals + 1-row den frames,
                               // re-expanded per lag branch pre-execution
                               // (the lazy localCheckpoint collapses them

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants for the round-6 sketch/streaming/decomposition gates that
+  * the hash oracles can't articulate: the CM one-sided bound over the
+  * WHOLE key space (not just the probed top-10), the Bloom
+  * no-false-negative property, streaming-vs-batch top-k equality, and
+  * the STL reconstruction identity.
+  */
+class Round6GatesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sk5 CM estimate dominates the exact count for EVERY key") {
+    import spark.implicits._
+    val keys = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("key"))
+    val slices = expr(
+      """transform(array(0L, 7919L, 104729L, 1299709L), (p, j) ->
+        |  struct(j AS j,
+        |    ((((((key % 67108864) + p) * 2654435761L) % 4294967296L)
+        |      ^ shiftright((((key % 67108864) + p) * 2654435761L)
+        |                   % 4294967296L, 16))
+        |     * 40503L) % 4294967296L % 256 AS bucket))""".stripMargin)
+    val cells = keys.select(explode(slices).as("s"))
+      .groupBy(col("s.j").as("j"), col("s.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val viol = keys.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      .select(col("key"), col("exact_n"), explode(slices).as("s"))
+      .join(broadcast(cells),
+        col("s.j") === col("j") && col("s.bucket") === col("bucket"))
+      .groupBy(col("key"), col("exact_n")).agg(min(col("cell")).as("est"))
+      .filter(col("est") < col("exact_n")).count()
+    assert(viol === 0L, "a CM estimate fell below its exact count")
+    val gate = SketchQueries.queries("sk5_cms_heavy")(spark, dir).collect()
+    assert(gate.length === 10 && gate.forall(_.getAs[Boolean]("cm_bound_ok")))
+  }
+
+  test("sk6 bloom filter has NO false negatives on its own members") {
+    // re-probe the members through the same hash family: every member
+    // position must be in the bit set by construction
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
+    def pos = expr(
+      "cast(conv(substring(md5(concat(cast(i AS string), ':', cast(key AS string))), 1, 8), 16, 10) AS bigint) % 65536")
+    val members = cust.filter(col("seg") === "BUILDING").select(col("key"))
+    val bits = members.select(col("key"), explode(expr("sequence(0, 2)")).as("i"))
+      .select(pos.as("pos")).distinct()
+    val misses = members
+      .select(col("key"), explode(expr("sequence(0, 2)")).as("i"))
+      .select(col("key"), pos.as("pos"))
+      .join(bits, Seq("pos"), "left_anti").count()
+    assert(misses === 0L, "a member position was not set — false negative")
+    val r = SketchQueries.queries("sk6_bloom_fpr")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_false_pos") <= r.getAs[Long]("n_probes"))
+    assert(r.getAs[Long]("n_bits_set") <= 65536L)
+    assert(r.getAs[Long]("n_bits_set") <= 3L * r.getAs[Long]("n_members"))
+  }
+
+  test("st21 streaming top-5 equals the batch leaderboard") {
+    val got = StreamingQueries.queries("st21_stream_topk")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    val want = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(5)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("x41 reconstruction: trend + seasonal + resid == cents on full windows") {
+    val rows = TpchQueries.queries("x41_stl")(spark, dir).collect()
+    assert(rows.length > 100)
+    val nullTrend = rows.count(_.isNullAt(2))
+    assert(nullTrend === 6, s"expected 3 leading + 3 trailing NULL-trend days, got $nullTrend")
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Long]("cents") ===
+        r.getAs[Long]("trend") + r.getAs[Long]("seasonal") + r.getAs[Long]("resid"))
+    }
+    // seasonal terms roughly cancel over a week (exact cancellation is
+    // not guaranteed with truncating division — bound by 7 units/day)
+    val seas = rows.map(_.getAs[Long]("seasonal")).distinct
+    assert(seas.length <= 7)
+  }
+
+  test("t35 concordance targets the global argmax token and counts its uses") {
+    import graft.functions.TextFunctions
+    val counts = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val (target, total) = counts
+      .orderBy(col("c").desc, col("t")).limit(1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).head
+    val rows = TextQueries.queries("t35_concordance")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val top20 = rows.map(_.getAs[Long]("n"))
+    assert(top20.sum <= total,
+      s"context pattern counts ${top20.sum} exceed target occurrences $total")
+    assert(top20.zip(top20.tail).forall { case (a, b) => a >= b })
+  }
+}
