@@ -1063,7 +1063,107 @@ object DedupQueries {
       |       THEN CAST(cluster_size * COUNT(*) AS BIGINT) END AS n_docs
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d21_lsh_tuning — the LSH PARAMETER SWEEP a dedup engineer runs
+  // before committing a 100 TB near-dup pass: with k=8 minhashes, band
+  // the signature as (b=2, r=4), (4, 2), and (8, 1) and measure each
+  // configuration's candidate volume, precision, and recall against
+  // exact Jaccard ≥ 0.3 truth. Banding nests — an r=4 match implies its
+  // two r=2 sub-bands match, which imply their r=1 members match — so
+  // the (8, 1) candidate set is a superset of the others and is the
+  // honest truth universe (the same bounded-universe convention as
+  // d17's eval). The signature kernel runs once per config (map-side
+  // codegen, no shuffle); truth scores once and localCheckpoints for
+  // the three probes; each probe is a pair-key semi-flag join.
+  def d21(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
+    val truth = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, 8)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(expr("10 * inter >= 3 * (size(sha) + size(shb) - inter)"))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false) // scored once, probed by all 3 configs
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    Seq(2, 4, 8).map { b =>
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, b)
+        .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("t"), lit(0L))).as("tp"))
+        .crossJoin(broadcast(nTrue)) // 1-row scalar ride-along
+        .select(lit(b.toLong).as("bands"), lit((8 / b).toLong).as("rows_per_band"),
+          col("n_cand"), col("tp"), col("n_true"),
+          when(col("n_cand") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 1000000) div n_cand")).as("precision_ppm"),
+          when(col("n_true") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 1000000) div n_true")).as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("bands"))
+  }
+
+  private val d21Sql = {
+    // band-key CTEs per config, the SQL mirror of Dedup.lshBandKeys
+    def keys(b: Int): String = {
+      val r = 8 / b
+      s"""k$b AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, $b),
+         |    b -> md5(CAST(b AS VARCHAR) || '|' ||
+         |      array_to_string(list_slice(s, b*$r + 1, b*$r + $r), '|')))) AS band_key
+         |  FROM sig),
+         |p$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM k$b a JOIN k$b b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+        .stripMargin
+    }
+    def per(b: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST(${8 / b} AS BIGINT) AS rows_per_band,
+         |  COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  n_true,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE CAST((SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      * 1000000) // COUNT(*) AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN n_true = 0 THEN NULL
+         |    ELSE CAST((SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      * 1000000) // n_true AS BIGINT) END AS recall_ppm
+         |FROM p$b c LEFT JOIN tr t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |CROSS JOIN nt GROUP BY n_true""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+       |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))) AS s
+       |  FROM documents),
+       |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [min(substr(h, 1, 4)), min(substr(h, 5, 4)), min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+       |     min(substr(h, 17, 4)), min(substr(h, 21, 4)), min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+       |  FROM hx GROUP BY doc_id),
+       |${keys(2)},
+       |${keys(4)},
+       |${keys(8)},
+       |dd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+       |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS grams
+       |  FROM documents),
+       |tr AS (
+       |  SELECT p.doc_a, p.doc_b FROM p8 p
+       |  JOIN dd a ON a.doc_id = p.doc_a JOIN dd b ON b.doc_id = p.doc_b
+       |  WHERE 10 * len(list_intersect(a.grams, b.grams))
+       |    >= 3 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))),
+       |nt AS (SELECT COUNT(*) AS n_true FROM tr)
+       |${per(2)}
+       |UNION ALL
+       |${per(4)}
+       |UNION ALL
+       |${per(8)}
+       |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_lsh_tuning" -> (d21 _),
     "d20_cluster_sizes" -> (d20 _),
     "d19_rendezvous" -> (d19 _),
     "d18_bbit_minhash" -> (d18 _),
@@ -1086,6 +1186,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d21_lsh_tuning" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,
     "d19_rendezvous" -> d19Sql,
     "d18_bbit_minhash" -> d18Sql,

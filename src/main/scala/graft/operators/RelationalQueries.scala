@@ -1448,7 +1448,46 @@ object RelationalQueries {
       |   WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = c.c_nationkey))
       |    AS not_exists_with_null""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60_ntile_cume — pins the BUILT-IN ntile / cume_dist / lag window
+  // trio cross-engine (the rank-family members q23 doesn't cover):
+  // customers ranked within their market segment by order count.
+  // ntile's remainder convention (first n mod k tiles get the extra
+  // row) and cume_dist's peer-group semantics are classic
+  // engine-compatibility hazards — the ordering here is made total
+  // (count desc, custkey) so cume_dist = rank/n exactly, a small-integer
+  // ratio that divides to the same IEEE double in both engines. Scale
+  // note: the window partitions by SEGMENT (5 groups) — fine for the
+  // compatibility gate it is; the scalable quantile path is q40's
+  // arithmetic rank bucketing over globalRank.
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("n").desc, col("c_custkey"))
+    per.select(col("seg"), col("c_custkey"), col("n"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cume"),
+        lag(col("n"), 1).over(w).as("prev_n"))
+      .orderBy(col("seg"), col("c_custkey"))
+  }
+
+  private val q60Sql =
+    """WITH per AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+      |SELECT c_mktsegment AS seg, c_custkey, n,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  cume_dist() OVER w AS cume,
+      |  lag(n, 1) OVER w AS prev_n
+      |FROM per JOIN customer ON o_custkey = c_custkey
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY n DESC, c_custkey)
+      |ORDER BY seg, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_ntile_cume" -> (q60 _),
     "q49_null_semantics" -> (q49 _),
     "q45_local_volume" -> (q45 _),
     "q46_returned_revenue" -> (q46 _),
@@ -1493,6 +1532,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_ntile_cume" -> q60Sql,
     "q49_null_semantics" -> q49Sql,
     "q45_local_volume" -> q45Sql,
     "q46_returned_revenue" -> q46Sql,

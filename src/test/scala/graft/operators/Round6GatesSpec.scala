@@ -84,6 +84,34 @@ class Round6GatesSpec extends SparkSpec {
     assert(seas.length <= 7)
   }
 
+  test("d21 banding nests: candidates and recall grow with band count, recall@8 is total") {
+    val rows = DedupQueries.queries("d21_lsh_tuning")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(_.getAs[Long]("bands")).toSeq === Seq(2L, 4L, 8L))
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      "finer banding must not shrink the candidate set")
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    // truth is measured within the (8,1) universe, so recall there is exact
+    assert(recalls.last === 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_true"))
+    }
+  }
+
+  test("q60 ntile balances within 1 and cume_dist ends each segment at 1.0") {
+    val rows = RelationalQueries.queries("q60_ntile_cume")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (seg, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("quartile")).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"$seg: unbalanced ntile $sizes")
+      assert(math.abs(rs.map(_.getAs[Double]("cume")).max - 1.0) < 1e-12)
+      assert(rs.forall(r => r.getAs[Double]("cume") > 0.0))
+    }
+  }
+
   test("t35 concordance targets the global argmax token and counts its uses") {
     import graft.functions.TextFunctions
     val counts = graft.Tables.documents(spark, dir)
