@@ -376,7 +376,79 @@ object MultimodalQueries {
       |    AS n_scenes
       |FROM agg ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m8_pack_interleave — MULTIMODAL SEQUENCE PACKING: the step that
+  // turns a curated corpus into fixed-budget interleaved training rows.
+  // Each document contributes its text tokens plus a media-token cost
+  // derived from its (stubbed) media metadata — image patches
+  // (w·h div 4096), audio frames (rate div 1600), video patches at 2×
+  // image density — and documents pack in doc_id order into 2048-token
+  // bins by prefix-sum binning (x31's distributive rule: bin =
+  // tokens-before div capacity — no sequential packer, computes over
+  // millions of docs). Output is bin-cardinality: per-bin doc/modality
+  // mix and token budgets, the numbers a dataloader shards by.
+  def m8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("n_chars") % 3 === 0, "image")
+          .when(col("n_chars") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        (col("n_chars") % 640 + 16).cast("long").as("w"),
+        (col("n_chars") % 480 + 16).cast("long").as("h"),
+        when(col("n_chars") % 2 === 0, 16000L).otherwise(44100L).as("rate"),
+        when(col("text").isNull, 0L)
+          .otherwise(size(TextFunctions.tokens(col("text"))).cast("long"))
+          .as("text_toks"))
+      .withColumn("media_toks", expr(
+        """CASE kind WHEN 'image' THEN (w * h) div 4096
+          |WHEN 'audio' THEN rate div 1600
+          |ELSE (w * h) div 2048 END""".stripMargin))
+      .withColumn("tot", col("text_toks") + col("media_toks"))
+    RelationalQueries.globalPrefixSum(d, Seq(col("doc_id")), col("tot"), "cum")
+      .withColumn("bin", expr("(cum - tot) div 2048"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_toks")).as("text_tokens"),
+        sum(col("media_toks")).as("media_tokens"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("kind") === "video", 1L).otherwise(0L)).as("n_video"))
+      .orderBy(col("bin"))
+  }
+
+  private val m8Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |         WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(n_chars % 640 + 16 AS BIGINT) AS w,
+      |    CAST(n_chars % 480 + 16 AS BIGINT) AS h,
+      |    CASE WHEN n_chars % 2 = 0 THEN 16000 ELSE 44100 END AS rate,
+      |    CASE WHEN text IS NULL THEN 0
+      |         ELSE len(string_split(text, ' ')) END AS text_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, kind, text_toks,
+      |    CASE kind WHEN 'image' THEN (w * h) // 4096
+      |              WHEN 'audio' THEN rate // 1600
+      |              ELSE (w * h) // 2048 END AS media_toks
+      |  FROM d),
+      |p AS (
+      |  SELECT kind, text_toks, media_toks,
+      |    SUM(text_toks + media_toks) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - (text_toks + media_toks) AS before
+      |  FROM c)
+      |SELECT CAST(before // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(text_toks) AS BIGINT) AS text_tokens,
+      |  CAST(SUM(media_toks) AS BIGINT) AS media_tokens,
+      |  CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+      |  CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      |  CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_pack_interleave" -> (m8 _),
     "m7_scene_cuts" -> (m7 _),
     "m6_phash_neardup" -> (m6 _),
     "m5_audio_segments" -> (m5 _),
@@ -386,6 +458,7 @@ object MultimodalQueries {
     "m3_media_resize" -> (m3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "m8_pack_interleave" -> m8Sql,
     "m7_scene_cuts" -> m7Sql,
     "m6_phash_neardup" -> m6Sql,
     "m5_audio_segments" -> m5Sql,

