@@ -498,6 +498,210 @@ object TpchQueries {
       |FROM num CROSS JOIN den ORDER BY lag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q61_custdist — TPC-H Q13: the count-of-counts histogram (how many
+  // customers placed exactly k non-urgent orders), INCLUDING the
+  // zero-order customers — which forces the LEFT join with the order
+  // filter inside the join (a WHERE would silently turn it inner and
+  // drop the zero bucket, the classic Q13 bug). Two aggregates, both
+  // map-side combined; the first is customer-cardinality, the second
+  // k-cardinality.
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q61Sql =
+    """WITH per AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q62_top_supplier — TPC-H Q15: the supplier(s) with the maximum
+  // quarterly revenue. The scalar-max subquery becomes an EQUI-join on
+  // the revenue value itself (rev ⋈ max-rev) — no nested-loop, no
+  // second scan of lineitem, tie rows surface naturally. Revenue
+  // compares as the exact e4 integer (a double max would make "equal
+  // to the max" ill-defined).
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(D184)).as("r"))
+      .select(col("l_suppkey"), expr("cast(r * 10000 AS BIGINT)").as("rev_e4"))
+    val mx = rev.agg(max(col("rev_e4")).as("mx"))
+    rev.join(broadcast(mx), col("rev_e4") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q62Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, rev_e4
+      |FROM rev JOIN (SELECT MAX(rev_e4) AS mx FROM rev) m ON rev_e4 = mx
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q63_volume_shipping — TPC-H Q7: bilateral trade volume between two
+  // nations by year — supplier nation on the lineitem side, customer
+  // nation through orders, keeping both directions as separate rows.
+  // Both nation attachments are broadcast dims; the (supp_nation,
+  // cust_nation) pair filter prunes at the joins, not after; revenue
+  // is the exact e4 integer.
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey").isin(3, 7))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(3, 7))
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184).as("rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(rev) * 10000 AS BIGINT)").as("rev_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q63Sql =
+    """SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE s_nationkey IN (3, 7) AND c_nationkey IN (3, 7)
+      |  AND s_nationkey <> c_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q64_product_profit — TPC-H Q9 shape: profit per supplier nation per
+  // year for one product family, with part retail price standing in
+  // for the missing supplycost dim. The measure stays a SINGLE integer
+  // unit end to end (cent·percent: revenue = cents·(100−disc_pct),
+  // cost = 80·qty·retail_cents) so the subtraction is exact — mixed
+  // units under a decimal sum is the classic Q9 drift bug. Part and
+  // supplier dims broadcast; one grouped aggregate.
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("dpct"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("amount_cp", expr(
+        "cast(cents AS DECIMAL(38,0)) * (100 - dpct) - 80 * qty * retail_cents"))
+      .groupBy(col("nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(amount_cp) AS BIGINT)").as("profit_cp"))
+      .orderBy(col("nation"), col("l_year"))
+  }
+
+  private val q64Sql =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |    - 80 * CAST(l_quantity AS BIGINT)
+      |      * CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS profit_cp
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_type = 'STANDARD'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q65_promo_suppliers — TPC-H Q20 shape: suppliers whose 1997 PROMO
+  // shipments exceed 1.2× the per-supplier average volume — the nested
+  // IN-subquery-with-scalar-threshold pattern, with a SCALE-FREE
+  // threshold (a fixed global-share cut like "2% of total" empties as
+  // the supplier population grows; comparing to the population average
+  // selects the same tail at any scale). The per-supplier aggregate
+  // joins the 1-row (total, n) scalar (cross-multiplied compare:
+  // qty·n·5 > total·6 — no division), and the survivor set attaches
+  // the supplier dim broadcast-side.
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val promoLines = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+    val per = promoLines.groupBy(col("l_suppkey"))
+      .agg(sum(col("qty")).as("supp_qty"))
+    val tot = per.agg(sum(col("supp_qty")).as("total_qty"),
+      count(lit(1)).as("n_supp"))
+    per.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .filter(col("supp_qty") * col("n_supp") * 5 > col("total_qty") * 6)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("supp_qty"),
+        col("total_qty"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q65Sql =
+    """WITH pl AS (
+      |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997),
+      |per AS (SELECT l_suppkey, CAST(SUM(qty) AS BIGINT) AS supp_qty
+      |        FROM pl GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(supp_qty) AS BIGINT) AS total_qty,
+      |        COUNT(*) AS n_supp FROM per)
+      |SELECT s_suppkey, s_name, supp_qty, total_qty
+      |FROM per CROSS JOIN tot
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE supp_qty * n_supp * 5 > total_qty * 6
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x41_stl — STL-style decomposition of the daily-revenue series into
   // trend + weekly seasonal + residual, entirely in integers: trend is
   // the centered 7-day moving average (full windows only — edges stay
@@ -554,6 +758,11 @@ object TpchQueries {
       |FROM t2 JOIN s USING (dow) ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_custdist" -> (q61 _),
+    "q62_top_supplier" -> (q62 _),
+    "q63_volume_shipping" -> (q63 _),
+    "q64_product_profit" -> (q64 _),
+    "q65_promo_suppliers" -> (q65 _),
     "x41_stl" -> (x41 _),
     "q50_shipping_priority" -> (q50 _),
     "q51_late_priority" -> (q51 _),
@@ -568,6 +777,11 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q61_custdist" -> q61Sql,
+    "q62_top_supplier" -> q62Sql,
+    "q63_volume_shipping" -> q63Sql,
+    "q64_product_profit" -> q64Sql,
+    "q65_promo_suppliers" -> q65Sql,
     "x41_stl" -> x41Sql,
     "q50_shipping_priority" -> q50Sql,
     "q51_late_priority" -> q51Sql,

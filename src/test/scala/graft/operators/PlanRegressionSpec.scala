@@ -66,6 +66,7 @@ class PlanRegressionSpec extends SparkSpec {
     "q59_idle_rich" -> 1,     // 1-row positive-balance average aggregate
     "sk6_bloom_fpr" -> 2,     // 1-row member-count + bit-count aggregates
     "d21_lsh_tuning" -> 3,    // 1-row truth-count ride-along, ×3 configs
+    "q65_promo_suppliers" -> 1, // 1-row global-volume aggregate
     "t35_concordance" -> 1,   // 1-row argmax target-token ride-along
     "x40_acf" -> 12)          // 1-row (S, n) totals + 1-row den frames,
                               // re-expanded per lag branch pre-execution
