@@ -17,7 +17,8 @@ object SparkEntry {
       graft.operators.CrossQueries.queries ++
       graft.operators.SketchQueries.queries ++
       graft.operators.AnalyticsQueries.queries ++
-      graft.operators.TpchQueries.queries
+      graft.operators.TpchQueries.queries ++
+      graft.operators.StatQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.operators.CrossQueries.oracleSql ++
       graft.operators.SketchQueries.oracleSql ++
       graft.operators.AnalyticsQueries.oracleSql ++
-      graft.operators.TpchQueries.oracleSql
+      graft.operators.TpchQueries.oracleSql ++
+      graft.operators.StatQueries.oracleSql
 }

@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Nonparametric / robust statistics over the warehouse tables — the
+  * measurement layer a data-quality platform runs NEXT TO the pipelines
+  * the reference implements (its validation library,
+  * /root/reference/src/price_zone/validate.py, checks per-ROW facts;
+  * these check per-DISTRIBUTION facts: monotone trend, rank
+  * association, two-sample shift, survival). House conventions
+  * throughout: money as integer cents, ratios as exact integer ppm
+  * with truncating division (Scala `/` and DuckDB `//` both truncate
+  * toward zero — measured, x38's lesson), no floats anywhere near a
+  * gate output.
+  *
+  * Scale shapes: every operator first collapses the fact table to a
+  * BOUNDED-cardinality frame (per-day, per-distinct-value, per-user →
+  * per-lifetime-day) with a map-side-combined aggregate; the O(k²)
+  * pair enumerations and sequential recurrences then run over that
+  * bounded frame (x36's argument: the volume was absorbed by the
+  * aggregate, so a typed fold over ~thousands of rows is the honest
+  * plan at ANY corpus scale, not a compromise). The one exception is
+  * x44, whose rank machinery is fully distributed (globalPrefixSum
+  * over value-distinct partials) because value cardinality grows with
+  * the data.
+  */
+object StatQueries {
+
+  /** Daily revenue series as (epoch_day, cents) — the shared input of
+    * x42/x43. Integer epoch-day key (x20's lesson: no per-row string
+    * formatting in the group key). */
+  private def dailyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long").as("eday"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+
+  // ---------------------------------------------------------------------
+  // x42_theil_sen — the Theil–Sen robust trend estimator over the daily
+  // revenue series: the MEDIAN of all pairwise slopes, immune to the
+  // outlier days that drag an OLS fit (q47) around. Slopes are exact
+  // integer milli-cents/day ((Δcents·1000) div Δdays — the ×1000 bound:
+  // |Δcents| must stay under ~9.2e15, i.e. daily revenue under ~92
+  // trillion cents, comfortably past a 100 TB warehouse's daily
+  // volume); the median is the exact lower/upper pair over the sorted
+  // slope multiset (value-at-position is deterministic under ties).
+  // Pair enumeration is O(days²) over the bounded day-cardinality
+  // series — a typed fold, not a self-join, so no quadratic shuffle
+  // exists in the plan at any scale.
+  def x42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val folded = dailyOrders(spark, dir)
+      .select(col("eday"), col("cents")).as[(Long, Long)]
+      .groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val pts = it.toArray.sortBy(_._1)
+        val n = pts.length
+        if (n < 2) Iterator.single((n.toLong, 0L, Option.empty[Long], Option.empty[Long]))
+        else {
+          val slopes = new scala.collection.mutable.ArrayBuffer[Long](n * (n - 1) / 2)
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              slopes += (pts(j)._2 - pts(i)._2) * 1000L / (pts(j)._1 - pts(i)._1)
+              j += 1
+            }
+            i += 1
+          }
+          val s = slopes.toArray.sorted
+          val m = s.length
+          Iterator.single((n.toLong, m.toLong,
+            Some(s((m + 1) / 2 - 1)), Some(s(m / 2))))
+        }
+      }.toDF("n_days", "n_pairs", "slope_lo_milli", "slope_hi_milli")
+    // Empty-input shape parity (x38's lesson): the oracle's ungrouped
+    // aggregate emits one row with COUNTs 0 and NULL value-picks.
+    val nullRow = spark.range(1).select(
+      lit(0L).as("n_days"), lit(0L).as("n_pairs"),
+      lit(null).cast("long").as("slope_lo_milli"),
+      lit(null).cast("long").as("slope_hi_milli"))
+    folded.unionByName(nullRow.join(folded, lit(true), "left_anti"))
+  }
+
+  private val x42Sql =
+    """WITH d AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS eday,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT (b.cents - a.cents) * 1000 // (b.eday - a.eday) AS slope
+      |  FROM d a JOIN d b ON b.eday > a.eday),
+      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM p),
+      |m AS (SELECT COUNT(*) AS np FROM p)
+      |SELECT (SELECT COUNT(*) FROM d) AS n_days,
+      |  CAST(COALESCE(MAX(np), 0) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS BIGINT)
+      |    AS slope_lo_milli,
+      |  CAST(MIN(CASE WHEN rn = np // 2 + 1 THEN slope END) AS BIGINT)
+      |    AS slope_hi_milli
+      |FROM r CROSS JOIN m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x43_kendall_tau — Kendall rank correlation between daily revenue and
+  // daily order COUNT (does more orders actually mean more money, in
+  // rank terms?): concordant/discordant/tied pair tallies over the day
+  // series, and tau-a in exact ppm ((nc−nd)·1e6 div pairs; tau-b needs
+  // a square root, which has no exact integer form — the tallies let a
+  // caller compute it at whatever precision they choose). Same bounded
+  // typed-fold shape as x42; |nc−nd| ≤ pairs ≈ days²/2, so the ×1e6
+  // never nears the Long edge.
+  def x43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val folded = dailyOrders(spark, dir)
+      .select(col("eday"), col("cents"), col("n_orders"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val pts = it.toArray.sortBy(_._1)
+        val n = pts.length
+        var nc, nd, tx, ty, txy = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = java.lang.Long.compare(pts(i)._2, pts(j)._2)
+            val dy = java.lang.Long.compare(pts(i)._3, pts(j)._3)
+            if (dx == 0 && dy == 0) txy += 1
+            else if (dx == 0) tx += 1
+            else if (dy == 0) ty += 1
+            else if (dx == dy) nc += 1
+            else nd += 1
+            j += 1
+          }
+          i += 1
+        }
+        val pairs = n.toLong * (n - 1) / 2
+        if (n < 2) Iterator.single((n.toLong, 0L, 0L, 0L, 0L, 0L, 0L, Option.empty[Long]))
+        else Iterator.single((n.toLong, pairs, nc, nd, tx, ty, txy,
+          Some((nc - nd) * 1000000L / pairs)))
+      }.toDF("n_days", "n_pairs", "concordant", "discordant",
+        "ties_rev", "ties_cnt", "ties_both", "tau_a_ppm")
+    val nullRow = spark.range(1).select(
+      lit(0L).as("n_days"), lit(0L).as("n_pairs"),
+      lit(0L).as("concordant"), lit(0L).as("discordant"),
+      lit(0L).as("ties_rev"), lit(0L).as("ties_cnt"), lit(0L).as("ties_both"),
+      lit(null).cast("long").as("tau_a_ppm"))
+    folded.unionByName(nullRow.join(folded, lit(true), "left_anti"))
+  }
+
+  private val x43Sql =
+    """WITH d AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS eday,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    CASE WHEN (a.cents - b.cents) * (a.n_orders - b.n_orders) > 0
+      |      THEN 1 ELSE 0 END AS c,
+      |    CASE WHEN (a.cents - b.cents) * (a.n_orders - b.n_orders) < 0
+      |      THEN 1 ELSE 0 END AS dd,
+      |    CASE WHEN a.cents = b.cents AND a.n_orders <> b.n_orders
+      |      THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.cents <> b.cents AND a.n_orders = b.n_orders
+      |      THEN 1 ELSE 0 END AS ty,
+      |    CASE WHEN a.cents = b.cents AND a.n_orders = b.n_orders
+      |      THEN 1 ELSE 0 END AS txy
+      |  FROM d a JOIN d b ON b.eday > a.eday)
+      |SELECT (SELECT COUNT(*) FROM d) AS n_days,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS concordant,
+      |  CAST(COALESCE(SUM(dd), 0) AS BIGINT) AS discordant,
+      |  CAST(COALESCE(SUM(tx), 0) AS BIGINT) AS ties_rev,
+      |  CAST(COALESCE(SUM(ty), 0) AS BIGINT) AS ties_cnt,
+      |  CAST(COALESCE(SUM(txy), 0) AS BIGINT) AS ties_both,
+      |  CAST(CASE WHEN COUNT(*) > 0
+      |    THEN (SUM(c) - SUM(dd)) * 1000000 // COUNT(*) END AS BIGINT)
+      |    AS tau_a_ppm
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x44_mann_whitney — the Mann–Whitney U rank-sum statistic comparing
+  // order VALUE between urgent-priority and normal-priority orders (the
+  // exact nonparametric "did the distribution shift?" test v19's DQ
+  // suite would call). Everything rides DOUBLED midranks so ties stay
+  // integer: ranks for a value occupying sorted positions [c+1, c+cnt]
+  // have doubled midrank 2c+cnt+1, so the doubled rank sum for the
+  // urgent group is Σ n1(v)·(2·cum(v) − cnt(v) + 1) over DISTINCT
+  // values — one grouped aggregate to value cardinality, one
+  // distributed prefix sum over the value-ordered partials
+  // (globalPrefixSum — no single-partition window; value cardinality
+  // GROWS with data), one 1-row reduce. U follows arithmetically:
+  // U1·2 = R1·2 − n1(n1+1), U2·2 = 2n1n2 − U1·2. Long bound: n ≲ 3e9
+  // rows before n1·n2 nears 2^63 — beyond that the output columns (not
+  // the per-partition partials) would need DECIMAL(38,0) carriage.
+  def x44(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L).as("hi"))
+    val g = v.groupBy(col("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(col("hi")).as("n1c"))
+    val cum = RelationalQueries.globalPrefixSum(
+      g, Seq(col("cents")), col("cnt"), "cum")
+    cum.agg(
+        sum(col("n1c")).as("n_high"),
+        sum(col("cnt") - col("n1c")).as("n_low"),
+        sum(col("n1c") * (col("cum") * 2 - col("cnt") + 1)).as("r1_x2"))
+      .select(col("n_high"), col("n_low"), col("r1_x2"),
+        (col("r1_x2") - col("n_high") * (col("n_high") + 1)).as("u1_x2"),
+        (col("n_high") * col("n_low") * 2 -
+          (col("r1_x2") - col("n_high") * (col("n_high") + 1))).as("u2_x2"))
+  }
+
+  private val x44Sql =
+    """WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS hi
+      |  FROM orders),
+      |g AS (SELECT cents, COUNT(*) AS cnt, CAST(SUM(hi) AS BIGINT) AS n1c
+      |      FROM v GROUP BY 1),
+      |c AS (SELECT cnt, n1c,
+      |    CAST(SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM g),
+      |a AS (SELECT CAST(SUM(n1c) AS BIGINT) AS n_high,
+      |    CAST(SUM(cnt - n1c) AS BIGINT) AS n_low,
+      |    CAST(SUM(n1c * (cum * 2 - cnt + 1)) AS BIGINT) AS r1_x2
+      |  FROM c)
+      |SELECT n_high, n_low, r1_x2,
+      |  r1_x2 - n_high * (n_high + 1) AS u1_x2,
+      |  n_high * n_low * 2 - (r1_x2 - n_high * (n_high + 1)) AS u2_x2
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x45_kaplan_meier — the Kaplan–Meier survival curve over SESSION
+  // durations in the event stream (house 30-min-gap sessionization, the
+  // st2 convention): sessions whose last event touches the final 30
+  // minutes of the observation window may still be OPEN, so they're
+  // CENSORED at their observed length — dropping them, the naive
+  // mistake, biases the curve toward short sessions. S(t) multiplies
+  // (n_at_risk − d)/n_at_risk at each completion time — an inherently
+  // sequential product, carried in ppm with per-step truncating
+  // division applied IDENTICALLY in both engines (the recursive-CTE
+  // oracle mirrors the fold step for step, so the ≤1-ppm-per-step
+  // truncation is bit-reproduced, not approximated). Scale shape:
+  // sessionization is a per-user window (user-partitioned, fully
+  // distributed), sessions collapse to duration-MINUTE cardinality
+  // (bounded by the observation window) with one map-side-combined
+  // aggregate, and the recursion folds over that bounded frame. Long
+  // bound: S·n_at_risk ≤ 1e6·sessions — safe to ~9e12 sessions.
+  def x45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L // 30 min, the house sessionization gap
+    val usMin = 60000000L
+    val tsu = graft.streaming.Streaming.tsMicros(col("ts"))
+    val ev = Tables.events(spark, dir).select(col("user_id"), tsu.as("tsu"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+    val sess = ev
+      .withColumn("new_s",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tsu")).as("first_us"), max(col("tsu")).as("last_us"))
+    val end = ev.agg(max(col("tsu")).as("end_us"))
+    sess.crossJoin(broadcast(end)) // 1-row observation-edge ride-along
+      .select(
+        expr(s"(last_us - first_us) div $usMin").as("t"),
+        when(col("last_us") < col("end_us") - lit(gapUs), 1L)
+          .otherwise(0L).as("ch"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ch")).as("d"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        var atRisk = rows.iterator.map(_._2).sum
+        var s = 1000000L
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        rows.foreach { case (t, cnt, d) =>
+          if (d > 0) {
+            s = s * (atRisk - d) / atRisk
+            out += ((t, atRisk, d, s))
+          }
+          atRisk -= cnt
+        }
+        out.iterator
+      }.toDF("t_days", "n_risk", "d_churn", "surv_ppm")
+      .orderBy(col("t_days"))
+  }
+
+  private val x45Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+      |      > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM ev),
+      |s2 AS (
+      |  SELECT user_id, tsu,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s),
+      |per AS (
+      |  SELECT user_id, sid, min(tsu) AS f, max(tsu) AS l
+      |  FROM s2 GROUP BY 1, 2),
+      |e AS (SELECT max(tsu) AS endus FROM ev),
+      |life AS (
+      |  SELECT (l - f) // 60000000 AS t,
+      |    CASE WHEN l < endus - 1800000000 THEN 1 ELSE 0 END AS ch
+      |  FROM per CROSS JOIN e),
+      |g AS (SELECT t, COUNT(*) AS cnt, CAST(SUM(ch) AS BIGINT) AS d
+      |      FROM life GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+      |o AS (SELECT t, cnt, d, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+      |    CAST(n - COALESCE(SUM(cnt) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS atrisk
+      |  FROM g CROSS JOIN tot),
+      |r(rn, t, d, atrisk, s) AS (
+      |  SELECT rn, t, d, atrisk,
+      |    CASE WHEN d > 0 THEN 1000000 * (atrisk - d) // atrisk
+      |      ELSE 1000000 END
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.t, o.d, o.atrisk,
+      |    CASE WHEN o.d > 0 THEN r.s * (o.atrisk - o.d) // o.atrisk
+      |      ELSE r.s END
+      |  FROM r JOIN o ON o.rn = r.rn + 1)
+      |SELECT t AS t_days, atrisk AS n_risk, d AS d_churn,
+      |  CAST(s AS BIGINT) AS surv_ppm
+      |FROM r WHERE d > 0 ORDER BY t""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x42_theil_sen" -> (x42 _),
+    "x43_kendall_tau" -> (x43 _),
+    "x44_mann_whitney" -> (x44 _),
+    "x45_kaplan_meier" -> (x45 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x42_theil_sen" -> x42Sql,
+    "x43_kendall_tau" -> x43Sql,
+    "x44_mann_whitney" -> x44Sql,
+    "x45_kaplan_meier" -> x45Sql)
+}

@@ -757,7 +757,171 @@ object TpchQueries {
       |  CAST(cents - trend - seasonal AS BIGINT) AS resid
       |FROM t2 JOIN s USING (dow) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66_mincost_supplier — TPC-H Q2: for each part in a size class, the
+  // cheapest supplier(s) within one region. The reference schema has no
+  // partsupp, so unit cost derives from trade history: per (part,
+  // supplier) pair, cost_milli = total cents shipped ×1000 div total
+  // units (exact integer millicents/unit; both engines' integer
+  // division truncates — positive operands here). The correlated
+  // scalar-min subquery decorrelates the q62 way: min-per-part is an
+  // aggregate joined back on the EXACT cost value, so ties surface
+  // naturally and the fact side is scanned once. Scale shape: lineitem
+  // collapses to (part,supplier)-cardinality partials before any join;
+  // the region-filtered supplier dim broadcasts; final top-20 is
+  // TakeOrderedAndProject.
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        floor(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_size") % 10 === 5)
+      .select(col("p_partkey"), col("p_name"))
+    val cost = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("tc"), sum(col("qty")).as("tq"))
+      .withColumn("cost_milli", expr("tc * 1000 div tq"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("cost_milli"),
+        col("s_name"), col("n_name"), col("acctbal_cents"), col("p_name"))
+    val minCost = cost.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_milli")).as("mc"))
+    cost.join(minCost, col("l_partkey") === col("mk") &&
+        col("cost_milli") === col("mc"))
+      .orderBy(col("acctbal_cents").desc, col("s_name"), col("l_partkey"))
+      .limit(20)
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("l_partkey").as("partkey"), col("p_name"), col("cost_milli"))
+  }
+
+  private val q66Sql =
+    """WITH supp AS (
+      |  SELECT s_suppkey, s_name, n_name,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      * 1000 // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |      AS BIGINT) AS cost_milli
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT l_partkey, cost_milli, s_name, n_name, acctbal_cents, p_name
+      |  FROM cost
+      |  JOIN supp ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey AND p_size % 10 = 5),
+      |mc AS (SELECT l_partkey AS mk, MIN(cost_milli) AS m FROM j GROUP BY 1)
+      |SELECT acctbal_cents, s_name, n_name, l_partkey AS partkey, p_name,
+      |  cost_milli
+      |FROM j JOIN mc ON l_partkey = mk AND cost_milli = m
+      |ORDER BY acctbal_cents DESC, s_name, l_partkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q67_important_parts — TPC-H Q11: parts whose traded value through
+  // one region's suppliers exceeds a GLOBAL-share threshold (value ×
+  // 2000 > regional total, i.e. >0.05% — share thresholds stay
+  // scale-free where absolute cuts empty or saturate as data grows).
+  // The scalar-total subquery is a 1-row aggregate of the SAME per-part
+  // frame riding along broadcast-side, compared by cross-multiplication
+  // (no division, no floats). Lineitem pre-aggregates to part
+  // cardinality behind the broadcast supplier semi-join.
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("value_cents"))
+    val tot = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(tot)) // 1-row scalar ride-along
+      .filter(col("value_cents") * 2000 > col("total_cents"))
+      .select(col("l_partkey").as("partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("partkey"))
+  }
+
+  private val q67Sql =
+    """WITH rs AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |pp AS (
+      |  SELECT l_partkey AS partkey,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS value_cents
+      |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pp)
+      |SELECT partkey, value_cents FROM pp CROSS JOIN t
+      |WHERE value_cents * 2000 > total_cents
+      |ORDER BY value_cents DESC, partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q68_priority_shipmode — TPC-H Q12: per ship-mode tally of late
+  // lines split by order priority class, the two-way CASE pivot. The
+  // schema carries no shipmode, so the mode is a deterministic
+  // derivation both engines compute identically (l_linenumber mod 3);
+  // "late" is shipped >60 days after order date — a join-side
+  // predicate, not a post-aggregation filter, so the shuffle carries
+  // only late 1997 lines. One orderkey-equi shuffle join (both sides
+  // fact-sized), one grouped CASE aggregate, 3 rows out at any scale.
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        when(col("l_linenumber") % 3 === 0, "MAIL")
+          .when(col("l_linenumber") % 3 === 1, "SHIP")
+          .otherwise("RAIL").as("shipmode"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("shipmode"))
+  }
+
+  private val q68Sql =
+    """SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+      |    ELSE 'RAIL' END AS shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE year(l_shipdate) = 1997
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_mincost_supplier" -> (q66 _),
+    "q67_important_parts" -> (q67 _),
+    "q68_priority_shipmode" -> (q68 _),
     "q61_custdist" -> (q61 _),
     "q62_top_supplier" -> (q62 _),
     "q63_volume_shipping" -> (q63 _),
@@ -777,6 +941,9 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q66_mincost_supplier" -> q66Sql,
+    "q67_important_parts" -> q67Sql,
+    "q68_priority_shipmode" -> q68Sql,
     "q61_custdist" -> q61Sql,
     "q62_top_supplier" -> q62Sql,
     "q63_volume_shipping" -> q63Sql,

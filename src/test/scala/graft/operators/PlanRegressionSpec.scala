@@ -68,10 +68,14 @@ class PlanRegressionSpec extends SparkSpec {
     "d21_lsh_tuning" -> 3,    // 1-row truth-count ride-along, ×3 configs
     "q65_promo_suppliers" -> 1, // 1-row global-volume aggregate
     "t35_concordance" -> 1,   // 1-row argmax target-token ride-along
-    "x40_acf" -> 12)          // 1-row (S, n) totals + 1-row den frames,
+    "x40_acf" -> 12,          // 1-row (S, n) totals + 1-row den frames,
                               // re-expanded per lag branch pre-execution
                               // (the lazy localCheckpoint collapses them
                               // at run time)
+    "q67_important_parts" -> 1, // 1-row regional-total aggregate (share cut)
+    "x42_theil_sen" -> 1,     // 1-row empty-input guard anti-join
+    "x43_kendall_tau" -> 1,   // 1-row empty-input guard anti-join
+    "x45_kaplan_meier" -> 1)  // 1-row observation-edge aggregate
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
