@@ -453,6 +453,36 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, flows.toDF())
   }
 
+  /** [[sessionFlows]] drained through a parquet FILE sink — the
+    * production result path at scale (VERDICT r5 item 8). The memory
+    * sink materializes the whole result on the driver heap (fine for
+    * gate-sized oracles, a non-starter for a 100 TB run); the file
+    * sink streams each task's partition straight to storage and makes
+    * results visible atomically through the `_spark_metadata` commit
+    * log, so executors never funnel rows through the driver and a
+    * crashed batch's orphan files are invisible to readers
+    * (`spark.read` on the sink directory resolves through the log —
+    * the same contract `StreamCrashRecoverySpec` proves under a
+    * mid-batch kill). `StreamFileSinkSpec` pins this path row-for-row
+    * against the memory-sink gate (st6). */
+  def sessionFlowCountsFile(spark: SparkSession, sfDir: String,
+      gapMinutes: Int, outDir: String, ckptDir: String): DataFrame = {
+    val events = watermarkedSessionEvents(spark, sfDir)
+    val flows = sessionFlows(events, gapMinutes)
+    withStreamShufflePartitions(spark) {
+      val q = flows.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
+    spark.read.parquet(outDir)
+  }
+
   /** [[sessionFlows]] re-expressed on Spark 4's `transformWithState` —
     * the arbitrary-stateful API that supersedes flatMapGroupsWithState:
     * typed state handles (`ValueState` here; List/Map state for bigger

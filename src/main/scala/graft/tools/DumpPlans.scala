@@ -44,7 +44,75 @@ object DumpPlans {
     "q59_idle_rich", "x40_acf",
     // round 6, continued
     "sk5_cms_heavy", "sk6_bloom_fpr", "x41_stl", "t35_concordance",
-    "d21_lsh_tuning", "q60_ntile_cume", "m8_pack_interleave")
+    "d21_lsh_tuning", "q60_ntile_cume", "m8_pack_interleave",
+    // round 6: every batch gate whose bench median exceeds 1s
+    // (VERDICT r5 item 6), plus the session's new gates
+    "s13_pagerank", "s16_bfs_hops", "s18_ppr", "s21_neighbor_jaccard",
+    "s23_hits", "q40_rfm", "d15_keepbest", "v18_skew_audit",
+    "q66_mincost_supplier", "q67_important_parts", "q68_priority_shipmode",
+    "x42_theil_sen", "x43_kendall_tau", "x44_mann_whitney",
+    "x45_kaplan_meier")
+
+  /** The streaming gates execute their query while the gate DataFrame
+    * is being BUILT (AvailableNow drain into the sink), so a formatted
+    * batch plan of the returned frame would show only the drained
+    * result — their reviewable shape is prose, kept here so
+    * regeneration preserves it. Every st gate >1s in bench_detail is
+    * covered (VERDICT r5 item 6). */
+  private val streamingShapes =
+    """
+      |## Streaming gates — execution shape (no batch plan exists)
+      |
+      |The plan of record for a streaming gate is its state/watermark
+      |shape — what each micro-batch shuffles and what the state store
+      |holds — because that, not a scan plan, is what survives or dies
+      |at 100 TB. All gates run AvailableNow over the parquet events
+      |dir, 8 shuffle partitions (`spark.graft.streaming.shufflePartitions`;
+      |sized to state volume, raised by conf on a real cluster), heap
+      |state store with a conf gate to RocksDB once keyed state outgrows
+      |memory.
+      |
+      |- **st4_stream_stream / st11/st12/st16 (interval joins)** — two
+      |  watermarked streams, equi-key + time-range condition; state = 4
+      |  stores/partition buffered to the watermark horizon, rows evicted
+      |  as the watermark passes `ts + interval`. Scale: state is bounded
+      |  by (arrival rate × horizon), independent of history length.
+      |- **st5/st6/st8/st9/st14 (stateful sessions, FMGWS/TWS)** — hash
+      |  shuffle on user_id; state = ONE open session per active user,
+      |  removed on event-time timeout, so state tracks concurrent
+      |  activity, not key cardinality. Emission is append-final (no
+      |  downstream dedup).
+      |- **st7_distinct_users (chained dedup → windowed distinct)** —
+      |  dedup state bounded by the watermark delay; the downstream
+      |  hour-window count keeps one row per (window, type) until the
+      |  watermark closes the window.
+      |- **st10_session_window (built-in session_window)** — native
+      |  session aggregation: state merges adjacent windows per key,
+      |  closed windows emitted and dropped at watermark passage.
+      |- **st13_lake_merge** — foreachBatch upsert into a parquet lake:
+      |  per batch one broadcast-able key set, target files rewritten
+      |  only where keys collide (partition-pruned merge, not a full
+      |  rewrite).
+      |- **st17_window_chain** — windowed pre-agg feeding a second
+      |  aggregation: the first layer's state closes at watermark, the
+      |  second sees one row per closed window — state is window-count
+      |  bounded at both layers.
+      |- **st18_stream_wau / st19_stream_locf** — transformWithState
+      |  per-user timelines: value-state carries last-seen only (WAU) or
+      |  last-observation (LOCF); emission per event is O(1), state is
+      |  active-user bounded. st19 measured linear (~14 us/event) in the
+      |  100x probe.
+      |- **st21_topk (Complete leaderboard)** — complete-mode top-k over
+      |  a grouped count: state is the running per-key aggregate (key
+      |  cardinality bounded — event_type domain), sink rewritten per
+      |  batch with k rows.
+      |
+      |File-sink parity: `StreamFileSinkSpec` proves st6 row-identical
+      |through the parquet file sink + `_spark_metadata` commit log —
+      |the production path that never materializes results on the
+      |driver; `StreamCrashRecoverySpec` proves exactly-once across a
+      |mid-batch crash on the same sink.
+      |""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -70,6 +138,7 @@ object DumpPlans {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
+    sb.append(streamingShapes)
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

@@ -154,4 +154,58 @@ class PlanRegressionSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** VERDICT r5 item 5: an unpartitioned window funnels its whole input
+    * through ONE task — the classic silent scale-killer
+    * (`row_number().over(Window.orderBy(...))` on a fact table). The
+    * library's sanctioned escape is [[RelationalQueries.globalRank]] /
+    * [[RelationalQueries.globalPrefixSum]], whose only unpartitioned
+    * window runs over the per-partition OFFSET table — one row per
+    * shuffle partition, O(32) here, O(#partitions) on any cluster —
+    * ordered by the synthetic `_pid` column. That ordering attribute is
+    * the structural fingerprint: assert every unpartitioned window in
+    * every gate plan (including subqueries, where they are still
+    * logical) orders by `_pid` alone, so a future gate cannot ship a
+    * data-cardinality single-reducer window. */
+  private def unpartitionedWindows(
+      p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Seq[String] = {
+    val here = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.orderSpec
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w.orderSpec
+    }.collect {
+      case os if !(os.nonEmpty && os.flatMap(_.references.toSeq)
+          .forall(_.name == "_pid")) =>
+        s"unpartitioned window ordered by [${os.mkString(", ")}]"
+    }
+    here ++ p.subqueries.collect {
+      case q: org.apache.spark.sql.catalyst.plans.QueryPlan[_] =>
+        unpartitionedWindows(q)
+    }.flatten
+  }
+
+  /** Gates allowed N unpartitioned windows over a BOUNDED (not
+    * data-cardinality) frame: each runs over the per-DAY series, whose
+    * cardinality is the observation window (~730 rows at any corpus
+    * scale) — the volume was already absorbed by a map-side-combined
+    * daily aggregate, so the single task sees days, not events. */
+  private val boundedWindowWhitelist: Map[String, Int] = Map(
+    "q35_running_distinct" -> 1, // running-distinct walk of the day series
+    "q48_rolling_ols" -> 3,      // rolling Σx/Σy/Σxy frames over days
+    "v16_anomaly_mad" -> 6,      // median + MAD rank picks over day counts
+                                 // (3 ranked branches × rank/count pair)
+    "x41_stl" -> 2)              // trend + seasonal smoothing over days
+
+  test("unpartitioned windows only ever run over the offset table") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      val ws = unpartitionedWindows(p)
+      val allowed = boundedWindowWhitelist.getOrElse(name, 0)
+      if (ws.size > allowed)
+        Some(s"$name: ${ws.size} unpartitioned data windows (allowed " +
+          s"$allowed): ${ws.mkString("; ")}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
