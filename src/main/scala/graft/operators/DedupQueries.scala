@@ -1162,7 +1162,63 @@ object DedupQueries {
        |ORDER BY bands""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d22_contamination_ratio — GRADED decontamination: where d7 flags a
+  // corpus doc on ANY shared eval 8-gram (binary), this measures HOW
+  // contaminated each doc is — the fraction of its distinct 8-grams
+  // present in the eval set (the GPT-3-appendix-style overlap metric) —
+  // then reports the per-source severity profile: docs with any
+  // overlap, docs over the 10% removal threshold, and the worst ratio.
+  // The distinction matters operationally: a 1-gram brush is a
+  // boilerplate collision you keep; a 30% overlap is a leaked benchmark
+  // you drop. Plan shape: per-doc distinct grams via array_distinct
+  // INSIDE the projection (map-side, before the explode — no
+  // (doc, gram) distinct exchange); the eval gram set is tiny by
+  // construction and BROADCASTS into a left join carrying a hit flag;
+  // everything after is one partial-agg reduce to doc then source. The
+  // corpus gram stream is never shuffled at any scale. Ratios are exact
+  // integer ppm (truncating div, both sides nonnegative).
+  def d22(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      explode(array_distinct(Dedup.shingleHashesExpr(col("text"), 8))).as("gh"))
+    val evalGrams = grams(docs.filter(col("source") === lit("src0")))
+      .select(col("gh")).distinct().withColumn("hit", lit(1L))
+    val perDoc = grams(docs.filter(col("source") =!= lit("src0")))
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("ng"), sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nh") > 0L, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(expr("nh * 1000000 div ng") >= 100000L, 1L).otherwise(0L))
+          .as("n_heavy"),
+        max(expr("nh * 1000000 div ng")).as("max_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val d22Sql =
+    """WITH g AS (
+      |  SELECT doc_id, source, md5(unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text,' ')) - 7, 0) + 1),
+      |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))) AS gh
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE source = 'src0'),
+      |per AS (
+      |  SELECT g.doc_id, g.source, COUNT(*) AS ng,
+      |    SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      |  FROM g LEFT JOIN ev ON g.gh = ev.gh
+      |  WHERE g.source <> 'src0' GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(SUM(CASE WHEN nh * 1000000 // ng >= 100000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_heavy,
+      |  CAST(MAX(nh * 1000000 // ng) AS BIGINT) AS max_ppm
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_contamination_ratio" -> (d22 _),
     "d21_lsh_tuning" -> (d21 _),
     "d20_cluster_sizes" -> (d20 _),
     "d19_rendezvous" -> (d19 _),
@@ -1186,6 +1242,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d22_contamination_ratio" -> d22Sql,
     "d21_lsh_tuning" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,
     "d19_rendezvous" -> d19Sql,

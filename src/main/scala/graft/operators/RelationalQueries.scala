@@ -1486,7 +1486,109 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY n DESC, c_custkey)
       |ORDER BY seg, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q69_topk_per_group — top-3 orders per customer via a rank-filter
+  // window, written in the shape Spark's InferWindowGroupLimit rule
+  // recognizes (`row_number() OVER (PARTITION ...) <= k` filter): the
+  // planner inserts a WindowGroupLimit node that keeps only each
+  // group's top k rows BEFORE the window sort's shuffle, so the
+  // exchange carries k rows per customer instead of every order — at
+  // 100 TB that is the difference between shuffling the fact table and
+  // shuffling a bounded per-key sample. PlanRegressionSpec pins the
+  // WindowGroupLimit node's presence so a rewrite can't silently lose
+  // the pushdown. Ordering made total (price cents desc, orderkey) so
+  // row_number is engine-deterministic.
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as("custkey"), col("rn"),
+        col("o_orderkey").as("orderkey"), col("cents"))
+      .orderBy(col("custkey"), col("rn"))
+  }
+
+  private val q69Sql =
+    """SELECT o_custkey AS custkey, rn, o_orderkey AS orderkey, cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+      |        o_orderkey) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q70_percentile_cont — EXACT interpolated percentiles (the
+  // PERCENTILE_CONT convention: value = lo + (hi−lo)·frac at zero-based
+  // position (n−1)·p/100) for p ∈ {50, 90, 99} over order totals,
+  // entirely in integer micro-cents — engines' float percentile
+  // implementations disagree in the last ulp, so the interpolation is
+  // done by hand on BIGINTs: frac has denominator 100 by construction,
+  // making lo·10^6 + (hi−lo)·frac100·10^4 exact on both sides. Scale
+  // shape: ranks come from globalRank (range partitions + offsets, no
+  // single-reducer window); the three (p, rank) targets are a 3-row
+  // broadcast probed INTO the ranked scan twice (lo + hi) — Spark's
+  // exchange reuse dedups the ranked subtree, and the exchanges carry
+  // 3 rows past the probe. The naive form — orderBy().limit(rank) per
+  // percentile — re-sorts the table per p.
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir).select(
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val ranked = globalRank(cents,
+      Seq(col("cents").asc, col("o_orderkey").asc), "rn")
+      .select(col("rn"), col("cents"))
+    val n = cents.agg(count(lit(1)).as("n"))
+    val ps = spark.range(1)
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .crossJoin(broadcast(n)) // 1-row total ride-along
+      .select(col("p"),
+        (expr("(n - 1) * p div 100") + lit(1L)).as("lo_rank"),
+        (expr("(n - 1) * p div 100") +
+          when(expr("(n - 1) * p % 100") > 0, 2L).otherwise(1L)).as("hi_rank"),
+        expr("(n - 1) * p % 100").as("frac100"))
+    val lo = ranked.join(broadcast(ps), col("rn") === col("lo_rank"))
+      .select(col("p"), col("frac100"), col("hi_rank"),
+        col("cents").as("lo_cents"))
+    ranked.select(col("rn").as("hrn"), col("cents").as("hi_cents"))
+      .join(broadcast(lo), col("hrn") === col("hi_rank"))
+      .select(col("p"),
+        (col("lo_cents") * 1000000L +
+          (col("hi_cents") - col("lo_cents")) * col("frac100") * 10000L)
+          .as("value_micro_cents"))
+      .orderBy(col("p"))
+  }
+
+  private val q70Sql =
+    """WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders),
+      |r AS (SELECT cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn FROM v),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |p AS (SELECT unnest([50, 90, 99]) AS p),
+      |s AS (SELECT p.p,
+      |    (n.n - 1) * p.p // 100 + 1 AS lo_rank,
+      |    (n.n - 1) * p.p // 100 +
+      |      CASE WHEN (n.n - 1) * p.p % 100 > 0 THEN 2 ELSE 1 END AS hi_rank,
+      |    (n.n - 1) * p.p % 100 AS frac100
+      |  FROM p CROSS JOIN n)
+      |SELECT CAST(s.p AS BIGINT) AS p,
+      |  CAST(lo.cents * 1000000 + (hi.cents - lo.cents) * s.frac100 * 10000
+      |    AS BIGINT) AS value_micro_cents
+      |FROM s JOIN r lo ON lo.rn = s.lo_rank JOIN r hi ON hi.rn = s.hi_rank
+      |ORDER BY p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_percentile_cont" -> (q70 _),
+    "q69_topk_per_group" -> (q69 _),
     "q60_ntile_cume" -> (q60 _),
     "q49_null_semantics" -> (q49 _),
     "q45_local_volume" -> (q45 _),
@@ -1532,6 +1634,8 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q70_percentile_cont" -> q70Sql,
+    "q69_topk_per_group" -> q69Sql,
     "q60_ntile_cume" -> q60Sql,
     "q49_null_semantics" -> q49Sql,
     "q45_local_volume" -> q45Sql,

@@ -1493,7 +1493,82 @@ object SimilarityQueries {
        |dg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1)
        |SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s25_negative_pairs — contrastive negative sampling (the mining step
+  // of embedding training: every anchor needs k deterministic
+  // pseudo-random negatives, reproducible across reruns and engines).
+  // Scale shape — the trap is "pick k random docs per anchor", which
+  // naively is an anchors × corpus shuffle. Instead: (1) hash every doc
+  // into 64 ring buckets; (2) keep a BOUNDED candidate pool — the 8
+  // lowest-mix docs per bucket, a per-bucket window rank, ≤512 rows at
+  // ANY corpus size; (3) broadcast the pool and fan each anchor out to
+  // its 2 neighbor buckets map-side; (4) per (anchor, slot), keep the
+  // candidate with the max anchor⊗candidate mix — so negatives vary
+  // per anchor (not one shared rep per bucket) while the join stays
+  // broadcast-shaped. Mix arithmetic pre-mods both ids (% 2^26, the
+  // d19/t32 overflow lesson: products stay < 2^63 where Spark wraps
+  // silently but DuckDB raises). Self-pairing is impossible by
+  // construction: an anchor's own bucket is never among its +1/+2
+  // neighbors.
+  def s25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = "(((doc_id % 67108864) * 2654435761L) % 4294967296L) % 64"
+    val poolMix = "((((doc_id % 67108864) * 31 + 1) * 2654435761L) % 4294967296L)"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pool = docs
+      .withColumn("bucket", expr(bucket))
+      .withColumn("pm", expr(poolMix))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("pm"), col("doc_id"))))
+      .filter(col("rn") <= 8)
+      .select(col("bucket"), col("doc_id").as("neg_id"),
+        (col("doc_id") % 67108864).as("nk"))
+    val anchors = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("anchor_id"), expr(s"$bucket").as("ab"))
+      .select(col("anchor_id"), explode(sequence(lit(1L), lit(2L))).as("slot"),
+        col("ab"))
+      .withColumn("cand_bucket", (col("ab") + col("slot")) % 64)
+    anchors
+      .join(broadcast(pool), col("cand_bucket") === col("bucket"))
+      .withColumn("score",
+        expr("(((anchor_id % 67108864) * 31 + nk) * 2654435761L) % 4294967296L"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("anchor_id"), col("slot"))
+          .orderBy(col("score").desc, col("neg_id"))))
+      .filter(col("pick") === 1)
+      .select(col("anchor_id"), col("slot"), col("neg_id"), col("score"))
+      .orderBy(col("anchor_id"), col("slot"))
+  }
+
+  private val s25Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    (((doc_id % 67108864) * 2654435761) % 4294967296) % 64 AS bucket,
+      |    (((doc_id % 67108864) * 31 + 1) * 2654435761) % 4294967296 AS pm
+      |  FROM documents),
+      |pool AS (
+      |  SELECT bucket, doc_id AS neg_id, doc_id % 67108864 AS nk
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+      |          ORDER BY pm, doc_id) AS rn FROM b)
+      |  WHERE rn <= 8),
+      |a AS (
+      |  SELECT doc_id AS anchor_id, t.slot,
+      |    (bucket + t.slot) % 64 AS cand_bucket
+      |  FROM b CROSS JOIN (SELECT unnest([1, 2]) AS slot) t
+      |  WHERE doc_id % 10 = 0),
+      |c AS (
+      |  SELECT anchor_id, slot, neg_id,
+      |    (((anchor_id % 67108864) * 31 + nk) * 2654435761) % 4294967296
+      |      AS score
+      |  FROM a JOIN pool ON cand_bucket = bucket),
+      |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, slot
+      |        ORDER BY score DESC, neg_id) AS pick FROM c)
+      |SELECT anchor_id, CAST(slot AS BIGINT) AS slot, neg_id,
+      |  CAST(score AS BIGINT) AS score
+      |FROM p WHERE pick = 1 ORDER BY anchor_id, slot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_negative_pairs" -> (s25 _),
     "s24_degree_histogram" -> (s24 _),
     "s23_hits" -> (s23 _),
     "s22_kcore" -> (s22 _),
@@ -1520,6 +1595,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s25_negative_pairs" -> s25Sql,
     "s24_degree_histogram" -> s24Sql,
     "s23_hits" -> s23Sql,
     "s22_kcore" -> s22Sql,

@@ -394,7 +394,64 @@ object SketchQueries {
       |FROM per CROSS JOIN m CROSS JOIN b
       |GROUP BY n_members, n_bits_set""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sk7_kmv — KMV (k-minimum-values) distinct-count sketch, the THIRD
+  // distinct-counting sketch family next to HLL (sk2/sk4): hash every
+  // key into a 2^32 universe, keep only the k=256 smallest DISTINCT
+  // hash values, estimate |D| = (k−1)·2^32 / h_k. Unlike HLL the whole
+  // sketch is engine-independent integer arithmetic, so the ESTIMATE
+  // ITSELF hash-gates (sk2's HLL can only gate error-band booleans).
+  // Scale shape: one lineitem pass through [[graft.functions
+  // .KmvAggregator]] — partial state is ≤256 longs per map task (2 KB),
+  // merge is set-union + re-truncate, NO distinct exchange anywhere
+  // (the naive `distinct().orderBy().limit(k)` form shuffles the full
+  // distinct hash set first — at 100 TB that exchange is the whole
+  // cost). The exact countDistinct rides along as the audit anchor the
+  // estimate is scored against; production consumes est_distinct only.
+  // Hash: the overflow-guarded Knuth mix (pre-mod 2^26, the d19/t32
+  // lesson) — injective below 2^26 keys, so at gate SF distinct
+  // hashes = distinct orderkeys exactly; beyond 2^26 keys pre-mod
+  // collisions fold into the estimator's own error budget
+  // (~1/√k ≈ 6%, err band pinned ≤ 200000 ppm by the oracle).
+  def sk7(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.lineitem(spark, dir)
+      .select((((col("l_orderkey") % 67108864L) * 2654435761L) % 4294967296L)
+        .as("hv"))
+    val kmv = udaf(graft.functions.KmvAggregator.Kmv(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bottom = h.agg(kmv(col("hv")).as("ks"))
+      .select(element_at(col("ks"), -1).as("kth_hash"),
+        size(col("ks")).cast("long").as("kk"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    bottom.crossJoin(broadcast(exact)) // 1-row exact-anchor ride-along
+      .select(col("n_exact"), col("kth_hash"),
+        expr("(kk - 1) * 4294967296L div kth_hash").as("est_distinct"),
+        expr("abs((kk - 1) * 4294967296L div kth_hash - n_exact) * 1000000" +
+          " div n_exact").as("err_ppm"))
+      .withColumn("in_bounds", col("err_ppm") <= 200000L)
+  }
+
+  private val sk7Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT ((l_orderkey % 67108864) * 2654435761)
+      |    % 4294967296 AS hv
+      |  FROM lineitem),
+      |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+      |t AS (SELECT CAST(MAX(hv) AS BIGINT) AS kth_hash,
+      |    COUNT(*) AS kk FROM k),
+      |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+      |  FROM lineitem)
+      |SELECT n_exact, kth_hash,
+      |  CAST((kk - 1) * 4294967296 // kth_hash AS BIGINT) AS est_distinct,
+      |  CAST(abs((kk - 1) * 4294967296 // kth_hash - n_exact) * 1000000
+      |    // n_exact AS BIGINT) AS err_ppm,
+      |  abs((kk - 1) * 4294967296 // kth_hash - n_exact) * 1000000
+      |    // n_exact <= 200000 AS in_bounds
+      |FROM t CROSS JOIN n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk7_kmv" -> (sk7 _),
     "sk6_bloom_fpr" -> (sk6 _),
     "sk5_cms_heavy" -> (sk5 _),
     "sk4_hll_intersect" -> (sk4 _),
@@ -405,6 +462,7 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk7_kmv" -> sk7Sql,
     "sk6_bloom_fpr" -> sk6Sql,
     "sk5_cms_heavy" -> sk5Sql,
     "sk4_hll_intersect" -> sk4Sql,

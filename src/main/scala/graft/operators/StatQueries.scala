@@ -341,15 +341,143 @@ object StatQueries {
       |  CAST(s AS BIGINT) AS surv_ppm
       |FROM r WHERE d > 0 ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x46_ks_test — the two-sample Kolmogorov–Smirnov statistic comparing
+  // order-value DISTRIBUTIONS between urgent/high-priority and normal
+  // orders: D = max over pooled values of |F_hi(v) − F_lo(v)|. Where
+  // x44 (Mann–Whitney) detects a location shift, KS detects ANY
+  // distributional difference — the pair is the standard drift test
+  // battery. Exact integer by cross-multiplication: at each distinct
+  // value, |c_hi(v)·n_lo − c_lo(v)·n_hi| over the shared denominator
+  // n_hi·n_lo (never divided; d_ppm additionally reported with
+  // truncating division). Scale shape: orders collapse to distinct-
+  // value cardinality with one map-side-combined aggregate; the two
+  // cumulative counts are globalPrefixSum (range partitions + offsets,
+  // no single-reducer window — value cardinality grows with data); the
+  // scalar totals ride a 1-row broadcast. Long bounds: the cross
+  // products stay exact to n_hi·n_lo < 2^63 (~3e9 rows per side);
+  // d_ppm's ×1e6 needs n_hi·n_lo ≲ 9.2e12 — beyond that, consume
+  // d_num/den instead (both emitted).
+  def x46(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L).as("hi"))
+    val g = v.groupBy(col("cents"))
+      .agg(sum(col("hi")).as("c_hi"), sum(lit(1L) - col("hi")).as("c_lo"))
+    val cum1 = RelationalQueries.globalPrefixSum(
+      g, Seq(col("cents")), col("c_hi"), "cum_hi")
+    val cum = RelationalQueries.globalPrefixSum(
+      cum1, Seq(col("cents")), col("c_lo"), "cum_lo")
+    val tot = cum.agg(max(col("cum_hi")).as("n_hi"),
+      max(col("cum_lo")).as("n_lo"))
+    cum.crossJoin(broadcast(tot)) // 1-row totals ride-along
+      .select(col("n_hi"), col("n_lo"),
+        abs(col("cum_hi") * col("n_lo") - col("cum_lo") * col("n_hi"))
+          .as("dnum"))
+      .agg(max(col("n_hi")).as("n_hi"), max(col("n_lo")).as("n_lo"),
+        max(col("dnum")).as("d_num"),
+        max(col("n_hi") * col("n_lo")).as("den"),
+        expr("max(dnum) * 1000000L div max(n_hi * n_lo)").as("d_ppm"))
+  }
+
+  private val x46Sql =
+    """WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS hi
+      |  FROM orders),
+      |g AS (SELECT cents, CAST(SUM(hi) AS BIGINT) AS c_hi,
+      |    CAST(SUM(1 - hi) AS BIGINT) AS c_lo
+      |  FROM v GROUP BY 1),
+      |c AS (SELECT
+      |    CAST(SUM(c_hi) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_hi,
+      |    CAST(SUM(c_lo) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_lo
+      |  FROM g),
+      |t AS (SELECT MAX(cum_hi) AS n_hi, MAX(cum_lo) AS n_lo FROM c)
+      |SELECT MAX(t.n_hi) AS n_hi, MAX(t.n_lo) AS n_lo,
+      |  CAST(MAX(abs(cum_hi * t.n_lo - cum_lo * t.n_hi)) AS BIGINT)
+      |    AS d_num,
+      |  CAST(MAX(t.n_hi * t.n_lo) AS BIGINT) AS den,
+      |  CAST(MAX(abs(cum_hi * t.n_lo - cum_lo * t.n_hi)) * 1000000
+      |    // MAX(t.n_hi * t.n_lo) AS BIGINT) AS d_ppm
+      |FROM c CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x47_changepoint — single changepoint LOCATION in the daily-revenue
+  // series via the CUSUM argmax estimator: t* = argmax_t |n·S_t − t·S|
+  // (the scaled deviation of the prefix sum from its linear
+  // interpolation — the classical consistent estimator of a mean-shift
+  // point), reported with both segment means. Complements x36 (the
+  // sequential one-sided CUSUM ALARM: "is there drift?") with the
+  // batch "WHERE did the level shift?" answer. Exact integer: the
+  // score needs no division at all — |n·S_t − t·S| is a monotone
+  // transform of the per-split between-group contrast at fixed n — so
+  // unlike a variance-ratio statistic there is no overflow-prone g²
+  // anywhere; the argmax is a TakeOrdered(1) on (score DESC, t ASC).
+  // Scale shape: the volume is absorbed by the per-day aggregate — the
+  // scored series is day-cardinality bounded at ANY corpus size; the
+  // prefix sum and rank come from globalPrefixSum/globalRank (range
+  // partitions + offsets), totals ride a 1-row broadcast. Long bounds:
+  // the score is exact while n·S < 2^63 through the DECIMAL(38,0)
+  // total (wrap-safe); S_t stays a raw Long (wraps past ~9.2e18 total
+  // cents — beyond that, drop granularity to whole dollars; the
+  // estimator is scale-invariant).
+  def x47(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val cum = RelationalQueries.globalPrefixSum(
+      daily, Seq(col("day")), col("cents"), "s_t")
+    val rk = RelationalQueries.globalRank(cum, Seq(col("day")), "t")
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"))
+    rk.crossJoin(broadcast(tot)) // 1-row totals ride-along
+      .filter(col("t") < col("n"))
+      .select(col("day"), col("t"), col("n"), col("s_t"), col("s"),
+        expr("abs(cast(n AS DECIMAL(38,0)) * s_t - cast(t AS DECIMAL(38,0)) * s)")
+          .as("score"))
+      .orderBy(col("score").desc, col("t").asc).limit(1)
+      .select(col("day"), col("n").as("n_days"), col("t"),
+        expr("s_t div t").as("mean_before_cents"),
+        expr("(s - s_t) div (n - t)").as("mean_after_cents"),
+        (expr("(s - s_t) div (n - t)") - expr("s_t div t")).as("delta_cents"))
+  }
+
+  private val x47Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS HUGEINT) AS s_t
+      |  FROM d),
+      |tt AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM d),
+      |g AS (SELECT day, t, n, s_t, s, abs(n * s_t - t * s) AS score
+      |  FROM o CROSS JOIN tt WHERE t < n)
+      |SELECT day, CAST(n AS BIGINT) AS n_days, CAST(t AS BIGINT) AS t,
+      |  CAST(s_t // t AS BIGINT) AS mean_before_cents,
+      |  CAST((s - s_t) // (n - t) AS BIGINT) AS mean_after_cents,
+      |  CAST((s - s_t) // (n - t) - s_t // t AS BIGINT) AS delta_cents
+      |FROM g ORDER BY score DESC, t LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_changepoint" -> (x47 _),
     "x42_theil_sen" -> (x42 _),
     "x43_kendall_tau" -> (x43 _),
     "x44_mann_whitney" -> (x44 _),
-    "x45_kaplan_meier" -> (x45 _))
+    "x45_kaplan_meier" -> (x45 _),
+    "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x47_changepoint" -> x47Sql,
     "x42_theil_sen" -> x42Sql,
     "x43_kendall_tau" -> x43Sql,
     "x44_mann_whitney" -> x44Sql,
-    "x45_kaplan_meier" -> x45Sql)
+    "x45_kaplan_meier" -> x45Sql,
+    "x46_ks_test" -> x46Sql)
 }

@@ -538,7 +538,77 @@ object StreamingQueries {
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st22_stream_funnel — the x2 conversion funnel as an always-on
+  // streaming query: per-user conditional-min step timestamps in O(1)
+  // mapGroupsWithState state (see [[Streaming.funnelCounts]]). Update-
+  // mode emission — conversion is a living fact an out-of-order click
+  // can flip either way — so the gate takes each user's LATEST row via
+  // the monotone event count (`max(struct(n_events, converted))`, the
+  // st5 batch-count-proof pattern), then filters to converted users.
+  // Hash-matches x2's batch oracle: the incremental stateful form and
+  // the batch rescan must agree user for user.
+  def st22(spark: SparkSession, dir: String): DataFrame =
+    Streaming.funnelCounts(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("converted"))).as("m"))
+      .filter(col("m.converted"))
+      .select(col("user_id"), col("m.n_events").as("n_events"))
+      .orderBy(col("user_id"))
+
+  private val st22Sql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events FROM m
+      |WHERE v < c AND c < p ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // st23_stream_kmv — bounded-state streaming distinct estimation: the
+  // per-event-type distinct-user count kept as a k=64 KMV sketch in
+  // mapGroupsWithState (512 B per key at ANY user cardinality, vs
+  // exact streaming distinct's one-state-row-per-user) — see
+  // [[Streaming.kmvDistinct]]. Update-mode: each batch re-emits the
+  // key's sketch summary; the gate takes the LATEST row per key via
+  // the monotone n_seen (st5/st22 pattern) and applies the
+  // (k−1)·2^32/h_k estimator (exact count when the buffer never
+  // filled). KMV insertion is order-independent, so the drained
+  // incremental sketch equals the batch formula bit for bit — the
+  // ESTIMATE hash-gates against a DuckDB oracle that never saw a
+  // stream.
+  def st23(spark: SparkSession, dir: String): DataFrame =
+    Streaming.kmvDistinct(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n_seen"), col("kth_hash"), col("kk"))).as("m"))
+      .select(col("event_type"), col("m.kk").as("kk"),
+        col("m.kth_hash").as("kth_hash"),
+        expr("CASE WHEN m.kk < 64 THEN m.kk" +
+          " ELSE (m.kk - 1) * 4294967296L div m.kth_hash END").as("est_users"))
+      .orderBy(col("event_type"))
+
+  private val st23Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ((user_id % 67108864) * 2654435761) % 4294967296 AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (SELECT event_type, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h),
+      |k AS (SELECT event_type, CAST(MAX(hv) AS BIGINT) AS kth_hash,
+      |    COUNT(*) AS kk
+      |  FROM r WHERE rn <= 64 GROUP BY 1)
+      |SELECT event_type, kk, kth_hash,
+      |  CAST(CASE WHEN kk < 64 THEN kk
+      |    ELSE (kk - 1) * 4294967296 // kth_hash END AS BIGINT) AS est_users
+      |FROM k ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_stream_kmv" -> (st23 _),
+    "st22_stream_funnel" -> (st22 _),
     "st21_stream_topk" -> (st21 _),
     "st20_stream_enrich" -> (st20 _),
     "st19_stream_locf" -> (st19 _),
@@ -562,6 +632,8 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st23_stream_kmv" -> st23Sql,
+    "st22_stream_funnel" -> st22Sql,
     "st21_stream_topk" -> st21Sql,
     "st20_stream_enrich" -> st20Sql,
     "st19_stream_locf" -> st19Sql,

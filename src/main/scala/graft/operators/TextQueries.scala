@@ -1560,7 +1560,62 @@ object TextQueries {
       |SELECT l, r, COUNT(*) AS n FROM occ GROUP BY 1, 2
       |ORDER BY n DESC, l, r LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t36_zipf_slope — does the corpus obey Zipf's law? The rank-frequency
+  // log-log slope (≈ −1 for natural text, flatter for template/spam
+  // corpora — a corpus-level quality signal next to t2's per-doc one).
+  // Exact integer end to end: floor(log2) is computed as
+  // length(bin(x)) − 1 — both engines' bin() renders minimal binary, so
+  // the "log" is string-length arithmetic, not float math — and the OLS
+  // slope over the (log-rank, log-freq) points uses q47's offset trick
+  // (add OFF·den before the truncating division so floor == trunc for
+  // the negative slope) through DECIMAL(38,0)/HUGEINT partials. Scale
+  // shape: tokens collapse to type cardinality with one map-side-
+  // combined count; ranks come from globalRank (range partitions +
+  // offsets, no single-reducer window — type cardinality grows with
+  // corpus); the five OLS sums are one partial-agg reduce.
+  def t36(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ranked = RelationalQueries.globalRank(
+      freq, Seq(col("freq").desc, col("token").asc), "rank")
+    val off = "1000000000000" // |slope_micro| << 1e12
+    ranked.select(
+        (length(bin(col("rank"))) - 1).cast("decimal(38,0)").as("x"),
+        (length(bin(col("freq"))) - 1).cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).as("n_types"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .select(col("n_types"),
+        expr(s"""CASE WHEN n_types < 2 OR n_types * sxx - sx * sx = 0
+               |  THEN 0 ELSE cast(
+               |  ((n_types * sxy - sx * sy) * 1000000
+               |    + $off * (n_types * sxx - sx * sx))
+               |    div (n_types * sxx - sx * sx) - $off AS BIGINT) END"""
+          .stripMargin).as("slope_micro"))
+  }
+
+  private val t36Sql =
+    """WITH f AS (
+      |  SELECT token, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1),
+      |r AS (SELECT freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM f),
+      |p AS (SELECT CAST(length(bin(rank)) - 1 AS HUGEINT) AS x,
+      |    CAST(length(bin(freq)) - 1 AS HUGEINT) AS y FROM r),
+      |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM p)
+      |SELECT CAST(n AS BIGINT) AS n_types,
+      |  CAST(CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0 ELSE
+      |    ((n * sxy - sx * sy) * 1000000 + 1000000000000 * (n * sxx - sx * sx))
+      |      // (n * sxx - sx * sx) - 1000000000000 END AS BIGINT)
+      |    AS slope_micro
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_zipf_slope" -> (t36 _),
     "t35_concordance" -> (t35 _),
     "t34_effective_tokens" -> (t34 _),
     "t33_hash_collisions" -> (t33 _),
@@ -1597,6 +1652,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t36_zipf_slope" -> t36Sql,
     "t35_concordance" -> t35Sql,
     "t34_effective_tokens" -> t34Sql,
     "t33_hash_collisions" -> t33Sql,

@@ -582,6 +582,109 @@ object Streaming {
   }
 
   final case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+  // Funnel state: min event-time per step (Long.MaxValue = step unseen)
+  // plus the user's event count. NOT private (state-encoder codegen).
+  final case class FunnelState(v: Long, c: Long, p: Long, n: Long)
+  final case class UserFunnel(user_id: Long, n_events: Long, converted: Boolean)
+
+  /** The x2 funnel (ordered view → click → purchase detection) run as a
+    * REAL streaming query: per-user conditional-min step timestamps in
+    * mapGroupsWithState. State is three longs + a count per user — O(1)
+    * per key, no event retention — and each step's min only ever
+    * decreases, so the operator is incremental by construction: a new
+    * batch folds into the mins without revisiting history (the batch
+    * gate x2 rescans; this is the always-on form). NoTimeout: the
+    * funnel never finalizes — conversion status is a living fact that a
+    * late out-of-order click can flip (both ways: an earlier click can
+    * CREATE v<c<p or DESTROY c<p), which is why emission is update-mode
+    * and the consumer must take each user's LATEST row (n is monotone —
+    * `max(struct(n, converted))` — the st5 batch-count-proof pattern). */
+  def funnelCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_funnel_${queryCounter.incrementAndGet()}"
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_type"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[ProfileEventW]
+    drainToLocal(spark, name, OutputMode.Update, funnelFold(events).toDF())
+  }
+
+  /** The funnel's stateful core, exposed so the multi-batch spec can
+    * drive it with `maxFilesPerTrigger=1` and prove the cross-batch
+    * fold (including conversion flips a later batch's earlier-time
+    * click causes). */
+  def funnelFold(events: Dataset[ProfileEventW]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[FunnelState]) =>
+          val unseen = Long.MaxValue
+          var s = state.getOption.getOrElse(
+            FunnelState(unseen, unseen, unseen, 0L))
+          batch.foreach { e =>
+            e.event_type match {
+              case "view"     => if (e.tsu < s.v) s = s.copy(v = e.tsu)
+              case "click"    => if (e.tsu < s.c) s = s.copy(c = e.tsu)
+              case "purchase" => if (e.tsu < s.p) s = s.copy(p = e.tsu)
+              case _          =>
+            }
+            s = s.copy(n = s.n + 1)
+          }
+          state.update(s)
+          UserFunnel(uid, s.n, s.v < s.c && s.c < s.p)
+      }
+  }
+  // KMV buffer: ascending distinct hashes (≤ k) + events seen (monotone,
+  // the latest-row selector). NOT private (state-encoder codegen).
+  final case class KmvState(items: List[Long], n: Long)
+  final case class TypeKmv(event_type: String, n_seen: Long, kth_hash: Long,
+    kk: Long)
+
+  /** Streaming distinct-user ESTIMATE per event type via a KMV sketch in
+    * mapGroupsWithState — the bounded-state form of the classically
+    * unbounded streaming-distinct problem: exact streaming distinct
+    * (st7's dedup chain) retains one state row per user forever, while
+    * this keeps the k=64 smallest distinct user-id hashes per event
+    * type — 512 bytes per key, FIXED, at any user cardinality. The same
+    * KMV structure as the batch sk7 gate ([[graft.functions
+    * .KmvAggregator]]), here folded incrementally: insert is the
+    * one-compare reject fast path, so a batch costs O(events) compares +
+    * O(accepts·k). Update-mode emission with the monotone event count
+    * n_seen as the latest-row selector (the st5/st22 pattern); the gate
+    * computes the (k−1)·2^32/h_k estimate from the LAST emission, which
+    * equals the batch formula over the full table — KMV insertion is
+    * order-independent, so the incremental and batch sketches agree
+    * bit for bit (that is what makes the estimate hash-gateable). */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_kmv_${queryCounter.incrementAndGet()}"
+    val k = 64
+    val events = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        (((col("user_id") % 67108864L) * 2654435761L) % 4294967296L).as("hv"),
+        tsMicros(col("ts")).as("tsu"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .select(col("event_type"), col("hv")).as[(String, Long)]
+    val folded = events.groupByKey(_._1)
+      .mapGroupsWithState[KmvState, TypeKmv](GroupStateTimeout.NoTimeout) {
+        case (etype, batch, state: GroupState[KmvState]) =>
+          def insert(buf: List[Long], v: Long): List[Long] =
+            if (buf.size >= k && v >= buf.last) buf
+            else if (buf.contains(v)) buf
+            else ((v :: buf).sorted).take(k)
+          var s = state.getOption.getOrElse(KmvState(Nil, 0L))
+          batch.foreach { e =>
+            s = KmvState(insert(s.items, e._2), s.n + 1L)
+          }
+          state.update(s)
+          TypeKmv(etype, s.n, s.items.last, s.items.size.toLong)
+      }
+    drainToLocal(spark, name, OutputMode.Update, folded.toDF())
+  }
+
   /** Typed event with its type, for the profile processor (the
     * event-time Timestamp rides inside — same encoder rule as
     * [[SessionEventW]]). */

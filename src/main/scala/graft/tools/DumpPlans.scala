@@ -51,7 +51,10 @@ object DumpPlans {
     "s23_hits", "q40_rfm", "d15_keepbest", "v18_skew_audit",
     "q66_mincost_supplier", "q67_important_parts", "q68_priority_shipmode",
     "x42_theil_sen", "x43_kendall_tau", "x44_mann_whitney",
-    "x45_kaplan_meier")
+    "x45_kaplan_meier",
+    "q69_topk_per_group", "t36_zipf_slope", "s25_negative_pairs",
+    "x46_ks_test", "sk7_kmv", "d22_contamination_ratio",
+    "q70_percentile_cont", "x47_changepoint")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
@@ -106,6 +109,20 @@ object DumpPlans {
       |  a grouped count: state is the running per-key aggregate (key
       |  cardinality bounded — event_type domain), sink rewritten per
       |  batch with k rows.
+      |- **st22_stream_funnel** — per-user conditional-min step
+      |  timestamps in mapGroupsWithState: state is three longs + a
+      |  count per user, no event retention, update-mode emission
+      |  (conversion can flip on out-of-order arrivals —
+      |  `StreamFunnelSpec` proves the cross-batch fold under
+      |  maxFilesPerTrigger=1 with parity-interleaved files).
+      |- **st23_stream_kmv** — per-event-type KMV distinct-user sketch
+      |  in mapGroupsWithState: state is the k=64 smallest distinct
+      |  user-id hashes (512 B per key at ANY user cardinality — the
+      |  bounded-state form of streaming distinct, vs exact dedup's
+      |  one-state-row-per-user); update-mode, latest row per key
+      |  selected by the monotone event count. KMV insertion is
+      |  order-independent, so the drained estimate hash-matches the
+      |  batch formula computed by an engine that never saw a stream.
       |
       |File-sink parity: `StreamFileSinkSpec` proves st6 row-identical
       |through the parquet file sink + `_spark_metadata` commit log —

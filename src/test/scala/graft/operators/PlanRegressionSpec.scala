@@ -75,7 +75,11 @@ class PlanRegressionSpec extends SparkSpec {
     "q67_important_parts" -> 1, // 1-row regional-total aggregate (share cut)
     "x42_theil_sen" -> 1,     // 1-row empty-input guard anti-join
     "x43_kendall_tau" -> 1,   // 1-row empty-input guard anti-join
-    "x45_kaplan_meier" -> 1)  // 1-row observation-edge aggregate
+    "x45_kaplan_meier" -> 1,  // 1-row observation-edge aggregate
+    "x46_ks_test" -> 1,       // 1-row (n_hi, n_lo) totals ride-along
+    "sk7_kmv" -> 1,           // 1-row exact-anchor ride-along
+    "q70_percentile_cont" -> 1, // 1-row count into the 3-row rank targets
+    "x47_changepoint" -> 1)   // 1-row totals ride-along
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
@@ -196,6 +200,15 @@ class PlanRegressionSpec extends SparkSpec {
     "v16_anomaly_mad" -> 6,      // median + MAD rank picks over day counts
                                  // (3 ranked branches × rank/count pair)
     "x41_stl" -> 2)              // trend + seasonal smoothing over days
+
+  test("q69 keeps the rank-filter pushdown (WindowGroupLimit)") {
+    // InferWindowGroupLimit turns `row_number() <= k` into a per-group
+    // top-k BEFORE the window's shuffle — the exchange carries k rows
+    // per key instead of the whole fact table. Losing this node is a
+    // silent 100×-scale regression, so its presence is pinned.
+    assert(countNodes(plans("q69_topk_per_group"), "WindowGroupLimit") >= 1,
+      "q69_topk_per_group: no WindowGroupLimit in plan")
+  }
 
   test("unpartitioned windows only ever run over the offset table") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
