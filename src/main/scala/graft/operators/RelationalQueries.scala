@@ -772,21 +772,41 @@ object RelationalQueries {
     * also makes the default RANGE window frame equal to ROWS — no
     * tie-group smearing. `valueCol` must be integral (sums are exact). */
   def globalPrefixSum(df: DataFrame, keys: Seq[Column], valueCol: Column,
-      out: String): DataFrame = {
-    val parts = df.withColumn("_v", valueCol)
-      .repartitionByRange(keys: _*)
+      out: String): DataFrame =
+    globalPrefixSums(df, keys, Seq((valueCol, out)))
+
+  /** Multi-column form of [[globalPrefixSum]]: N exact running sums
+    * over ONE range partitioning and ONE per-partition window pass
+    * (identical window specs collapse into a single WindowExec) —
+    * where N chained single-column calls would range-sort the data N
+    * times. x46's pair of cumulative counts measured ~15% faster at
+    * sf0.1 from this fusion (the remaining cost is the shared
+    * distinct-cents aggregate, not the windows). */
+  def globalPrefixSums(df: DataFrame, keys: Seq[Column],
+      vals: Seq[(Column, String)]): DataFrame = {
+    val vs = vals.zipWithIndex.map { case ((c, out), i) => (s"_v$i", c, out) }
+    val withVals = vs.foldLeft(df) { case (d, (n, c, _)) => d.withColumn(n, c) }
+    val parts = withVals.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
-    val offsets = parts.groupBy(col("_pid")).agg(sum(col("_v")).as("_n"))
-      .withColumn("_off", coalesce(
-        sum(col("_n")).over(Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    parts
-      .withColumn("_run",
-        sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(keys: _*)))
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn(out, col("_off") + col("_run"))
-      .drop("_pid", "_run", "_off", "_v")
+    val aggs = vs.map { case (n, _, _) => sum(col(n)).as(s"_s$n") }
+    val offsets = vs.foldLeft(
+        parts.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)) {
+        case (d, (n, _, _)) =>
+          d.withColumn(s"_off$n", coalesce(
+            sum(col(s"_s$n")).over(Window.orderBy(col("_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      }
+      .select(col("_pid") +: vs.map { case (n, _, _) => col(s"_off$n") }: _*)
+    val w = Window.partitionBy(col("_pid")).orderBy(keys: _*)
+    val run = vs.foldLeft(parts) { case (d, (n, _, _)) =>
+      d.withColumn(s"_run$n", sum(col(n)).over(w))
+    }
+    val named = vs.foldLeft(run.join(broadcast(offsets), Seq("_pid"))) {
+      case (d, (n, _, out)) =>
+        d.withColumn(out, col(s"_off$n") + col(s"_run$n"))
+    }
+    named.drop("_pid" +:
+      vs.flatMap { case (n, _, _) => Seq(n, s"_off$n", s"_run$n") }: _*)
   }
 
   // ---------------------------------------------------------------------

@@ -365,10 +365,10 @@ object StatQueries {
           col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L).as("hi"))
     val g = v.groupBy(col("cents"))
       .agg(sum(col("hi")).as("c_hi"), sum(lit(1L) - col("hi")).as("c_lo"))
-    val cum1 = RelationalQueries.globalPrefixSum(
-      g, Seq(col("cents")), col("c_hi"), "cum_hi")
-    val cum = RelationalQueries.globalPrefixSum(
-      cum1, Seq(col("cents")), col("c_lo"), "cum_lo")
+    // both cumulative counts in ONE range-sort pass (globalPrefixSums)
+    val cum = RelationalQueries.globalPrefixSums(
+      g, Seq(col("cents")),
+      Seq((col("c_hi"), "cum_hi"), (col("c_lo"), "cum_lo")))
     val tot = cum.agg(max(col("cum_hi")).as("n_hi"),
       max(col("cum_lo")).as("n_lo"))
     cum.crossJoin(broadcast(tot)) // 1-row totals ride-along
