@@ -976,7 +976,89 @@ object AnalyticsQueries {
        |FROM rj CROSS JOIN mj CROSS JOIN s CROSS JOIN c""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x49_join_ivm — incremental JOIN-view maintenance by delta
+  // decomposition, the join sibling of x33's aggregate IVM: for the
+  // standing view V = agg(R ⋈ S) with a batch of new orders ΔR AND new
+  // customers ΔS arriving together,
+  //   V_new = V_old + agg(ΔR ⋈ S_old) + agg(R_old ⋈ ΔS) + agg(ΔR ⋈ ΔS)
+  // (all four terms aggregated BEFORE the merge). The gate emits the
+  // incremental result next to the full recompute with a per-group
+  // equality flag the oracle pins TRUE — the hash match is the
+  // decomposition-correctness proof. Scale shape: the three delta
+  // terms cost O(Δ_R) + one base-fact scan with ΔS BROADCAST (no
+  // shuffle of R_old, and nothing ever joins R_old ⋈ S_old again);
+  // the merge is a nation-cardinality 4-way union-aggregate. At
+  // 100 TB the full-recompute column is the audit, not the plan — a
+  // production refresh runs only the delta terms.
+  def x49(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_orderdate"), floor(col("o_totalprice") * 100).cast("long")
+        .as("cents"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val rOld = o.filter(col("o_orderdate") < cutoff)
+    val rNew = o.filter(col("o_orderdate") >= cutoff)
+    val sOld = c.filter(col("c_custkey") % 13 =!= 0)
+    val sNew = c.filter(col("c_custkey") % 13 === 0)
+    def term(r: DataFrame, s: DataFrame) = r
+      .join(broadcast(s), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+    val incremental = term(rOld, sOld).unionAll(term(rNew, sOld))
+      .unionAll(term(rOld, sNew)).unionAll(term(rNew, sNew))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("n_inc"), sum(col("rev")).as("rev_inc"))
+    val full = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_full"), sum(col("cents")).as("rev_full"))
+    incremental.join(full, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey").as("nationkey"),
+        col("n_full"), col("rev_full"), col("n_inc"), col("rev_inc"),
+        (col("n_full") <=> col("n_inc") &&
+          col("rev_full") <=> col("rev_inc")).as("ivm_ok"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val x49Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |r_old AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |r_new AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+      |s_old AS (SELECT c_custkey, c_nationkey FROM customer
+      |  WHERE c_custkey % 13 <> 0),
+      |s_new AS (SELECT c_custkey, c_nationkey FROM customer
+      |  WHERE c_custkey % 13 = 0),
+      |t AS (
+      |  SELECT c_nationkey, COUNT(*) AS n, SUM(cents) AS rev
+      |  FROM r_old JOIN s_old ON o_custkey = c_custkey GROUP BY 1
+      |  UNION ALL
+      |  SELECT c_nationkey, COUNT(*), SUM(cents)
+      |  FROM r_new JOIN s_old ON o_custkey = c_custkey GROUP BY 1
+      |  UNION ALL
+      |  SELECT c_nationkey, COUNT(*), SUM(cents)
+      |  FROM r_old JOIN s_new ON o_custkey = c_custkey GROUP BY 1
+      |  UNION ALL
+      |  SELECT c_nationkey, COUNT(*), SUM(cents)
+      |  FROM r_new JOIN s_new ON o_custkey = c_custkey GROUP BY 1),
+      |inc AS (SELECT c_nationkey, CAST(SUM(n) AS BIGINT) AS n_inc,
+      |    CAST(SUM(rev) AS BIGINT) AS rev_inc
+      |  FROM t GROUP BY 1),
+      |f AS (SELECT c_nationkey, COUNT(*) AS n_full,
+      |    CAST(SUM(cents) AS BIGINT) AS rev_full
+      |  FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT COALESCE(inc.c_nationkey, f.c_nationkey) AS nationkey,
+      |  n_full, rev_full, n_inc, rev_inc,
+      |  n_full IS NOT DISTINCT FROM n_inc
+      |    AND rev_full IS NOT DISTINCT FROM rev_inc AS ivm_ok
+      |FROM inc FULL OUTER JOIN f ON inc.c_nationkey = f.c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_join_ivm" -> (x49 _),
     "v23_pseudonymize" -> (v23 _),
     "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
@@ -999,6 +1081,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x49_join_ivm" -> x49Sql,
     "v23_pseudonymize" -> v23Sql,
     "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,

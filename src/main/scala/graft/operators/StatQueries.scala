@@ -465,7 +465,87 @@ object StatQueries {
       |  CAST((s - s_t) // (n - t) - s_t // t AS BIGINT) AS delta_cents
       |FROM g ORDER BY score DESC, t LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x48_runs_test — the Wald–Wolfowitz runs test on the daily-revenue
+  // up/down sequence: is the direction of day-over-day movement random,
+  // or does it trend/oscillate? Completes the drift battery (x44
+  // location, x46 distribution, x47 changepoint) with a RANDOMNESS
+  // test. Counts: n1 up-days, n2 down-days (zero diffs dropped, the
+  // standard tie convention), R runs; the reference moments
+  // E[R] = 1 + 2·n1·n2/n and Var[R] = 2n1n2(2n1n2−n) / (n²(n−1)) are
+  // emitted as exact ppm (the Var numerator routes through
+  // DECIMAL(38,0)/HUGEINT — at day-cardinality 2500 the ×10^6 product
+  // crosses 2^63). Scale shape: volume is absorbed by the per-day
+  // aggregate; consecutive-day diffs and run transitions are rank
+  // self-joins over the day-cardinality series (globalRank twice — the
+  // second because dropping ties re-indexes adjacency), totals ride a
+  // 1-row broadcast-free aggregate. No unpartitioned data window
+  // anywhere.
+  def x48(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rk = RelationalQueries.globalRank(daily, Seq(col("day")), "t")
+      .select(col("t"), col("cents"))
+      .localCheckpoint(eager = false) // day-cardinality; reused 2× (x40 pattern)
+    val signs = rk.join(rk.select((col("t") + 1L).as("t2"),
+        col("cents").as("prev")), col("t") === col("t2"))
+      .filter(col("cents") =!= col("prev"))
+      .select(col("t"), when(col("cents") > col("prev"), 1L).otherwise(0L)
+        .as("s"))
+    val seq2 = RelationalQueries.globalRank(signs, Seq(col("t")), "u")
+      .select(col("u"), col("s"))
+      .localCheckpoint(eager = false) // reused 3× (transitions + totals)
+    val trans = seq2.join(seq2.select((col("u") + 1L).as("u2"),
+        col("s").as("sp")), col("u") === col("u2"))
+      .agg(sum(when(col("s") =!= col("sp"), 1L).otherwise(0L)).as("chg"))
+    seq2.agg(sum(col("s")).as("n1"), sum(lit(1L) - col("s")).as("n2"),
+        count(lit(1)).as("n"))
+      .crossJoin(broadcast(trans)) // 1-row transition count ride-along
+      .select(col("n1"), col("n2"),
+        when(col("n") > 0L, coalesce(col("chg"), lit(0L)) + 1L).otherwise(0L)
+          .as("runs"), // coalesce: a 1-sign series has no transition rows
+        when(col("n") > 0L,
+          lit(1000000L) + expr("(2000000 * n1 * n2) div n")).otherwise(0L)
+          .as("e_runs_ppm"),
+        when(col("n") > 1L, expr(
+          """cast((cast(2 AS DECIMAL(38,0)) * n1 * n2
+            |  * (cast(2 AS DECIMAL(38,0)) * n1 * n2 - n) * 1000000)
+            |  div (cast(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"""
+            .stripMargin)).otherwise(0L).as("var_runs_ppm"))
+  }
+
+  private val x48Sql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d),
+      |df AS (SELECT t, cents - lag(cents) OVER (ORDER BY t) AS diff FROM o),
+      |sg AS (SELECT t, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+      |  FROM df WHERE diff IS NOT NULL AND diff <> 0),
+      |sq AS (SELECT s, ROW_NUMBER() OVER (ORDER BY t) AS u FROM sg),
+      |ch AS (SELECT CAST(COALESCE(SUM(CASE WHEN s <> lag_s THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS chg
+      |  FROM (SELECT s, lag(s) OVER (ORDER BY u) AS lag_s FROM sq)
+      |  WHERE lag_s IS NOT NULL),
+      |ns AS (SELECT CAST(SUM(s) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - s) AS BIGINT) AS n2, COUNT(*) AS n FROM sq)
+      |SELECT n1, n2,
+      |  CAST(CASE WHEN n > 0 THEN chg + 1 ELSE 0 END AS BIGINT) AS runs,
+      |  CAST(CASE WHEN n > 0
+      |    THEN 1000000 + (2000000 * n1 * n2) // n ELSE 0 END AS BIGINT)
+      |    AS e_runs_ppm,
+      |  CAST(CASE WHEN n > 1
+      |    THEN (CAST(2 AS HUGEINT) * n1 * n2
+      |      * (CAST(2 AS HUGEINT) * n1 * n2 - n) * 1000000)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1)) ELSE 0 END AS BIGINT)
+      |    AS var_runs_ppm
+      |FROM ns CROSS JOIN ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_runs_test" -> (x48 _),
     "x47_changepoint" -> (x47 _),
     "x42_theil_sen" -> (x42 _),
     "x43_kendall_tau" -> (x43 _),
@@ -474,6 +554,7 @@ object StatQueries {
     "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x48_runs_test" -> x48Sql,
     "x47_changepoint" -> x47Sql,
     "x42_theil_sen" -> x42Sql,
     "x43_kendall_tau" -> x43Sql,

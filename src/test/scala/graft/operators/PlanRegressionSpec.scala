@@ -79,7 +79,8 @@ class PlanRegressionSpec extends SparkSpec {
     "x46_ks_test" -> 1,       // 1-row (n_hi, n_lo) totals ride-along
     "sk7_kmv" -> 1,           // 1-row exact-anchor ride-along
     "q70_percentile_cont" -> 1, // 1-row count into the 3-row rank targets
-    "x47_changepoint" -> 1)   // 1-row totals ride-along
+    "x47_changepoint" -> 1,   // 1-row totals ride-along
+    "x48_runs_test" -> 1)     // 1-row transition-count ride-along
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
