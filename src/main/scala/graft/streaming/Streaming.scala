@@ -668,7 +668,15 @@ object Streaming {
       .withColumn("event_ts", timestamp_micros(col("tsu")))
       .withWatermark("event_ts", "0 seconds")
       .select(col("event_type"), col("hv")).as[(String, Long)]
-    val folded = events.groupByKey(_._1)
+    drainToLocal(spark, name, OutputMode.Update, kmvFold(events, k).toDF())
+  }
+
+  /** The KMV sketch's stateful core, exposed so the multi-batch spec
+    * can drive it with `maxFilesPerTrigger=1` and prove the cross-batch
+    * fold equals the batch sketch (order-independence). */
+  def kmvFold(events: Dataset[(String, Long)], k: Int): Dataset[TypeKmv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
       .mapGroupsWithState[KmvState, TypeKmv](GroupStateTimeout.NoTimeout) {
         case (etype, batch, state: GroupState[KmvState]) =>
           def insert(buf: List[Long], v: Long): List[Long] =
@@ -682,7 +690,6 @@ object Streaming {
           state.update(s)
           TypeKmv(etype, s.n, s.items.last, s.items.size.toLong)
       }
-    drainToLocal(spark, name, OutputMode.Update, folded.toDF())
   }
 
   /** Typed event with its type, for the profile processor (the
