@@ -58,4 +58,35 @@ class GlobalRankSpec extends SparkSpec {
     assert(windows.count(_.partitionSpec.isEmpty) <= 1)
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
+
+  test("globalPrefixSums equals the single-partition running-sum reference") {
+    import spark.implicits._
+    val df = fixture.withColumn("w", (col("id") * 13 % 31).cast("long"))
+    val got = RelationalQueries.globalPrefixSums(df,
+      Seq(col("v"), col("id")),
+      Seq((col("v"), "cum_v"), (col("w"), "cum_w")))
+      .select(col("id"), col("cum_v"), col("cum_w"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.select(col("id"), sum(col("v")).over(w).as("rv"),
+      sum(col("w")).over(w).as("rw"))
+    val joined = got.join(ref, Seq("id"))
+    assert(joined.filter(
+      col("cum_v") =!= col("rv") || col("cum_w") =!= col("rw")).count() === 0L)
+    assert(got.count() === 997L)
+  }
+
+  test("N fused prefix sums share ONE data-bearing window (scale shape)") {
+    val plan = RelationalQueries.globalPrefixSums(fixture,
+      Seq(col("v"), col("id")),
+      Seq((col("v"), "cum_v"), (col("id"), "cum_id")))
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the fusion promise: both running sums evaluate in a single
+    // partitioned WindowExec (plus the bounded offset-table window)
+    assert(windows.count(_.partitionSpec.nonEmpty) === 1)
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1)
+  }
 }
