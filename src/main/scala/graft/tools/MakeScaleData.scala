@@ -73,10 +73,33 @@ object MakeScaleData {
         col("event_type"), col("value"), col("props"))
     }
 
-    // relational tables pass through untouched (scaling probes target the
-    // documents/embeddings/events operators; TPC-H tables have real SF
-    // generators upstream)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    // Relational fact tables replicate only when asked (args(3),
+    // default 1 = pass through): orderkeys offset per copy so the
+    // orders⋈lineitem relationship is preserved copy-by-copy, custkeys
+    // untouched so each customer's history deepens (the realistic
+    // direction for the per-customer window/argmax probes). Dims pass
+    // through — a 100 TB fact grows; nations don't.
+    val relCopies = if (args.length > 3) args(3).toInt else 1
+    def replicateRel(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until relCopies).map(k => f(base, k)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] wrote $table x$relCopies")
+    }
+    if (relCopies > 1) {
+      replicateRel("orders") { (df, k) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+      }
+      replicateRel("lineitem") { (df, k) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+      }
+    } else {
+      Seq("orders", "lineitem").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
