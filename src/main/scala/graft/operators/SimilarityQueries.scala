@@ -1567,7 +1567,133 @@ object SimilarityQueries {
       |  CAST(score AS BIGINT) AS score
       |FROM p WHERE pick = 1 ORDER BY anchor_id, slot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s26_pq_adc — asymmetric-distance (ADC) search, the scan mode that
+  // makes PQ indexes fast in production (FAISS's IVFPQ inner loop):
+  // instead of exact distances against raw vectors, each query
+  // precomputes a LOOKUP TABLE of per-(subspace, centroid) distance
+  // terms (m·K = 16 entries per query), and scoring a candidate is m=4
+  // table lookups keyed by its PQ codes — the 64-dim vector never
+  // participates. The top-R=20 ADC shortlist is then reranked EXACTLY
+  // (integer L2² over scaled longs) to yield top-5. Scale shape: codes
+  // come from s9's map-side encoder (vectors never shuffle to be
+  // scored); the LUT is nq·16 rows and BROADCASTS into the code
+  // stream; the only per-candidate exchange carries (query, cand,
+  // 4 partial terms) partials into a sum — and the exact rerank
+  // touches R rows per query, not the corpus. Everything is scaled-
+  // long arithmetic, so DuckDB restates train→encode→LUT→ADC→rerank
+  // and the final ranking hash-matches (ADC rank-20 boundary ties
+  // broken by cand_id on both engines).
+  def s26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val m = 4; val subDim = 16
+    val trained = Similarity.pqTrain(e, "embedding", m, subDim)
+    val candSub = Similarity
+      .pqCodesWith(e, "vec_id", "embedding", m, subDim, trained)
+      .select(col("vec_id").as("cand_id"), explode(expr(
+        """array(named_struct('sub', 0, 'cell', code0),
+          |  named_struct('sub', 1, 'cell', code1),
+          |  named_struct('sub', 2, 'cell', code2),
+          |  named_struct('sub', 3, 'cell', code3))""".stripMargin)).as("e"))
+      .select(col("cand_id"), col("e.sub").as("sub"), col("e.cell").as("cell"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), Similarity.scaled(col("embedding")).as("qv"))
+    val terms = trained.map { case (s, c, cent, cn2) =>
+      val subv = expr(s"slice(qv, ${s * subDim + 1}, $subDim)")
+      struct(lit(s).as("sub"), lit(c).as("cell"),
+        (Similarity.dotScaled(subv, subv)
+          - lit(2L) * Similarity.dotScaled(subv, typedlit(cent)) + lit(cn2))
+          .as("term"))
+    }
+    val lut = q.select(col("query_id"), explode(array(terms: _*)).as("t"))
+      .select(col("query_id"), col("t.sub").as("sub"), col("t.cell").as("cell"),
+        col("t.term").as("term"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id"))
+    val shortlist = candSub.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("term")).as("adc_dist"))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= 20)
+    val cv = e.select(col("vec_id").as("cand_id"),
+      Similarity.scaled(col("embedding")).as("cv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_sq").asc, col("cand_id"))
+    shortlist.join(cv, Seq("cand_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("l2_sq", Similarity.dotScaled(col("cv"), col("cv"))
+        - lit(2L) * Similarity.dotScaled(col("cv"), col("qv"))
+        + Similarity.dotScaled(col("qv"), col("qv")))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("l2_sq"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val s26Sql = {
+    def dot16(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, 17), i -> $a[i] * $b[i]), 'sum')"
+    def dot64(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, 65), i -> $a[i] * $b[i]), 'sum')"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s AS sub, sv[s*16+1 : s*16+16] AS subv,
+       |    (CASE WHEN sv[s*16+1] >= 0 THEN 2 ELSE 0 END +
+       |     CASE WHEN sv[s*16+2] >= 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS s) t),
+       |comp AS (
+       |  SELECT sub, cell, i AS pos, CAST(SUM(subv[i]) AS BIGINT) AS sm, COUNT(*) AS cnt
+       |  FROM subs, range(1, 17) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT sub, cell,
+       |    list(CASE WHEN sm < 0 THEN -((-sm) // cnt) ELSE sm // cnt END ORDER BY pos) AS cent
+       |  FROM comp GROUP BY 1, 2),
+       |cw AS (SELECT sub, cell, cent,
+       |         list_aggregate(list_transform(cent, x -> x * x), 'sum') AS cc FROM cent),
+       |d AS (
+       |  SELECT s.vec_id, s.sub, c.cell,
+       |    ${dot16("s.subv", "s.subv")} - 2 * ${dot16("s.subv", "c.cent")} + c.cc AS dist
+       |  FROM subs s JOIN cw c ON s.sub = c.sub),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rk
+       |    FROM d) WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, sv AS qv FROM v WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.query_id, c.sub, c.cell,
+       |    ${dot16("q.qv[c.sub*16+1 : c.sub*16+16]", "q.qv[c.sub*16+1 : c.sub*16+16]")}
+       |      - 2 * ${dot16("q.qv[c.sub*16+1 : c.sub*16+16]", "c.cent")} + c.cc AS term
+       |  FROM q CROSS JOIN cw c),
+       |adc AS (
+       |  SELECT l.query_id, k.cand_id, CAST(SUM(l.term) AS BIGINT) AS adc_dist
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cell = l.cell
+       |  WHERE l.query_id <> k.cand_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, cand_id, adc_dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, cand_id) AS ark FROM adc) WHERE ark <= 20),
+       |ex AS (
+       |  SELECT s.query_id, s.cand_id, s.adc_dist,
+       |    CAST(${dot64("cv.sv", "cv.sv")} - 2 * ${dot64("cv.sv", "q.qv")}
+       |      + ${dot64("q.qv", "q.qv")} AS BIGINT) AS l2_sq
+       |  FROM short s JOIN v cv ON cv.vec_id = s.cand_id
+       |  JOIN q ON q.query_id = s.query_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, l2_sq, adc_dist
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY l2_sq, cand_id) AS rnk FROM ex)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_pq_adc" -> (s26 _),
     "s25_negative_pairs" -> (s25 _),
     "s24_degree_histogram" -> (s24 _),
     "s23_hits" -> (s23 _),
@@ -1595,6 +1721,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s26_pq_adc" -> s26Sql,
     "s25_negative_pairs" -> s25Sql,
     "s24_degree_histogram" -> s24Sql,
     "s23_hits" -> s23Sql,

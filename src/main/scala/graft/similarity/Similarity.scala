@@ -241,8 +241,16 @@ object Similarity {
     * (id, code0..code{m−1}, err_sq) sorted by id.
     */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 4, subDim: Int = 16): DataFrame = {
-    val trained = pqTrain(df, vecCol, m, subDim)
+      m: Int = 4, subDim: Int = 16): DataFrame =
+    pqCodesWith(df, idCol, vecCol, m, subDim, pqTrain(df, vecCol, m, subDim))
+
+  /** [[pqCodes]] against an ALREADY-trained codebook — callers that
+    * also need the codebook for their own literals (the s26 ADC lookup
+    * table) train once instead of paying the corpus-pass aggregate
+    * twice. */
+  def pqCodesWith(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int,
+      trained: Seq[(Int, Int, Seq[Long], Long)]): DataFrame = {
     val bySub = trained.groupBy(_._1)
     val v = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
     val withBest = (0 until m).foldLeft(v) { (acc, s) =>
