@@ -1756,7 +1756,71 @@ object CrossQueries {
       |    // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_millicents
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x50_price_volume_mix — the year-over-year revenue-bridge ("waterfall")
+  // decomposition every BI team builds: per market segment, the 1997→1998
+  // revenue change split into a VOLUME effect ((n2−n1)·avg1), a PRICE
+  // effect (n2·(avg2−avg1)), and the exact truncation residual — so the
+  // three columns reconcile to the delta bit-for-bit (resid is the only
+  // place the integer averages' truncation can land, and emitting it
+  // makes the identity auditable instead of approximate). Exact integer
+  // micro-cents; per-order averages via truncating div (nonnegative on
+  // both engines). Scale shape: ONE orders pass with the customer dim
+  // BROADCAST, both years as conditional aggregates in the same
+  // partial-agg reduce — no self-join of year slices, no second scan.
+  // Long bound: rev_cents·10^6 < 2^63 holds to ~$92B per (segment, year).
+  def x50(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("y").isin(1997, 1998))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"))
+      .agg(sum(when(col("y") === 1997, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 1998, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("y") === 1997, col("cents")).otherwise(0L)).as("rev1_cents"),
+        sum(when(col("y") === 1998, col("cents")).otherwise(0L)).as("rev2_cents"))
+      .select(col("segment"), col("n1"), col("n2"), col("rev1_cents"),
+        col("rev2_cents"),
+        expr("(n2 - n1) * (rev1_cents * 1000000 div n1)").as("vol_eff_micro"),
+        expr("n2 * (rev2_cents * 1000000 div n2 - rev1_cents * 1000000 div n1)")
+          .as("price_eff_micro"),
+        expr("""(rev2_cents - rev1_cents) * 1000000
+              |  - (n2 - n1) * (rev1_cents * 1000000 div n1)
+              |  - n2 * (rev2_cents * 1000000 div n2
+              |          - rev1_cents * 1000000 div n1)""".stripMargin)
+          .as("resid_micro"))
+      .orderBy(col("segment"))
+  }
+
+  private val x50Sql =
+    """WITH j AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1997, 1998)),
+      |a AS (
+      |  SELECT segment,
+      |    CAST(SUM(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN y = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT) AS rev1_cents,
+      |    CAST(SUM(CASE WHEN y = 1998 THEN cents ELSE 0 END) AS BIGINT) AS rev2_cents
+      |  FROM j GROUP BY 1)
+      |SELECT segment, n1, n2, rev1_cents, rev2_cents,
+      |  CAST((n2 - n1) * (rev1_cents * 1000000 // n1) AS BIGINT) AS vol_eff_micro,
+      |  CAST(n2 * (rev2_cents * 1000000 // n2 - rev1_cents * 1000000 // n1)
+      |    AS BIGINT) AS price_eff_micro,
+      |  CAST((rev2_cents - rev1_cents) * 1000000
+      |    - (n2 - n1) * (rev1_cents * 1000000 // n1)
+      |    - n2 * (rev2_cents * 1000000 // n2 - rev1_cents * 1000000 // n1)
+      |    AS BIGINT) AS resid_micro
+      |FROM a ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x50_price_volume_mix" -> (x50 _),
     "x39_vwap" -> (x39 _),
     "x38_holt_forecast" -> (x38 _),
     "x37_weighted_median" -> (x37 _),
@@ -1793,6 +1857,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x50_price_volume_mix" -> x50Sql,
     "x39_vwap" -> x39Sql,
     "x38_holt_forecast" -> x38Sql,
     "x37_weighted_median" -> x37Sql,
