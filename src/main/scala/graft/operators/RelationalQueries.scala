@@ -1606,7 +1606,68 @@ object RelationalQueries {
       |FROM s JOIN r lo ON lo.rn = s.lo_rank JOIN r hi ON hi.rn = s.hi_rank
       |ORDER BY p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71_quantified_all — quantified-comparison subqueries (`> ALL`),
+  // which Spark does not parse: the exact three-valued rewrite is
+  // pinned against DuckDB's NATIVE correlated `> ALL` — the q49-class
+  // migration-semantics gate for the quantifier family. Semantics:
+  // x > ALL(S) is FALSE iff some non-null s has x <= s, else NULL iff S
+  // contains NULL, else TRUE (empty S included). The rewrite needs only
+  // the reference set's per-group (count, null-count, max-of-non-null)
+  // aggregate — nation-cardinality, BROADCAST into the probe scan — so
+  // the quantifier costs one dim-sized aggregate, not a correlated
+  // per-row subquery. All three outcome paths are live in the data:
+  // empty reference nations → TRUE, NULLIF-masked balances (custkey %
+  // 50) → NULL, dominated probes → FALSE; the gate tallies the
+  // trichotomy per nation, so any deviation from ANSI quantifier logic
+  // flips a count and fails the hash.
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal"))
+    val refAgg = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("nationkey"),
+        when(col("c_custkey") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("bal")).as("rb"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("rb").isNull, 1L).otherwise(0L)).as("n_nullv"),
+        max(col("rb")).as("mx"))
+    c.filter(col("c_mktsegment") === "MACHINERY")
+      .join(broadcast(refAgg), Seq("nationkey"), "left")
+      .withColumn("v",
+        when(coalesce(col("cnt"), lit(0L)) === 0L, lit(true))
+          .when(col("bal") <= col("mx"), lit(false))
+          .when(col("n_nullv") > 0L, lit(null).cast("boolean"))
+          .otherwise(lit(true)))
+      .groupBy(col("nationkey"))
+      .agg(sum(when(col("v") === true, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("v") === false, 1L).otherwise(0L)).as("n_false"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q71Sql =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    c_mktsegment, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |ref AS (
+      |  SELECT nationkey AS nk,
+      |    CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE bal END AS rb
+      |  FROM c WHERE c_mktsegment = 'AUTOMOBILE'),
+      |p AS (
+      |  SELECT nationkey, bal,
+      |    bal > ALL (SELECT rb FROM ref WHERE ref.nk = c.nationkey) AS v
+      |  FROM c WHERE c_mktsegment = 'MACHINERY')
+      |SELECT nationkey,
+      |  CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_quantified_all" -> (q71 _),
     "q70_percentile_cont" -> (q70 _),
     "q69_topk_per_group" -> (q69 _),
     "q60_ntile_cume" -> (q60 _),
@@ -1654,6 +1715,7 @@ object RelationalQueries {
     "q20_grouping_sets" -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q71_quantified_all" -> q71Sql,
     "q70_percentile_cont" -> q70Sql,
     "q69_topk_per_group" -> q69Sql,
     "q60_ntile_cume" -> q60Sql,
