@@ -1614,7 +1614,59 @@ object TextQueries {
       |    AS slope_micro
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t37_code_detection — the code-vs-prose curation filter (pretraining
+  // mixes budget code and prose separately; a prose pipeline polluted
+  // with JSON/markup skews every downstream token stat): symbol density
+  // per kilochar — structural characters {}[]();=<>:" counted via
+  // length(translate(...)) subtraction, one codegen projection, no
+  // regex engine in the hot path — thresholded at 50‰. Two live
+  // populations keep both classes honest: prose documents score ~0,
+  // the events.props JSON payloads score far past the threshold, and
+  // the gate pins the full per-population profile (count, flagged,
+  // exact truncated mean, max). Scale shape: pure map-side projections
+  // into one partial-agg reduce per population; the union never
+  // materializes text past the two length counters.
+  def t37(spark: SparkSession, dir: String): DataFrame = {
+    val syms = "{}[]();=<>:\""
+    def feats(df: DataFrame, pop: String, textCol: org.apache.spark.sql.Column) =
+      df.select(lit(pop).as("population"), textCol.as("t"))
+        .select(col("population"), length(col("t")).cast("long").as("len"),
+          (length(col("t")) - length(translate(col("t"), syms, "")))
+            .cast("long").as("sym"))
+        .filter(col("len") > 0L)
+        .select(col("population"), expr("sym * 1000 div len").as("spk"))
+    feats(Tables.documents(spark, dir), "documents", col("text"))
+      .unionAll(feats(Tables.events(spark, dir), "events_props", col("props")))
+      .groupBy(col("population"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("spk") >= 50L, 1L).otherwise(0L)).as("n_code"),
+        sum(col("spk")).as("ssum"), max(col("spk")).as("max_spk"))
+      .select(col("population"), col("n"), col("n_code"),
+        expr("ssum div n").as("avg_spk"), col("max_spk"))
+      .orderBy(col("population"))
+  }
+
+  private val t37Sql =
+    """WITH f AS (
+      |  SELECT 'documents' AS population, CAST(length(text) AS BIGINT) AS len,
+      |    CAST(length(text) - length(translate(text, '{}[]();=<>:"', ''))
+      |      AS BIGINT) AS sym
+      |  FROM documents WHERE length(text) > 0
+      |  UNION ALL
+      |  SELECT 'events_props', CAST(length(props) AS BIGINT),
+      |    CAST(length(props) - length(translate(props, '{}[]();=<>:"', ''))
+      |      AS BIGINT)
+      |  FROM events WHERE length(props) > 0),
+      |s AS (SELECT population, sym * 1000 // len AS spk FROM f)
+      |SELECT population, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN spk >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      |  CAST(SUM(spk) // COUNT(*) AS BIGINT) AS avg_spk,
+      |  CAST(MAX(spk) AS BIGINT) AS max_spk
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_code_detection" -> (t37 _),
     "t36_zipf_slope" -> (t36 _),
     "t35_concordance" -> (t35 _),
     "t34_effective_tokens" -> (t34 _),
@@ -1652,6 +1704,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t37_code_detection" -> t37Sql,
     "t36_zipf_slope" -> t36Sql,
     "t35_concordance" -> t35Sql,
     "t34_effective_tokens" -> t34Sql,
