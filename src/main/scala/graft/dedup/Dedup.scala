@@ -114,8 +114,20 @@ object Dedup {
         "would silently drop the trailing signature elements and weaken LSH recall")
     val rows = k / bands
     val sig = df.select(col(idCol), minhashSigExpr(col(textCol), shingleN, k).as("_sig"))
+    minhashCandidatePairsFromSig(sig, idCol, bands, rows)
+  }
+
+  /** [[minhashCandidatePairs]] over an ALREADY-computed signature table
+    * (a `_sig` array column) — callers probing several band
+    * configurations of the SAME signatures (d21's parameter sweep)
+    * compute the per-row MinHash kernel once and localCheckpoint it,
+    * instead of paying it per config per join side (the self-join means
+    * the sig subtree is otherwise evaluated twice per config — 8× for a
+    * three-config sweep). */
+  def minhashCandidatePairsFromSig(sig: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val keyed = sig.select(col(idCol),
-      explode(lshBandKeys(col("_sig"), bands, rows)).as("band_key"))
+      explode(lshBandKeys(col("_sig"), bands, rowsPerBand)).as("band_key"))
     val a = keyed.select(col(idCol).as("doc_a"), col("band_key"))
     val b = keyed.select(col(idCol).as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))

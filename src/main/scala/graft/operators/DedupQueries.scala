@@ -1078,7 +1078,11 @@ object DedupQueries {
   def d21(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
-    val truth = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, 8)
+    // one MinHash kernel pass for all four (config × join-side) uses
+    val sig = docs.select(col("doc_id"),
+        Dedup.minhashSigExpr(col("text"), 3, 8).as("_sig"))
+      .localCheckpoint(eager = false)
+    val truth = Dedup.minhashCandidatePairsFromSig(sig, "doc_id", 8, 1)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -1087,7 +1091,7 @@ object DedupQueries {
       .localCheckpoint(eager = false) // scored once, probed by all 3 configs
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     Seq(2, 4, 8).map { b =>
-      Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 8, b)
+      Dedup.minhashCandidatePairsFromSig(sig, "doc_id", b, 8 / b)
         .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_cand"),
           sum(coalesce(col("t"), lit(0L))).as("tp"))
