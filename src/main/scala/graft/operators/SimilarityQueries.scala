@@ -1692,7 +1692,83 @@ object SimilarityQueries {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s27_mmr — Maximal Marginal Relevance diversified retrieval
+  // ([[Similarity.mmrTopK]]): relevance shortlist (top-12, the s1 brute
+  // shape) → bounded shortlist² pairwise sims → greedy λ-tradeoff
+  // selection of 5 (λ = 0.7), all similarities in exact integer ppm so
+  // the greedy argmax compares Longs and both engines pick identical
+  // sets. The oracle restates the greedy loop as a recursive CTE
+  // carrying the picked-list as LIST state. The diversification is
+  // visible in the result: later picks have LOWER rel than skipped
+  // near-duplicates of earlier picks.
+  def s27(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.mmrTopK(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      shortlist = 12, k = 5, lambdaNum = 7L)
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
+
+  private val s27Sql =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sv,
+      |        list_aggregate(list_transform(sv, x -> x * x), 'sum') AS nrm
+      |      FROM v),
+      |rel AS (
+      |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+      |    CAST(round(CAST(list_aggregate(list_transform(
+      |        range(1, len(a.sv) + 1), i -> a.sv[i] * b.sv[i]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS rel_ppm
+      |  FROM n a JOIN n b ON b.vec_id < 3 AND a.vec_id <> b.vec_id),
+      |short AS (
+      |  SELECT query_id, cand_id, rel_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rel_ppm DESC, cand_id) AS rn
+      |  FROM rel),
+      |cand AS (SELECT query_id, cand_id, rel_ppm FROM short WHERE rn <= 12),
+      |sims AS (
+      |  SELECT c1.query_id, c1.cand_id AS a_id, c2.cand_id AS b_id,
+      |    CAST(round(CAST(list_aggregate(list_transform(
+      |        range(1, len(na.sv) + 1), i -> na.sv[i] * nb.sv[i]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS sim_ppm
+      |  FROM cand c1 JOIN cand c2
+      |    ON c1.query_id = c2.query_id AND c1.cand_id <> c2.cand_id
+      |  JOIN n na ON na.vec_id = c1.cand_id
+      |  JOIN n nb ON nb.vec_id = c2.cand_id),
+      |sel AS (
+      |  SELECT query_id, 1 AS k,
+      |    [(SELECT c.cand_id FROM cand c WHERE c.query_id = q.query_id
+      |      ORDER BY c.rel_ppm DESC, c.cand_id LIMIT 1)] AS picks
+      |  FROM (SELECT DISTINCT query_id FROM cand) q
+      |  UNION ALL
+      |  SELECT query_id, k + 1, list_append(picks,
+      |    (SELECT c.cand_id FROM cand c
+      |     WHERE c.query_id = sel.query_id
+      |       AND NOT list_contains(sel.picks, c.cand_id)
+      |     ORDER BY 7 * c.rel_ppm - 3 * (SELECT MAX(s.sim_ppm) FROM sims s
+      |        WHERE s.query_id = sel.query_id AND s.a_id = c.cand_id
+      |          AND list_contains(sel.picks, s.b_id)) DESC, c.cand_id
+      |     LIMIT 1))
+      |  FROM sel WHERE k < 5),
+      |fin AS (SELECT query_id, picks FROM sel WHERE k = 5),
+      |ranks AS (SELECT query_id, g.i AS sel_rank, picks[g.i] AS cand_id
+      |          FROM fin, (SELECT unnest(range(1, 6)) AS i) g)
+      |SELECT r.query_id, CAST(r.sel_rank AS BIGINT) AS sel_rank,
+      |  r.cand_id, c.rel_ppm
+      |FROM ranks r JOIN cand c
+      |  ON c.query_id = r.query_id AND c.cand_id = r.cand_id
+      |ORDER BY r.query_id, sel_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_mmr" -> (s27 _),
     "s26_pq_adc" -> (s26 _),
     "s25_negative_pairs" -> (s25 _),
     "s24_degree_histogram" -> (s24 _),
@@ -1721,6 +1797,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s27_mmr" -> s27Sql,
     "s26_pq_adc" -> s26Sql,
     "s25_negative_pairs" -> s25Sql,
     "s24_degree_histogram" -> s24Sql,

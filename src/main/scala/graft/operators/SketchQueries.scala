@@ -450,7 +450,37 @@ object SketchQueries {
       |    // n_exact <= 200000 AS in_bounds
       |FROM t CROSS JOIN n""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sk8_bitmap_distinct — EXACT distinct customers per order priority via
+  // the word-chunked bitmap aggregator ([[graft.functions
+  // .BitmapDistinctAggregator]]), the bitmap-index structure that
+  // replaces countDistinct's Expand + distinct-exchange plan: partial
+  // state is one bit per observed custkey (dense TPC keys → 64 ids per
+  // 64-bit word), merge is word-wise OR, finish is a popcount sum — the
+  // (group, value) pairs NEVER cross the wire. Exact at every
+  // cardinality (unlike sk2's HLL / sk7's KMV), so the count itself
+  // hash-gates against the oracle's COUNT(DISTINCT). Scale shape: one
+  // orders pass, 5 groups, ≤⌈maxkey/64⌉ words per group partial;
+  // at 10^9 dense custkeys that is 125 MB per group TOTAL across the
+  // cluster vs the distinct exchange's per-pair shuffle rows.
+  def sk8(spark: SparkSession, dir: String): DataFrame = {
+    val bm = udaf(graft.functions.BitmapDistinctAggregator.BitmapDistinct,
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(bm(col("o_custkey")).as("distinct_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val sk8Sql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_cust,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk8_bitmap_distinct" -> (sk8 _),
     "sk7_kmv" -> (sk7 _),
     "sk6_bloom_fpr" -> (sk6 _),
     "sk5_cms_heavy" -> (sk5 _),
@@ -462,6 +492,7 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk8_bitmap_distinct" -> sk8Sql,
     "sk7_kmv" -> sk7Sql,
     "sk6_bloom_fpr" -> sk6Sql,
     "sk5_cms_heavy" -> sk5Sql,

@@ -606,7 +606,50 @@ object StreamingQueries {
       |    ELSE (kk - 1) * 4294967296 // kth_hash END AS BIGINT) AS est_users
       |FROM k ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st24_stream_anti — streaming NOT EXISTS: views with no purchase in
+  // their 30-minute window, as one continuous query. Structured
+  // Streaming has no stream-stream left_anti; [[Streaming
+  // .viewPurchaseAnti]] runs the canonical emulation (LEFT OUTER
+  // interval join + null filter INSIDE the streaming query), so
+  // emission is eviction-triggered: a view emits exactly when the
+  // watermark proves no matching purchase can still arrive — the only
+  // sound streaming NOT-EXISTS. The oracle is st11's unmatched branch
+  // alone, with the same min-across-watermark-operators wm model
+  // (wm = min(max view_ts, max purchase_ts) − 1h); a view whose
+  // window the final watermark never closes is NOT emitted, and the
+  // oracle reproduces that bounded-state contract explicitly.
+  def st24(spark: SparkSession, dir: String): DataFrame =
+    Streaming.viewPurchaseAnti(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unconverted"),
+        min(col("view_id")).as("min_view"),
+        max(col("view_id")).as("max_view"))
+      .orderBy(col("user_id"))
+
+  private val st24Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS tsu, event_type, user_id, event_id FROM events),
+      |m AS (SELECT LEAST(
+      |        MAX(CASE WHEN event_type = 'view' THEN tsu END),
+      |        MAX(CASE WHEN event_type = 'purchase' THEN tsu END))
+      |        // 1000 * 1000 - 3600000000 AS wm FROM e),
+      |v AS (SELECT user_id, tsu AS vts, event_id AS view_id
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, tsu AS pts
+      |      FROM e WHERE event_type = 'purchase'),
+      |um AS (
+      |  SELECT v.user_id, v.view_id
+      |  FROM v CROSS JOIN m
+      |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.pu = v.user_id
+      |                    AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000)
+      |    AND v.vts + 1800000000 < m.wm)
+      |SELECT user_id, COUNT(*) AS n_unconverted,
+      |  MIN(view_id) AS min_view, MAX(view_id) AS max_view
+      |FROM um GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_stream_anti" -> (st24 _),
     "st23_stream_kmv" -> (st23 _),
     "st22_stream_funnel" -> (st22 _),
     "st21_stream_topk" -> (st21 _),
@@ -632,6 +675,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st24_stream_anti" -> st24Sql,
     "st23_stream_kmv" -> st23Sql,
     "st22_stream_funnel" -> st22Sql,
     "st21_stream_topk" -> st21Sql,

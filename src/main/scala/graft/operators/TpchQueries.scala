@@ -918,7 +918,38 @@ object TpchQueries {
       |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q72_forecast_revenue — TPC-H Q6: the pure scan-filter-aggregate
+  // revenue-change forecast, and the predicate-pushdown showcase. All
+  // four predicates (ship-year range, discount band, quantity cap) are
+  // scan-level parquet filters — `.explain` shows them in
+  // PushedFilters with a 2-column ReadSchema — and the plan moves NO
+  // data across the wire: map-side partial sums reduce to one row.
+  // At 100 TB this is the query whose cost is min/max-pruned I/O and
+  // nothing else; any shuffle in its plan would be a bug. Exact
+  // revenue through the DECIMAL(18,4) convention.
+  def q72(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q72Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_forecast_revenue" -> (q72 _),
     "q66_mincost_supplier" -> (q66 _),
     "q67_important_parts" -> (q67 _),
     "q68_priority_shipmode" -> (q68 _),
@@ -941,6 +972,7 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q72_forecast_revenue" -> q72Sql,
     "q66_mincost_supplier" -> q66Sql,
     "q67_important_parts" -> q67Sql,
     "q68_priority_shipmode" -> q68Sql,

@@ -101,6 +101,87 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified top-k — the retrieval
+    * RERANKER: greedily pick k results maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so the result set
+    * trades raw relevance for novelty (the dedup-at-retrieval-time
+    * operator every RAG / training-data-selection pipeline runs after
+    * its ANN stage). λ is the rational lambdaNum/10.
+    *
+    * Three stages, each at its natural scale:
+    *  1. SHORTLIST — relevance top-`shortlist` per query, the s1 brute
+    *     shape (broadcast queries, map-side exact integer cosine,
+    *     row_number window; swap in the IVF path upstream at scale);
+    *  2. PAIRWISE — candidate-candidate similarities via a self-join of
+    *     the shortlist: per-query cost is shortlist², BOUNDED BY
+    *     CONSTRUCTION regardless of corpus size — the whole point of
+    *     reranking a shortlist instead of the corpus;
+    *  3. SELECT — the greedy argmax loop, pure Long arithmetic over ≤
+    *     shortlist rows per query, in a typed COGROUP of (rel, sims) so
+    *     the sequential fold runs once per query ON THE EXECUTORS.
+    * Every similarity is rounded to integer ppm by the SAME DataFrame
+    * `round` on both rel and sims, so selection compares exact Longs —
+    * no float ordering ambiguity can diverge across engines.
+    * Output: query_id, sel_rank (1..k), cand_id, rel_ppm. */
+  def mmrTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      shortlist: Int, k: Int, lambdaNum: Long = 7L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = df.select(col(idCol).as("cand_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("cn", dotScaled(col("cv"), col("cv")))
+    val q = broadcast(queries
+      .select(col(qIdCol).as("query_id"), scaled(col(qVecCol)).as("qv"))
+      .withColumn("qn", dotScaled(col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_ppm").desc, col("cand_id"))
+    val short = cand.crossJoin(q)
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rel_ppm", round(
+        cosineWithNorms(dotScaled(col("cv"), col("qv")), col("cn"), col("qn"))
+          * lit(1000000.0), 0).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("rel_ppm"),
+        col("cv"), col("cn"))
+      .localCheckpoint(eager = false) // reused by the self-join below
+    val sims = short.as("a").join(short.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("a_id"), col("b.cand_id").as("b_id"),
+        round(cosineWithNorms(
+          dotScaled(col("a.cv"), col("b.cv")), col("a.cn"), col("b.cn"))
+          * lit(1000000.0), 0).cast(LongType).as("sim_ppm"))
+    val rg = short.select(col("query_id"), col("cand_id"), col("rel_ppm"))
+      .as[(Long, Long, Long)].groupByKey(_._1)
+    val sg = sims.as[(Long, Long, Long, Long)].groupByKey(_._1)
+    rg.cogroup(sg) { (qid, relIt, simIt) =>
+      val rels = relIt.map(r => (r._2, r._3)).toArray.sortBy(r => (-r._2, r._1))
+      val sim = simIt.map(s => ((s._2, s._3), s._4)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val pickedIds = scala.collection.mutable.Set.empty[Long]
+      while (picked.size < math.min(k, rels.length)) {
+        var best: (Long, Long, Long) = null // (score, cand_id, rel_ppm)
+        rels.foreach { case (cid, rel) =>
+          if (!pickedIds.contains(cid)) {
+            val red =
+              if (pickedIds.isEmpty) 0L
+              else pickedIds.iterator.map(s => sim((cid, s))).max
+            val score = lambdaNum * rel - (10L - lambdaNum) * red
+            if (best == null || score > best._1 ||
+              (score == best._1 && cid < best._2)) best = (score, cid, rel)
+          }
+        }
+        picked += ((best._2, best._3)); pickedIds += best._2
+      }
+      picked.iterator.zipWithIndex.map { case ((cid, rel), i) =>
+        (qid, (i + 1).toLong, cid, rel)
+      }
+    }.toDF("query_id", "sel_rank", "cand_id", "rel_ppm")
+  }
+
   /** IVF top-k with TRAINED centroids and multi-cell probing — the full
     * inverted-file ANN path (train → assign → probe → exact rerank),
     * one refinement step up from [[topKBucketed]]'s static hyperplanes:

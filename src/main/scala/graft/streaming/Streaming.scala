@@ -1080,4 +1080,38 @@ object Streaming {
         col("view_id"), col("purchase_id"))
     drainToLocal(spark, name, OutputMode.Append, joined)
   }
+
+  /** Streaming ANTI interval join — NOT EXISTS as an always-on query:
+    * views with NO purchase in their 30-minute window. Structured
+    * Streaming supports inner/outer/semi stream-stream joins but NOT
+    * left_anti, so this is the canonical emulation: the LEFT OUTER
+    * interval join with the null-extension filter applied INSIDE the
+    * streaming query (one continuous pipeline, not a batch
+    * post-filter). Emission is therefore eviction-triggered only — a
+    * row appears exactly when the watermark proves no matching
+    * purchase can still arrive, which is the only sound streaming
+    * NOT-EXISTS semantics (a match-absence can never be asserted
+    * earlier). State is the same watermark + interval bound as the
+    * outer form; the filter drops matched pairs before the sink so
+    * the output stream carries only the anti rows. */
+  def viewPurchaseAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_ssaj_${queryCounter.incrementAndGet()}"
+    val base = eventsStream(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+    val views = base.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("event_ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val anti = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .filter(col("purchase_id").isNull)
+      .select(col("user_id"), col("view_id"))
+    drainToLocal(spark, name, OutputMode.Append, anti)
+  }
 }
