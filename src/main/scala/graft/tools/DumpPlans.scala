@@ -55,7 +55,9 @@ object DumpPlans {
     "q69_topk_per_group", "t36_zipf_slope", "s25_negative_pairs",
     "x46_ks_test", "sk7_kmv", "d22_contamination_ratio",
     "q70_percentile_cont", "x47_changepoint", "x48_runs_test",
-    "x49_join_ivm", "s26_pq_adc")
+    "x49_join_ivm", "s26_pq_adc",
+    // round 6, final session
+    "sk8_bitmap_distinct", "q72_forecast_revenue", "s27_mmr")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
