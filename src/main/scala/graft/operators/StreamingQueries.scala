@@ -648,7 +648,50 @@ object StreamingQueries {
       |  MIN(view_id) AS min_view, MAX(view_id) AS max_view
       |FROM um GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st25_stream_drift — streaming distribution-drift monitoring
+  // ([[Streaming.hourlyDriftTvd]]): per closed hour, the total-variation
+  // distance (exact integer ppm) between that hour's event-type mix and
+  // the static global reference distribution, flagged at 200 000 ppm
+  // (≈ the sf0.01 median, so both classes stay live). Two chained
+  // stateful aggs (st17's pattern at EQUAL window width) with a
+  // stream-static broadcast ref join between them; absent types
+  // contribute their full reference share via ref_tot − Σ r_present.
+  // Oracle: the same integral-division TVD over batch hourly counts,
+  // with the append-mode hour-finalization cutoff (st7/st17
+  // convention: (hidx+1)·1h ≤ max event time − 1h).
+  def st25(spark: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyDriftTvd(spark, dir, thresholdPpm = 200000L)
+      .orderBy(col("hour"))
+
+  private val st25Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events),
+      |m AS (SELECT max(tsu) - 3600000000 AS wm FROM e),
+      |r AS (SELECT event_type,
+      |    CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM e) AS BIGINT)
+      |      AS ref_ppm
+      |  FROM e GROUP BY 1),
+      |rt AS (SELECT CAST(SUM(ref_ppm) AS BIGINT) AS ref_tot FROM r),
+      |h AS (SELECT tsu // 3600000000 AS hidx, event_type, COUNT(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |ht AS (SELECT hidx, CAST(SUM(n) AS BIGINT) AS n_events FROM h GROUP BY 1),
+      |terms AS (SELECT h.hidx,
+      |    CAST(SUM(ABS(CAST(h.n * 1000000 AS BIGINT) // ht.n_events
+      |      - r.ref_ppm)) AS BIGINT) AS s_present,
+      |    CAST(SUM(r.ref_ppm) AS BIGINT) AS r_present
+      |  FROM h JOIN ht USING (hidx) JOIN r USING (event_type) GROUP BY 1),
+      |f AS (SELECT t.hidx, ht.n_events,
+      |    CAST((t.s_present + rt.ref_tot - t.r_present) // 2 AS BIGINT)
+      |      AS tvd_ppm
+      |  FROM terms t JOIN ht USING (hidx) CROSS JOIN rt)
+      |SELECT strftime(make_timestamp(hidx * 3600000000), '%Y-%m-%d %H:%M')
+      |    AS hour,
+      |  n_events, tvd_ppm, tvd_ppm >= 200000 AS drifted
+      |FROM f, m WHERE (hidx + 1) * 3600000000 <= wm
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st25_stream_drift" -> (st25 _),
     "st24_stream_anti" -> (st24 _),
     "st23_stream_kmv" -> (st23 _),
     "st22_stream_funnel" -> (st22 _),
@@ -675,6 +718,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st25_stream_drift" -> st25Sql,
     "st24_stream_anti" -> st24Sql,
     "st23_stream_kmv" -> st23Sql,
     "st22_stream_funnel" -> st22Sql,

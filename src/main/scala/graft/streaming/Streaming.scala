@@ -1081,6 +1081,59 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, joined)
   }
 
+  /** Streaming DISTRIBUTION-DRIFT monitor — the ML-monitoring shape: per
+    * hour, total-variation distance (exact integer ppm) between the
+    * hour's event-type distribution and a static reference
+    * distribution, flagged against a threshold. Composition:
+    *
+    *  1. hourly (window × type) counts — stateful agg #1;
+    *  2. stream-static BROADCAST join to the reference (type-cardinality
+    *     dim with its ppm share and the ride-along ref total — all
+    *     batch-precomputed, so the hot path pays a broadcast probe);
+    *  3. per-window TVD — stateful agg #2 chained on the SAME hour
+    *     window (the st17 multi-stateful-operator pattern at equal
+    *     width): sums + a bounded collect_list of (n, ref_ppm) pairs
+    *     (≤ type-cardinality entries — O(1) state per window), folded
+    *     by an aggregate HOF into Σ|p − r|; types ABSENT from an hour
+    *     contribute their full ref share via ref_tot − Σ r_present.
+    * All divisions are integral (`div`), so the emitted TVD is engine-
+    * exact. Append mode: an hour emits once its window closes under
+    * the watermark — the monitor's alert latency is the watermark
+    * delay, and state is one (sums + ≤types list) row per open hour. */
+  def hourlyDriftTvd(spark: SparkSession, sfDir: String, thresholdPpm: Long): DataFrame = {
+    val name = s"graft_stream_drift_${queryCounter.incrementAndGet()}"
+    val ev = graft.Tables.events(spark, sfDir)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("event_type"),
+        expr("cnt * 1000000L div total").as("ref_ppm"))
+      .withColumn("ref_tot", sum(col("ref_ppm")).over(wAll))
+    val stream = eventsStream(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(ref), "event_type")
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(sum(col("n")).as("n_events"),
+        max(col("ref_tot")).as("ref_tot"),
+        collect_list(struct(col("n"), col("ref_ppm"))).as("tl"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("n_events"),
+        expr("""(aggregate(tl, 0L, (a, x) ->
+               |   a + abs(x.n * 1000000L div n_events - x.ref_ppm))
+               | + ref_tot
+               | - aggregate(tl, 0L, (a, x) -> a + x.ref_ppm)) div 2"""
+          .stripMargin).as("tvd_ppm"))
+      .withColumn("drifted", col("tvd_ppm") >= lit(thresholdPpm))
+    drainToLocal(spark, name, OutputMode.Append, stream)
+  }
+
   /** Streaming ANTI interval join — NOT EXISTS as an always-on query:
     * views with NO purchase in their 30-minute window. Structured
     * Streaming supports inner/outer/semi stream-stream joins but NOT
