@@ -544,7 +544,257 @@ object StatQueries {
       |    AS var_runs_ppm
       |FROM ns CROSS JOIN ch""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x51_anova — one-way ANOVA: does mean order value differ across
+  // customer market segments? F = MSB/MSW over integer whole-dollar
+  // amounts, computed entirely from per-segment partials (n_g, Σx_g,
+  // Σx²_g) — one map-side-combined aggregate after the orders⋈customer
+  // key join, so the statistic costs one fact-table pass at any scale.
+  // Sums ride DECIMAL(38,0)/HUGEINT; the sum-of-squares identities use
+  // one agreed truncating division each (SSW_g = Σx²_g − Σx_g² div n_g;
+  // SSB = Σ(Σx_g² div n_g) − (Σx)² div N; MSB/MSW once more) so the
+  // ppm is bit-identical cross-engine. Magnitude bound: Spark's `div`
+  // yields BIGINT, so every quotient must fit 2^63 — in dollars
+  // (x ≤ 6e5) s²/n ≈ n·x̄² stays < 9.2e18 up to n ≈ 4e8 orders
+  // (~sf400); the MSB×1e6 product is kept in DECIMAL so only the
+  // final small f_ppm lands in BIGINT. (Cents blew the bound at
+  // sf0.1 — the measured lesson behind the unit choice.)
+  def x51(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("usd"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("usd").cast("decimal(38,0)")).as("s_g"),
+        sum((col("usd") * col("usd")).cast("decimal(38,0)")).as("q_g"))
+    seg.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"),
+        sum(expr("q_g - (s_g * s_g) div n_g")).as("ssw"),
+        sum(expr("(s_g * s_g) div n_g")).as("bsum"))
+      .select(col("k"), col("n").cast("long").as("n_orders"),
+        expr("""cast(cast((bsum - (s * s) div n) div (k - 1) AS DECIMAL(38,0))
+               |  * 1000000 div (ssw div (n - k)) AS BIGINT)""".stripMargin)
+          .as("f_ppm"))
+  }
+
+  private val x51Sql =
+    """WITH g AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_g,
+      |    CAST(SUM(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS HUGEINT)) AS HUGEINT) AS s_g,
+      |    CAST(SUM(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |        AS HUGEINT)
+      |      * CAST(floor(o_totalprice) AS BIGINT)) AS HUGEINT) AS q_g
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |a AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS HUGEINT) AS n,
+      |    CAST(SUM(s_g) AS HUGEINT) AS s,
+      |    CAST(SUM(q_g - (s_g * s_g) // n_g) AS HUGEINT) AS ssw,
+      |    CAST(SUM((s_g * s_g) // n_g) AS HUGEINT) AS bsum
+      |  FROM g)
+      |SELECT k, CAST(n AS BIGINT) AS n_orders,
+      |  CAST(((bsum - (s * s) // n) // (k - 1)) * 1000000
+      |    // (ssw // (n - k)) AS BIGINT) AS f_ppm
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x52_markov — the stationary distribution of the per-user event-type
+  // Markov chain, by 20 steps of exact integer power iteration in ppm.
+  // Transitions are consecutive events per user (one user-partitioned
+  // window — x27's exchange, without the session split); the chain is
+  // restricted to types that have outgoing transitions (so it stays
+  // stochastic) and row-normalized to ppm with truncating division.
+  // Scale shape: the events table shuffles ONCE (on user_id for the
+  // lag); everything after is the types²-bounded transition table, so
+  // the 20-step iteration is a typed fold over ≤ ~100 rows — the
+  // volume was absorbed by the aggregate (x42's argument). Mass decays
+  // ≤ #states ppm per step from truncation; both engines truncate
+  // identically (measured div/`//` parity), so v20 is bit-exact.
+  def x52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.select(col("from_type"), col("to_type"), col("n"))
+      .as[(String, String, Long)]
+      .groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val states = rows.map(_._1).distinct.sorted
+        val idx = states.zipWithIndex.toMap
+        // keep only edges into states that themselves have outflow
+        val kept = rows.filter(r => idx.contains(r._2))
+        val tot = kept.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+        val p = kept.map { case (f, t, n) =>
+          (idx(f), idx(t), n * 1000000L / tot(f))
+        }
+        val k = states.length
+        var v = Array.fill(k)(if (k > 0) 1000000L / k else 0L)
+        for (_ <- 1 to 20) {
+          val nv = Array.fill(k)(0L)
+          p.foreach { case (i, j, pij) => nv(j) += v(i) * pij }
+          v = nv.map(_ / 1000000L)
+        }
+        val outDeg = kept.groupBy(_._1).map { case (f, rs) => f -> rs.length.toLong }
+        states.iterator.zipWithIndex.map { case (s, i) =>
+          (s, outDeg.getOrElse(s, 0L), v(i))
+        }
+      }.toDF("state", "out_deg", "v_ppm")
+      .orderBy(col("state"))
+  }
+
+  private val x52Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |tr0 AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM e),
+      |tr AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM tr0
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT from_type AS state,
+      |    ROW_NUMBER() OVER (ORDER BY from_type) - 1 AS i
+      |  FROM (SELECT DISTINCT from_type FROM tr)),
+      |kept AS (
+      |  SELECT * FROM tr WHERE to_type IN (SELECT state FROM idx)),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      |  FROM kept GROUP BY 1),
+      |cells AS (
+      |  SELECT fi.i AS fi, ti.i AS ti,
+      |    k.n * 1000000 // t.tot AS p_ppm
+      |  FROM kept k JOIN tot t ON k.from_type = t.from_type
+      |    JOIN idx fi ON k.from_type = fi.state
+      |    JOIN idx ti ON k.to_type = ti.state),
+      |dense AS (
+      |  SELECT f.i AS fi, t.i AS ti, COALESCE(c.p_ppm, 0) AS p
+      |  FROM idx f CROSS JOIN idx t
+      |    LEFT JOIN cells c ON c.fi = f.i AND c.ti = t.i),
+      |prow AS (SELECT fi, list(p ORDER BY ti) AS pr FROM dense GROUP BY fi),
+      |m AS (SELECT list(pr ORDER BY fi) AS pm,
+      |  (SELECT COUNT(*) FROM idx) AS k FROM prow),
+      |it AS (
+      |  SELECT 0 AS step, [1000000 // k for j IN range(k)] AS v FROM m
+      |  UNION ALL
+      |  SELECT step + 1,
+      |    [CAST(list_sum([v[i + 1] * pm[i + 1][j + 1] for i IN range(k)])
+      |        // 1000000 AS BIGINT) for j IN range(k)]
+      |  FROM it, m WHERE step < 20),
+      |od AS (SELECT from_type, COUNT(*) AS out_deg FROM kept GROUP BY 1)
+      |SELECT x.state, CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+      |  CAST(it.v[x.i + 1] AS BIGINT) AS v_ppm
+      |FROM idx x LEFT JOIN od ON od.from_type = x.state
+      |  CROSS JOIN it WHERE it.step = 20
+      |ORDER BY x.state""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x53_kruskal_wallis — the k-group rank ANOVA (Kruskal–Wallis H) over
+  // order value by market segment: x44's doubled-midrank machinery
+  // extended to k groups, with the tie-corrected statistic in exact
+  // ppm. H = 3e6·Σ_g(S_g²/4? no — S_g is the DOUBLED rank sum, so
+  // Σ R_g²/n_g = Σ S_g²/(4n_g) and H·1e6 = (3e6·Σ S_g² div (4n_g))
+  // div (N(N+1)) − 3(N+1)·1e6; the tie correction multiplies by
+  // (N³−N)/(N³−N−Σ(t³−t)). Scale shape: per-(value, seg) counts and
+  // per-value totals are both map-side-combined aggregates; the rank
+  // cum is a distributed globalPrefixSum (value cardinality grows with
+  // data, x44's argument); the k-row per-group frame then folds in one
+  // bounded mapGroups where Scala BigInt carries S_g² EXACTLY — the
+  // partials ride DECIMAL(38,0) through the shuffle (S_g ≤ 2n_gN
+  // overflows 2^63 past N ≈ 2e9 rows) and cross the encoder as
+  // strings. The DuckDB mirror computes the same fold in HUGEINT
+  // (int128 bounds it at N ≈ 2.5e9 — the oracle's limit, not the
+  // engine's; BigInt is unbounded).
+  def x53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("cents"), col("c_mktsegment").as("seg"))
+    val gv = v.groupBy(col("cents"), col("seg"))
+      .agg(count(lit(1)).as("n_gc"))
+    val tot = gv.groupBy(col("cents")).agg(sum(col("n_gc")).as("cnt"))
+    val cum = RelationalQueries.globalPrefixSum(
+      tot, Seq(col("cents")), col("cnt"), "cum")
+    val perGroup = gv.join(cum, Seq("cents"))
+      .groupBy(col("seg"))
+      .agg(sum(col("n_gc")).as("n_g"),
+        sum(col("n_gc").cast("decimal(38,0)") *
+          (col("cum") * 2 - col("cnt") + 1)).as("s_g"))
+    val ties = broadcast(cum.agg(
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") -
+        col("cnt")).as("tie_cubes")))
+    perGroup.crossJoin(ties)
+      .select(col("seg"), col("n_g"),
+        col("s_g").cast("string").as("s_g_s"),
+        col("tie_cubes").cast("string").as("t_s"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_ => 0).mapGroups { (_, it) =>
+        val rows = it.toArray
+        val n = rows.map(_._2).sum
+        val bigN = BigInt(n)
+        // Σ S_g²/(4 n_g), one agreed truncating division per group
+        val q = rows.map { case (_, ng, sg, _) =>
+          val s = BigInt(sg); s * s / (4 * BigInt(ng))
+        }.sum
+        val hPpm = BigInt(3000000) * q / (bigN * (bigN + 1)) -
+          3 * (bigN + 1) * 1000000
+        val t = BigInt(rows.head._4)
+        val cube = bigN * bigN * bigN - bigN
+        val hAdjPpm = hPpm * cube / (cube - t)
+        (rows.length.toLong, n, hPpm.toLong, hAdjPpm.toLong)
+      }.toDF("k", "n_orders", "h_ppm", "h_adj_ppm")
+  }
+
+  private val x53Sql =
+    """WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    c_mktsegment AS seg
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |gv AS (SELECT cents, seg, COUNT(*) AS n_gc FROM v GROUP BY 1, 2),
+      |tot AS (SELECT cents, CAST(SUM(n_gc) AS BIGINT) AS cnt
+      |        FROM gv GROUP BY 1),
+      |c AS (SELECT cents, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM tot),
+      |pg AS (
+      |  SELECT seg, CAST(SUM(n_gc) AS BIGINT) AS n_g,
+      |    CAST(SUM(n_gc::HUGEINT * (cum * 2 - cnt + 1)) AS HUGEINT) AS s_g
+      |  FROM gv JOIN c USING (cents) GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt::HUGEINT * cnt * cnt - cnt) AS HUGEINT)
+      |        AS tie_cubes FROM c),
+      |a AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS HUGEINT) AS n,
+      |    CAST(SUM((s_g * s_g) // (4 * n_g)) AS HUGEINT) AS q
+      |  FROM pg)
+      |SELECT k, CAST(n AS BIGINT) AS n_orders,
+      |  CAST(3000000 * q // (n * (n + 1)) - 3 * (n + 1) * 1000000
+      |    AS BIGINT) AS h_ppm,
+      |  CAST((3000000 * q // (n * (n + 1)) - 3 * (n + 1) * 1000000)
+      |    * (n * n * n - n) // (n * n * n - n - tie_cubes)
+      |    AS BIGINT) AS h_adj_ppm
+      |FROM a CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x53_kruskal_wallis" -> (x53 _),
+    "x51_anova" -> (x51 _),
+    "x52_markov" -> (x52 _),
     "x48_runs_test" -> (x48 _),
     "x47_changepoint" -> (x47 _),
     "x42_theil_sen" -> (x42 _),
@@ -554,6 +804,9 @@ object StatQueries {
     "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x53_kruskal_wallis" -> x53Sql,
+    "x51_anova" -> x51Sql,
+    "x52_markov" -> x52Sql,
     "x48_runs_test" -> x48Sql,
     "x47_changepoint" -> x47Sql,
     "x42_theil_sen" -> x42Sql,

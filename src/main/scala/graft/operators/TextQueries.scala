@@ -1665,7 +1665,346 @@ object TextQueries {
       |  CAST(MAX(spk) AS BIGINT) AS max_spk
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t38_kneser_ney — interpolated Kneser–Ney bigram LM scoring, the
+  // real n-gram smoothing (t27 is the unsmoothed MLE baseline): with
+  // discount D = 3/4,
+  //   P(w2|w1) = max(c_xy − D, 0)/c_x + D·N1(w1•)/c_x · Nend(•w2)/Ntypes
+  // where c_x = Σ_y c_xy (the CONTEXT count, so the distribution
+  // normalizes), N1(w1•) = distinct continuations of w1, Nend(•w2) =
+  // distinct contexts preceding w2 (the continuation probability — the
+  // KN insight: "how many contexts has w2 completed", not "how often"),
+  // Ntypes = distinct bigram types. Everything is a pure rational over
+  // denominator 4·c_x·Ntypes; the numerator rides DECIMAL(38,0)/HUGEINT
+  // (c_xy·Ntypes·1e6 ≈ 1e8·1e9·1e6 = 1e23 at warehouse scale — the
+  // q41/t16 overflow-proofing) and the div truncation is the measured
+  // cross-engine-identical one. Scale shape: all four count tables are
+  // VOCABULARY-bounded with map-side combine; the doc-transition stream
+  // shuffles on gram keys only (text stays behind); Ntypes rides a
+  // 1-row broadcast crossJoin; final per-doc mean is one partial-agg
+  // groupBy. Docs under 2 tokens have no transitions and drop (both
+  // engines).
+  /** KN doc scores over any (doc_id, text) frame — factored so specs
+    * can pin parity against a local BigInt reference on a constructed
+    * corpus. */
+  private[operators] def kneserNeyDocScores(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val docBigrams = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val ctx = bgc.groupBy(col("w1"))
+      .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1x"))
+    val nend = bgc.groupBy(col("w2")).agg(count(lit(1)).as("nend"))
+    val ntypes = broadcast(bgc.agg(count(lit(1)).as("n_types")))
+    docBigrams
+      .join(bgc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(nend, Seq("w2"))
+      .crossJoin(ntypes)
+      .select(col("doc_id"),
+        expr("""cast((greatest(4 * c_xy - 3, 0L) * n_types + 3 * n1x * nend)
+               |  AS DECIMAL(38,0)) * 1000000
+               |div (cast(4 AS DECIMAL(38,0)) * c_x * n_types)"""
+          .stripMargin).cast("long").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("kn_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t38(spark: SparkSession, dir: String): DataFrame =
+    kneserNeyDocScores(Tables.documents(spark, dir))
+
+  private val t38Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT doc_id, u.w1, u.w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+      |              for i in range(1, len(toks))], recursive := true)
+      |    FROM t WHERE len(toks) >= 2) u(doc_id, w1, w2)),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x,
+      |          COUNT(*) AS n1x FROM bgc GROUP BY 1),
+      |ne AS (SELECT w2, COUNT(*) AS nend FROM bgc GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n_types FROM bgc),
+      |p AS (SELECT bg.doc_id,
+      |    CAST((GREATEST(4 * c.c_xy - 3, 0) * nt.n_types
+      |          + 3 * x.n1x * ne.nend)::HUGEINT * 1000000
+      |      // (4::HUGEINT * x.c_x * nt.n_types) AS BIGINT) AS ppm
+      |  FROM bg JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |    JOIN ctx x ON bg.w1 = x.w1
+      |    JOIN ne ON bg.w2 = ne.w2
+      |    CROSS JOIN nt)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS kn_ppm
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t39_good_turing — Good–Turing count-of-counts smoothing over the
+  // corpus unigram frequencies: for each raw count c, N_c = how many
+  // vocabulary terms occur exactly c times, and the smoothed count
+  // c* = (c+1)·N_{c+1}/N_c (Good 1953) in exact ppm — the adjustment
+  // an LM applies before trusting raw counts, and the estimator of the
+  // UNSEEN mass p0 = N_1/T. Where N_{c+1} = 0 (count gaps at the Zipf
+  // tail) the estimate is 0 by convention — kept integer, never NULL,
+  // so the gate's column stays BIGINT end to end. Scale shape: the
+  // term-count table is vocabulary-bounded with map-side combine; the
+  // count-of-counts
+  // table is tiny (distinct count VALUES, O(√T) by Zipf); the c+1
+  // lookup is a self-join on that tiny table. Nothing after the first
+  // aggregate scales with the corpus.
+  def t39(spark: SparkSession, dir: String): DataFrame = {
+    val termCounts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nc = termCounts.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    nc.as("a")
+      .join(nc.as("b"), col("a.c") + 1 === col("b.c"), "left")
+      .select(col("a.c").as("c"), col("a.n_c").as("n_c"),
+        coalesce(
+          expr("""cast((cast(a.c + 1 AS DECIMAL(38,0)) * b.n_c * 1000000)
+                 |  div a.n_c AS BIGINT)""".stripMargin),
+          lit(0L)).as("c_star_ppm"))
+      .orderBy(col("c"))
+  }
+
+  private val t39Sql =
+    """WITH tc AS (
+      |  SELECT u.term, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE text IS NOT NULL) u(term)
+      |  GROUP BY 1),
+      |nc AS (SELECT c, COUNT(*) AS n_c FROM tc GROUP BY 1)
+      |SELECT a.c, a.n_c,
+      |  COALESCE(CAST(CAST(a.c + 1 AS HUGEINT) * b.n_c * 1000000 // a.n_c
+      |    AS BIGINT), 0) AS c_star_ppm
+      |FROM nc a LEFT JOIN nc b ON a.c + 1 = b.c
+      |ORDER BY a.c""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t40_burstiness — per-term burstiness: the variance-to-mean ratio of
+  // the term's per-document count over ALL documents (zeros included),
+  // in exact ppm. VMR ≈ 1 marks Poisson "background" words; bursty
+  // content terms concentrate in few docs and score ≫ 1 — a classic
+  // keyword/stopword separator that needs no stopword list. With
+  // N docs, S = Σc, Q = Σc²: VMR = ((N·Q − S²)·1e6) div (N·S) — the
+  // zeros contribute nothing to S and Q, so only the (term, doc)
+  // incidence table is ever materialized. Scale shape: explode is
+  // map-side; (term, doc) then term aggregates are vocab-bounded with
+  // partial combine; N rides a 1-row broadcast; N·Q ≈ 1e25 at
+  // warehouse scale rides DECIMAL(38,0)/HUGEINT. Top-100 by VMR is a
+  // TakeOrdered, never a global sort.
+  def t40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("m_docs"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .filter(col("s") >= 50)
+      .crossJoin(nDocs)
+      .select(col("term"), col("m_docs"), col("s").as("total"),
+        expr("""cast(((cast(n_docs AS DECIMAL(38,0)) * q - cast(s AS DECIMAL(38,0)) * s)
+               |  * 1000000) div (cast(n_docs AS DECIMAL(38,0)) * s) AS BIGINT)"""
+          .stripMargin).as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("term")).limit(100)
+  }
+
+  private val t40Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n_docs FROM d),
+      |td AS (
+      |  SELECT u.term, u.doc_id, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+      |  ) u GROUP BY 1, 2),
+      |t AS (
+      |  SELECT term, COUNT(*) AS m_docs, CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(SUM(c * c) AS BIGINT) AS q
+      |  FROM td GROUP BY 1 HAVING SUM(c) >= 50)
+      |SELECT term, m_docs, s AS total,
+      |  CAST(((CAST(n_docs AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    * 1000000) // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) AS vmr_ppm
+      |FROM t CROSS JOIN n
+      |ORDER BY vmr_ppm DESC, term LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t41_mixture_apportion — exact largest-remainder (Hamilton)
+  // apportionment of a 1,000,000-token training-mix budget across
+  // sources, proportional to each source's total token count: base_i =
+  // (c_i·1e6) div T, then the L = 1e6 − Σ base_i leftover tokens go to
+  // the L largest remainders (ties broken by source name, pinned).
+  // This is the "hit the target corpus mixture EXACTLY" op a training
+  // pipeline runs before sampling — Σ tokens_i = 1e6 by construction,
+  // which no independent-rounding scheme guarantees. Scale shape: the
+  // corpus collapses to one #sources-sized aggregate (map-side
+  // combine); the totals ride a 1-row broadcast; the remainder rank is
+  // a #sources-bounded window. c_i·1e6 rides DECIMAL(38,0)/HUGEINT
+  // (1e13 tokens/source at 100 TB × 1e6 = 1e19 > 2^63).
+  def t41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("c"))
+    val tot = broadcast(perSrc.agg(
+      sum(col("c").cast("decimal(38,0)")).as("t_tokens")))
+    val based = perSrc.crossJoin(tot)
+      .select(col("source"), col("c"),
+        expr("cast(cast(c AS DECIMAL(38,0)) * 1000000 div t_tokens AS BIGINT)")
+          .as("base"),
+        expr("cast(cast(c AS DECIMAL(38,0)) * 1000000 % t_tokens AS DECIMAL(38,0))")
+          .as("rem"))
+    val leftover = broadcast(based.agg(
+      (lit(1000000L) - sum(col("base"))).as("leftover")))
+    based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(leftover)
+      .select(col("source"), col("c").as("src_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val t41Sql =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS HUGEINT) AS t_tokens FROM s),
+      |b AS (
+      |  SELECT source, c,
+      |    CAST(c::HUGEINT * 1000000 // t_tokens AS BIGINT) AS base,
+      |    c::HUGEINT * 1000000 % t_tokens AS rem
+      |  FROM s CROSS JOIN t),
+      |l AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b)
+      |SELECT source, c AS src_tokens,
+      |  base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+      |    <= leftover THEN 1 ELSE 0 END AS quota
+      |FROM b CROSS JOIN l ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t42_isotonic_pava — isotonic (monotone nondecreasing) calibration
+  // of P(lang = 'en') against document length bins, the
+  // pool-adjacent-violators fit a quality-classifier calibration step
+  // runs. The Spark side executes true PAVA with EXACT rational pooling
+  // (BigInt cross-multiplied mean comparisons — no float ever enters);
+  // the oracle evaluates the equivalent minimax form iso(b) =
+  // max_{j≤b} min_{k≥b} mean(y[j..k]) (Barlow et al. 1972) over
+  // ppm-truncated pair means. The two agree bit-for-bit because floor
+  // is monotone, so it commutes with min/max: floor(minimax over
+  // rationals) = minimax over floored means = floor(PAVA block mean).
+  // Scale shape: the corpus collapses map-side to ≤32 (bin, n, y)
+  // partials; PAVA then runs as a typed fold over that bounded frame
+  // (x36's argument) — the oracle's O(bins³) pair sweep exists only on
+  // the DuckDB side.
+  def t42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .groupBy(least(expr("n_chars div 32"), lit(31L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val bins = it.toArray.sortBy(_._1)
+        // blocks of (startIdx, n, y); pool while the previous block's
+        // mean EXCEEDS the next (violates nondecreasing), comparing
+        // y1/n1 > y2/n2 exactly as y1·n2 > y2·n1
+        val st = scala.collection.mutable.Stack[(Int, Long, Long)]()
+        bins.zipWithIndex.foreach { case ((_, n, y), i) =>
+          var (s, cn, cy) = (i, n, y)
+          while (st.nonEmpty &&
+              BigInt(st.top._3) * cn > BigInt(cy) * st.top._2) {
+            val (ps, pn, py) = st.pop(); s = ps; cn += pn; cy += py
+          }
+          st.push((s, cn, cy))
+        }
+        val blocks = st.toSeq.sortBy(_._1)
+        val out = new Array[Long](bins.length)
+        blocks.zipWithIndex.foreach { case ((s, cn, cy), bi) =>
+          val end = if (bi + 1 < blocks.length) blocks(bi + 1)._1 else bins.length
+          val v = (BigInt(cy) * 1000000 / cn).toLong
+          (s until end).foreach(out(_) = v)
+        }
+        bins.iterator.zipWithIndex.map { case ((b, n, y), i) =>
+          (b, n, y, out(i)) }
+      }.toDF("bin", "n_docs", "n_en", "iso_ppm")
+      .orderBy(col("bin"))
+  }
+
+  private val t42Sql =
+    """WITH b AS (
+      |  SELECT CAST(LEAST(n_chars // 32, 31) AS BIGINT) AS bin,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      |o AS (SELECT bin, n, y,
+      |    ROW_NUMBER() OVER (ORDER BY bin) AS i,
+      |    SUM(n) OVER (ORDER BY bin) AS pn,
+      |    SUM(y) OVER (ORDER BY bin) AS py
+      |  FROM b),
+      |pairs AS (
+      |  SELECT j.i AS j, k.i AS k,
+      |    CAST((k.py - j.py + j.y) * 1000000
+      |      // (k.pn - j.pn + j.n) AS BIGINT) AS m
+      |  FROM o j JOIN o k ON j.i <= k.i),
+      |inner_min AS (
+      |  SELECT o.i AS b, p.j, MIN(p.m) AS mn
+      |  FROM o JOIN pairs p ON p.j <= o.i AND p.k >= o.i
+      |  GROUP BY 1, 2)
+      |SELECT o.bin, o.n AS n_docs, o.y AS n_en,
+      |  (SELECT MAX(mn) FROM inner_min im WHERE im.b = o.i) AS iso_ppm
+      |FROM o ORDER BY o.bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t43_feistel_order — the deterministic global training-order shuffle:
+  // a 2-round Feistel network over the 32-bit doc_id residue gives a
+  // BIJECTION of [0, 2^32) (each round replaces one 16-bit half with
+  // (other + F(half)) mod 2^16 — invertible for any round function F),
+  // so epoch order is a true permutation: reproducible across runs,
+  // collision-free within a 2^32 block, and computed per-row with NO
+  // shuffle — the only distributed work is the top-k, which compiles
+  // to TakeOrderedAndProject (never a global sort). F pre-mods before
+  // the Knuth multiply (the d19/t32 lesson: (x+key) ≤ 2^17 × golden
+  // keeps products < 2^63 where Spark wraps silently and DuckDB
+  // raises). Ties across 2^32 blocks (doc_id ≥ 2^32) break on doc_id.
+  def t43(spark: SparkSession, dir: String): DataFrame = {
+    val perm =
+      """(((doc_id % 65536) + (((doc_id % 4294967296) div 65536 + 9109) * 2654435761) % 65536) % 65536) * 65536
+        | + (((doc_id % 4294967296) div 65536
+        |     + (((doc_id % 65536) + (((doc_id % 4294967296) div 65536 + 9109) * 2654435761) % 65536 + 22093) * 2654435761) % 65536) % 65536)"""
+        .stripMargin.replaceAll("\n", " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(perm).cast("long").as("epoch_pos"))
+      .orderBy(col("epoch_pos"), col("doc_id")).limit(20)
+  }
+
+  private val t43Sql =
+    """SELECT doc_id,
+      |  (((doc_id % 65536) + (((doc_id % 4294967296) // 65536 + 9109) * 2654435761) % 65536) % 65536) * 65536
+      |  + (((doc_id % 4294967296) // 65536
+      |      + (((doc_id % 65536) + (((doc_id % 4294967296) // 65536 + 9109) * 2654435761) % 65536 + 22093) * 2654435761) % 65536) % 65536)
+      |  AS epoch_pos
+      |FROM documents ORDER BY epoch_pos, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t43_feistel_order" -> (t43 _),
+    "t42_isotonic_pava" -> (t42 _),
+    "t41_mixture_apportion" -> (t41 _),
+    "t40_burstiness" -> (t40 _),
+    "t39_good_turing" -> (t39 _),
+    "t38_kneser_ney" -> (t38 _),
     "t37_code_detection" -> (t37 _),
     "t36_zipf_slope" -> (t36 _),
     "t35_concordance" -> (t35 _),
@@ -1704,6 +2043,12 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t43_feistel_order" -> t43Sql,
+    "t42_isotonic_pava" -> t42Sql,
+    "t41_mixture_apportion" -> t41Sql,
+    "t40_burstiness" -> t40Sql,
+    "t39_good_turing" -> t39Sql,
+    "t38_kneser_ney" -> t38Sql,
     "t37_code_detection" -> t37Sql,
     "t36_zipf_slope" -> t36Sql,
     "t35_concordance" -> t35Sql,

@@ -80,7 +80,13 @@ class PlanRegressionSpec extends SparkSpec {
     "sk7_kmv" -> 1,           // 1-row exact-anchor ride-along
     "q70_percentile_cont" -> 1, // 1-row count into the 3-row rank targets
     "x47_changepoint" -> 1,   // 1-row totals ride-along
-    "x48_runs_test" -> 1)     // 1-row transition-count ride-along
+    "x48_runs_test" -> 1,     // 1-row transition-count ride-along
+    "t38_kneser_ney" -> 1,    // 1-row bigram-type-count ride-along
+    "t40_burstiness" -> 1,    // 1-row corpus-doc-count ride-along
+    "t41_mixture_apportion" -> 3, // 1-row totals + leftover ride-alongs
+                              // (totals re-expands inside the leftover
+                              // branch pre-execution, like x40's)
+    "x53_kruskal_wallis" -> 1)    // 1-row tie-cubes ride-along
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
@@ -200,7 +206,8 @@ class PlanRegressionSpec extends SparkSpec {
     "q48_rolling_ols" -> 3,      // rolling Σx/Σy/Σxy frames over days
     "v16_anomaly_mad" -> 6,      // median + MAD rank picks over day counts
                                  // (3 ranked branches × rank/count pair)
-    "x41_stl" -> 2)              // trend + seasonal smoothing over days
+    "x41_stl" -> 2,              // trend + seasonal smoothing over days
+    "t41_mixture_apportion" -> 1) // remainder rank over #sources rows
 
   test("q69 keeps the rank-filter pushdown (WindowGroupLimit)") {
     // InferWindowGroupLimit turns `row_number() <= k` into a per-group
@@ -221,5 +228,36 @@ class PlanRegressionSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("gate outputs carry only driver-hash-stable column types") {
+    // The correctness driver hashes Spark's parquet against DuckDB's
+    // oracle result with NO casts, so any output column whose DuckDB
+    // twin reads back as a different type (DECIMAL(38,0) vs HUGEINT,
+    // INT vs BIGINT count) is a hash FAIL even when values match —
+    // exactly how q42/t31/x31 shipped red in round 5. Pin the contract:
+    // every gate's schema is drawn from the proven-stable set below, so
+    // a wide DECIMAL or a narrow INT can never reach a gate's output.
+    import org.apache.spark.sql.types._
+    // INT and TIMESTAMP_NTZ are in the set because dozens of r5-green
+    // gates emit them as parquet PASSTHROUGH columns (nationkey, media
+    // metadata) where DuckDB reads the identical physical type. The
+    // banned types are the ones that bit us: DECIMAL(38,0) (q42) and
+    // anything DuckDB renders differently than Spark writes.
+    val stable: DataType => Boolean = {
+      case LongType | DoubleType | StringType | DateType | BooleanType
+        | IntegerType => true
+      case _: TimestampType | _: TimestampNTZType => true
+      case ArrayType(LongType | DoubleType | StringType, _) => true
+      case _ => false
+    }
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      val bad = p.schema.fields.filterNot(f => stable(f.dataType))
+      if (bad.nonEmpty)
+        Some(s"$name: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "driver-hash-unstable output types:\n" + offenders.mkString("\n"))
   }
 }
