@@ -126,5 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: length-difference guard in front of thresholded
     // levenshtein filters (see the rule's doc for soundness/idempotence)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
+
+    // planner strategy: the native backward as-of join (custom logical
+    // node → sort-merge AsOfJoinExec; graft.operators.AsOf also
+    // self-registers it per-session for extension-less sessions)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -169,6 +169,59 @@ object CrossQueries {
       |GROUP BY 1 ORDER BY gap_min""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x54_asof_native — x5's attribution semantics through the NATIVE
+  // as-of operator ([[graft.plans.AsOfJoin]]): each click is joined to
+  // the user's latest preceding purchase by the custom sort-merge
+  // AsOfJoinExec — a custom logical node + planner strategy + physical
+  // operator, the whole-operator extension path. The oracle is DuckDB's
+  // own `ASOF LEFT JOIN`, so the gate pins this engine's operator
+  // against ANOTHER engine's native implementation of the same
+  // semantics. Plan shape (AsOfJoinSpec-pinned): exactly two
+  // ENSURE_REQUIREMENTS hash exchanges — the equi-join lower bound —
+  // versus x5's composed form, whose union+window carries BOTH event
+  // streams through one tagged exchange. The right side pre-aggregates
+  // to unique (user, ts) so the tie-on-equal-time row is well-defined
+  // in both engines.
+  def x54(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+    AsOf.joinBackward(clicks, buys, Seq("user_id"), "tsu", "rtsu")
+      .select(
+        when(col("v").isNull, lit(-1L))
+          .otherwise(least(expr("(tsu - rtsu) div 60000000"), lit(60L)))
+          .as("gap_min"),
+        col("v"))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(floor(col("v") * 100).cast("long"), lit(0L)))
+          .as("cents"))
+      .orderBy(col("gap_min"))
+  }
+
+  private val x54Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.tsu, r.rtsu, r.v
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.tsu >= r.rtsu)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE LEAST((tsu - rtsu) // 60000000, 60) END AS gap_min,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x6_range_join — point-in-interval join via bin equi-keys
   // ([[graft.joins.RangeJoin]]): customers whose balance falls in a
   // supplier's [acctbal, acctbal+500] band. The oracle is the plain
@@ -1851,12 +1904,14 @@ object CrossQueries {
     "x3_intersect" -> (x3 _),
     "x4_skyline" -> (x4 _),
     "x5_asof_attribution" -> (x5 _),
+    "x54_asof_native" -> (x54 _),
     "x6_range_join" -> (x6 _),
     "x7_scd2_history" -> (x7 _),
     "x8_bloom_join" -> (x8 _),
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x54_asof_native" -> x54Sql,
     "x50_price_volume_mix" -> x50Sql,
     "x39_vwap" -> x39Sql,
     "x38_holt_forecast" -> x38Sql,

@@ -726,35 +726,47 @@ object StatQueries {
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("cents"), col("c_mktsegment").as("seg"))
+    // per-value row carries its ≤k-entry segment breakdown as a struct
+    // list, so the midrank join back onto the N-scale value table never
+    // happens — the prefix-sum row explodes map-side into ≤k rows and
+    // aggregates straight to the k-row group frame (x44 runs one
+    // N-scale pass; this runs two, for k groups instead of two).
     val gv = v.groupBy(col("cents"), col("seg"))
       .agg(count(lit(1)).as("n_gc"))
-    val tot = gv.groupBy(col("cents")).agg(sum(col("n_gc")).as("cnt"))
+      .groupBy(col("cents"))
+      .agg(sum(col("n_gc")).as("cnt"),
+        collect_list(struct(col("seg"), col("n_gc"))).as("segs"))
     val cum = RelationalQueries.globalPrefixSum(
-      tot, Seq(col("cents")), col("cnt"), "cum")
-    val perGroup = gv.join(cum, Seq("cents"))
-      .groupBy(col("seg"))
-      .agg(sum(col("n_gc")).as("n_g"),
-        sum(col("n_gc").cast("decimal(38,0)") *
-          (col("cum") * 2 - col("cnt") + 1)).as("s_g"))
-    val ties = broadcast(cum.agg(
-      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") -
-        col("cnt")).as("tie_cubes")))
-    perGroup.crossJoin(ties)
-      .select(col("seg"), col("n_g"),
-        col("s_g").cast("string").as("s_g_s"),
-        col("tie_cubes").cast("string").as("t_s"))
-      .as[(String, Long, String, String)]
+      gv, Seq(col("cents")), col("cnt"), "cum")
+    // the tie term Σ(cnt³−cnt) rides the SAME pass as a pseudo-segment
+    // row appended to each value's explode — no second N-scale subtree,
+    // no 1-row crossJoin (the first cut re-ran the whole two-level
+    // aggregate for one scalar)
+    val perGroup = cum
+      .select(col("cnt"), col("cum"),
+        explode(concat(col("segs"), array(
+          struct(lit("__ties").as("seg"), lit(0L).as("n_gc"))))).as("e"))
+      .groupBy(col("e.seg").as("seg"))
+      .agg(sum(col("e.n_gc")).as("n_g"),
+        sum(when(col("e.seg") === "__ties",
+          col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") -
+            col("cnt"))
+          .otherwise(col("e.n_gc").cast("decimal(38,0)") *
+            (col("cum") * 2 - col("cnt") + 1))).as("s_g"))
+    perGroup
+      .select(col("seg"), col("n_g"), col("s_g").cast("string").as("s_g_s"))
+      .as[(String, Long, String)]
       .groupByKey(_ => 0).mapGroups { (_, it) =>
-        val rows = it.toArray
+        val (tieRows, rows) = it.toArray.partition(_._1 == "__ties")
         val n = rows.map(_._2).sum
         val bigN = BigInt(n)
         // Σ S_g²/(4 n_g), one agreed truncating division per group
-        val q = rows.map { case (_, ng, sg, _) =>
+        val q = rows.map { case (_, ng, sg) =>
           val s = BigInt(sg); s * s / (4 * BigInt(ng))
         }.sum
         val hPpm = BigInt(3000000) * q / (bigN * (bigN + 1)) -
           3 * (bigN + 1) * 1000000
-        val t = BigInt(rows.head._4)
+        val t = BigInt(tieRows.head._3)
         val cube = bigN * bigN * bigN - bigN
         val hAdjPpm = hPpm * cube / (cube - t)
         (rows.length.toLong, n, hPpm.toLong, hAdjPpm.toLong)

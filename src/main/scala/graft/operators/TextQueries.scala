@@ -1702,16 +1702,20 @@ object TextQueries {
       .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1x"))
     val nend = bgc.groupBy(col("w2")).agg(count(lit(1)).as("nend"))
     val ntypes = broadcast(bgc.agg(count(lit(1)).as("n_types")))
-    docBigrams
-      .join(bgc, Seq("w1", "w2"))
+    // P(w2|w1) depends only on the bigram TYPE, so resolve it over the
+    // vocabulary²-bounded type table and join the (much larger) per-doc
+    // stream exactly once — the three stat joins never touch doc volume.
+    val probs = bgc
       .join(ctx, Seq("w1"))
       .join(nend, Seq("w2"))
       .crossJoin(ntypes)
-      .select(col("doc_id"),
+      .select(col("w1"), col("w2"),
         expr("""cast((greatest(4 * c_xy - 3, 0L) * n_types + 3 * n1x * nend)
                |  AS DECIMAL(38,0)) * 1000000
                |div (cast(4 AS DECIMAL(38,0)) * c_x * n_types)"""
           .stripMargin).cast("long").as("ppm"))
+    docBigrams
+      .join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(ppm) div count(1)").as("kn_ppm"))

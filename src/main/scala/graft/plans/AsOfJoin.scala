@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native backward AS-OF join — the whole-operator extension path the
+  * composed form (x5's union + window trick) can't match on shuffle
+  * count: a custom logical node, planner strategy, and sort-merge
+  * physical operator registered through the session's extension points.
+  *
+  * Semantics (kdb/Pandas/DuckDB `ASOF LEFT JOIN`): for every left row,
+  * attach the right row with the greatest rightTime ≤ leftTime among
+  * rows sharing the join key, or nulls when none precedes it.
+  *
+  * Scale shape: EXACTLY two hash exchanges (one per side, on the key —
+  * the same lower bound a plain equi-join pays) plus in-partition
+  * sorts; the merge walks each partition ONCE with O(1) state (the
+  * current candidate row), so skewed keys cost their row count, never
+  * a per-key buffer. The composed alternative union-sorts BOTH tables
+  * into one window pass — a wider exchange carrying a tag column, and
+  * a window buffer per key. The reference's pipelines do this match in
+  * pandas after collecting (`/root/reference/src/pa/pa_etl_script.py`
+  * merges frames driver-side); here it stays distributed at any scale.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends LogicalBinaryNode {
+  // right KEY columns are excluded: they equal the left keys on match
+  // and are null otherwise — emitting them would only shadow the left
+  // names (the same reason `USING` joins emit one key column)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output
+      .filterNot(a => rightKeys.exists(_.semanticEquals(a)))
+      .map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected via
+  * `spark.experimental.extraStrategies` (self-registered by
+  * [[graft.operators.AsOf]]) and `GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join. Children arrive hash-clustered on
+  * the key and sorted by (key, time) — declared through
+  * `requiredChildDistribution`/`requiredChildOrdering`, so
+  * EnsureRequirements plans the minimal exchanges exactly as it does
+  * for SortMergeJoin. The per-partition merge keeps one candidate (the
+  * latest right row not after the current left time); candidates carry
+  * across left rows of the same key because both inputs are
+  * time-sorted within the key. */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
+    t == LongType || t.isInstanceOf[TimestampType]),
+    s"as-of time columns must be LONG or TIMESTAMP, got " +
+      s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output
+      .filterNot(a => rightKeys.exists(_.semanticEquals(a)))
+      .map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      // bind the key-pruned output against the FULL joined schema
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      var cand: InternalRow = null
+      var candKey: UnsafeRow = null
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTm = lTimeProj(l).getLong(0)
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
+          if (cmp < 0) rBuf.next() // right key behind every remaining left
+          else if (cmp == 0 && rTimeProj(rBuf.head).getLong(0) <= lTm) {
+            cand = rBuf.next().copy()
+            candKey = lKey.copy()
+          } else scanning = false
+        }
+        val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
+        outProj(joined(l, if (matched) cand else nullRight))
+      }
+    }
+  }
+}

@@ -57,7 +57,11 @@ object DumpPlans {
     "q70_percentile_cont", "x47_changepoint", "x48_runs_test",
     "x49_join_ivm", "s26_pq_adc",
     // round 6, final session
-    "sk8_bitmap_distinct", "q72_forecast_revenue", "s27_mmr")
+    "sk8_bitmap_distinct", "q72_forecast_revenue", "s27_mmr",
+    // round 6, closing session: exact-statistics + training-mix family
+    "t38_kneser_ney", "t39_good_turing", "t40_burstiness",
+    "t41_mixture_apportion", "t42_isotonic_pava", "t43_feistel_order",
+    "x51_anova", "x52_markov", "x53_kruskal_wallis")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

@@ -1,0 +1,113 @@
+package graft.joins
+
+import graft.SparkSpec
+import graft.operators.AsOf
+import graft.plans.AsOfJoinExec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the native as-of join ([[graft.plans.AsOfJoin]]): semantics
+  * against a local reference, self-as-of attribute hygiene, the
+  * exactly-two-exchanges plan shape, and parity with the composed
+  * union+window formulation on a randomized fixture.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def leftDf: DataFrame = {
+    val ss = spark; import ss.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 4L, "z"),
+      (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag").repartition(3)
+  }
+
+  private def rightDf: DataFrame = {
+    val ss = spark; import ss.implicits._
+    Seq((1L, 5L, 100.0), (1L, 15L, 200.0), (1L, 20L, 250.0),
+      (2L, 6L, 300.0), (4L, 1L, 400.0))
+      .toDF("k", "rt", "v").repartition(2)
+  }
+
+  test("backward as-of semantics: greatest right time <= left time, else null") {
+    val got = AsOf.joinBackward(leftDf, rightDf, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .select(col("k"), col("t"),
+        coalesce(col("v"), lit(-1.0)).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, 4L, -1.0),    // nothing at or before t=4
+      (1L, 10L, 100.0),  // rt=5
+      (1L, 20L, 250.0),  // rt=20 ties left time: <= matches
+      (2L, 5L, -1.0),    // right exists only at rt=6 > 5
+      (3L, 7L, -1.0)))   // key absent on the right
+  }
+
+  test("plan: one AsOfJoinExec, exactly two exchanges (the equi-join lower bound)") {
+    // AQE off for the assertion: executedPlan then exposes the
+    // EnsureRequirements output directly (collect can't descend into
+    // AdaptiveSparkPlanExec, and sparkPlan predates the exchanges).
+    // Only ENSURE_REQUIREMENTS exchanges count — the fixture's explicit
+    // repartitions are test noise.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = AsOf.joinBackward(leftDf, rightDf, Seq("k"), "t", "rt")
+        .queryExecution.executedPlan
+      val asofs = plan.collect { case e: AsOfJoinExec => e }
+      assert(asofs.size == 1, plan.toString)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.shuffleOrigin ==
+              org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+      }
+      assert(exchanges.size == 2, plan.toString)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("self-as-of on one scan keeps attributes unambiguous") {
+    val ss = spark; import ss.implicits._
+    val events = Seq((1L, 10L, "click"), (1L, 8L, "buy"), (1L, 12L, "buy"),
+      (2L, 3L, "click"), (2L, 1L, "buy"))
+      .toDF("u", "t", "typ")
+    val clicks = events.filter($"typ" === "click").select($"u", $"t")
+    val buys = events.filter($"typ" === "buy")
+      .select($"u".as("u2"), $"t".as("bt")).withColumnRenamed("u2", "u")
+    val got = AsOf.joinBackward(clicks, buys, Seq("u"), "t", "bt")
+      .orderBy("u").select("u", "t", "bt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 8L), (2L, 3L, 1L)))
+  }
+
+  test("randomized parity with the composed union+window as-of") {
+    val ss = spark; import ss.implicits._
+    // deterministic pseudo-random fixture: 400 left / 300 right rows
+    // over 20 keys, times in [0, 1000) — hash-mixed, no RNG
+    def mix(i: Long, salt: Long): Long =
+      ((i * 2654435761L + salt) % 4294967296L).abs
+    val left = (0L until 400L)
+      .map(i => (mix(i, 17) % 20, mix(i, 31) % 1000, i)).toDF("k", "t", "lid")
+      .repartition(5)
+    // unique (k, rt) on the right so the match is well-defined
+    val right = (0L until 300L)
+      .map(i => (mix(i, 7) % 20, mix(i, 13) % 1000, i))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rt", "rid").repartition(4)
+    val native = AsOf.joinBackward(left, right, Seq("k"), "t", "rt")
+      .select($"lid", coalesce($"rid", lit(-1L)).as("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // composed form: union with a tag, per-key window carrying the last
+    // right id at or before each row
+    import org.apache.spark.sql.expressions.Window
+    val tagged = left.select($"k", $"t", $"lid", lit(null: java.lang.Long).as("rid"))
+      .unionByName(right.select($"k", $"rt".as("t"),
+        lit(null: java.lang.Long).as("lid"), $"rid"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"rid".asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = tagged
+      .withColumn("last_rid", last($"rid", ignoreNulls = true).over(w))
+      .filter($"lid".isNotNull)
+      .select($"lid", coalesce($"last_rid", lit(-1L)).as("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native.size == 400 && native == composed)
+  }
+}
