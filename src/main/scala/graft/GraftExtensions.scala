@@ -131,5 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // node → sort-merge AsOfJoinExec; graft.operators.AsOf also
     // self-registers it per-session for extension-less sessions)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ...and its filter pushdown (Catalyst's own pushdown only knows
+    // Join nodes; left-side predicates commute with the as-of join)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }

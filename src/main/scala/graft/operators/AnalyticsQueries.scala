@@ -977,6 +977,45 @@ object AnalyticsQueries {
   }
 
   // ---------------------------------------------------------------------
+  // v24_k_anonymity — the release-readiness privacy audit v23's masking
+  // step feeds: group the customer table by its quasi-identifier tuple
+  // (nation, market segment) and measure k-anonymity (smallest
+  // equivalence class — any class below k=5 re-identifies) and
+  // l-diversity (fewest distinct values of the sensitive attribute —
+  // here the account-standing sign — within a class; a class where
+  // everyone shares the sensitive value leaks it even at high k).
+  // One map-side-combined aggregate to QI-tuple cardinality (bounded:
+  // |nations|×|segments|), one k-row reduce — a single pass at any
+  // table size. Outputs are counts only; no QI values leave the audit.
+  def v24(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(when(col("c_acctbal") < 0, 1L).otherwise(0L))
+          .as("l_div"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("sz")).as("k_min"),
+      sum(when(col("sz") < 5, 1L).otherwise(0L)).as("risky_classes"),
+      sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
+      min(col("l_div")).as("l_min"))
+  }
+
+  private val v24Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+      |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l_div
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_classes,
+      |  CAST(MIN(sz) AS BIGINT) AS k_min,
+      |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS risky_classes,
+      |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  CAST(MIN(l_div) AS BIGINT) AS l_min
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49_join_ivm — incremental JOIN-view maintenance by delta
   // decomposition, the join sibling of x33's aggregate IVM: for the
   // standing view V = agg(R ⋈ S) with a batch of new orders ΔR AND new
@@ -1060,6 +1099,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x49_join_ivm" -> (x49 _),
     "v23_pseudonymize" -> (v23 _),
+    "v24_k_anonymity" -> (v24 _),
     "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
@@ -1083,6 +1123,7 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "x49_join_ivm" -> x49Sql,
     "v23_pseudonymize" -> v23Sql,
+    "v24_k_anonymity" -> v24Sql,
     "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.Project
-import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+import graft.plans.{AsOfBackward, AsOfDirection, AsOfForward, AsOfJoin, AsOfJoinStrategy}
 
 /** Public entry for the native backward as-of join (see
   * [[graft.plans.AsOfJoin]] for the operator design). Resolves columns
@@ -19,13 +19,33 @@ object AsOf {
   /** Backward as-of join: every `left` row gains the `right` row with
     * the greatest `rightTime` ≤ `leftTime` for equal `keys`, or nulls.
     * Right columns keep their names; callers project/rename as usual.
+    * `toleranceMicros` bounds the match gap (pandas merge_asof's
+    * `tolerance`): matches farther back than the bound become nulls.
     */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTime, rightTime, AsOfBackward, toleranceMicros)
+
+  /** Forward as-of join: the SMALLEST `rightTime` ≥ `leftTime` per key
+    * (pandas merge_asof direction='forward'; DuckDB `ON l.t <= r.t`). */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTime, rightTime, AsOfForward, toleranceMicros)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, direction: AsOfDirection,
+      toleranceMicros: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        graft.plans.AsOfJoinFilterPushdown +:
+          spark.experimental.extraOptimizations
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-as-of (same scan on both sides) stays unambiguous
@@ -40,6 +60,7 @@ object AsOf {
       keys.map(attr(lPlan.output, _, "left key")),
       keys.map(attr(rOut, _, "right key")),
       attr(lPlan.output, leftTime, "left time"),
-      attr(rOut, rightTime, "right time")))
+      attr(rOut, rightTime, "right time"),
+      direction, toleranceMicros))
   }
 }

@@ -222,6 +222,119 @@ object CrossQueries {
       |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x55_asof_forward — the native as-of operator in FORWARD mode with a
+  // tolerance: each click joined to the user's NEXT purchase within 2
+  // hours (time-to-convert, the attribution question x54's backward
+  // mode can't answer). The oracle flips DuckDB's ASOF comparison to
+  // `l.tsu <= r.rtsu` (its forward form) and mirrors the tolerance as
+  // a post-join null-out — semantics identical to tolerance-in-join
+  // because as-of yields at most one candidate per left row. Same
+  // two-exchange plan as x54; the forward merge never buffers (the
+  // candidate is the un-consumed stream head, shared across left rows).
+  def x55(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+    AsOf.joinForward(clicks, buys, Seq("user_id"), "tsu", "rtsu",
+        toleranceMicros = Some(7200000000L))
+      .select(
+        when(col("v").isNull, lit(-1L))
+          .otherwise(expr("(rtsu - tsu) div 600000000")).as("lag_10min"),
+        col("v"))
+      .groupBy(col("lag_10min"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(floor(col("v") * 100).cast("long"), lit(0L)))
+          .as("cents"))
+      .orderBy(col("lag_10min"))
+  }
+
+  private val x55Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j0 AS (SELECT l.tsu, r.rtsu, r.v
+      |       FROM l ASOF LEFT JOIN r
+      |         ON l.user_id = r.user_id AND l.tsu <= r.rtsu),
+      |j AS (SELECT tsu,
+      |        CASE WHEN rtsu - tsu <= 7200000000 THEN rtsu END AS rtsu,
+      |        CASE WHEN rtsu - tsu <= 7200000000 THEN v END AS v
+      |      FROM j0)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE (rtsu - tsu) // 600000000 END AS lag_10min,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1 ORDER BY lag_10min""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x57_cohort_ltv — cumulative lifetime value per acquisition cohort:
+  // x18's retention triangle with MONEY — for each (first-order month,
+  // months-since) cell, the running total of cohort revenue per cohort
+  // customer, in exact integer cents. Scale shape: revenue collapses
+  // map-side to (customer, month); the cohort month is one more
+  // customer-keyed aggregate reusing that shuffle's partitioning; the
+  // cumulative window partitions by cohort over ≤ #months rows (never
+  // unpartitioned); cohort sizes ride a #months-row broadcast. The
+  // fact table is read once and every later frame is month- or
+  // customer-bounded.
+  def x57(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("mkey"))
+      .agg(sum(col("cents")).as("cents"))
+    val cohort = rev.groupBy(col("o_custkey")).agg(min(col("mkey")).as("cm"))
+    val sized = broadcast(cohort.groupBy(col("cm"))
+      .agg(count(lit(1)).as("cohort_cust")))
+    val aged = rev.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cm"), (col("mkey") - col("cm")).as("age"))
+      .agg(sum(col("cents")).as("mcents"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    aged.withColumn("cum_cents", sum(col("mcents")).over(w))
+      .join(sized, Seq("cm"))
+      .select(col("cm").as("cohort_month"), col("age"),
+        col("cohort_cust"), col("cum_cents"),
+        expr("cum_cents div cohort_cust").as("ltv_cents_per_cust"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
+  private val x57Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS mkey,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |cohort AS (SELECT o_custkey, MIN(mkey) AS cm FROM rev GROUP BY 1),
+      |sized AS (SELECT cm, COUNT(*) AS cohort_cust FROM cohort GROUP BY 1),
+      |aged AS (
+      |  SELECT c.cm, r.mkey - c.cm AS age,
+      |    CAST(SUM(r.cents) AS BIGINT) AS mcents
+      |  FROM rev r JOIN cohort c USING (o_custkey) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cm, age,
+      |    CAST(SUM(mcents) OVER (PARTITION BY cm ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM aged)
+      |SELECT cum.cm AS cohort_month, cum.age, s.cohort_cust,
+      |  cum.cum_cents, cum.cum_cents // s.cohort_cust AS ltv_cents_per_cust
+      |FROM cum JOIN sized s USING (cm)
+      |ORDER BY cohort_month, age""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x6_range_join — point-in-interval join via bin equi-keys
   // ([[graft.joins.RangeJoin]]): customers whose balance falls in a
   // supplier's [acctbal, acctbal+500] band. The oracle is the plain
@@ -1905,12 +2018,16 @@ object CrossQueries {
     "x4_skyline" -> (x4 _),
     "x5_asof_attribution" -> (x5 _),
     "x54_asof_native" -> (x54 _),
+    "x55_asof_forward" -> (x55 _),
+    "x57_cohort_ltv" -> (x57 _),
     "x6_range_join" -> (x6 _),
     "x7_scd2_history" -> (x7 _),
     "x8_bloom_join" -> (x8 _),
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x57_cohort_ltv" -> x57Sql,
+    "x55_asof_forward" -> x55Sql,
     "x54_asof_native" -> x54Sql,
     "x50_price_volume_mix" -> x50Sql,
     "x39_vwap" -> x39Sql,

@@ -803,7 +803,76 @@ object StatQueries {
       |    AS BIGINT) AS h_adj_ppm
       |FROM a CROSS JOIN t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x56_robust_mean — exact trimmed (P5–P95) and winsorized means of
+  // order value in integer cents: the robust location estimates a DQ
+  // dashboard shows next to the outlier-dragged plain mean. Rank
+  // cutoffs are exact (lo = 5%·n, hi = 95%·n, truncating); each
+  // DISTINCT value contributes overlap(occupied-rank-interval, (lo,hi])
+  // occurrences to the trimmed sum — set arithmetic over the
+  // value-ordered cumulative counts, so NO row-level sort or
+  // percentile pass exists: one value-cardinality aggregate, one
+  // distributed prefix sum (x44's globalPrefixSum — value cardinality
+  // grows with data), one reduce. Winsorizing adds lo copies of the
+  // (lo+1)-th value and (n−hi) copies of the hi-th. Sums ride
+  // DECIMAL(38,0)/HUGEINT; only BIGINT quotients exit.
+  def x56(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = RelationalQueries.globalPrefixSum(
+      g, Seq(col("cents")), col("cnt"), "cum")
+    val tot = broadcast(g.agg(sum(col("cnt")).as("n")))
+    cum.crossJoin(tot)
+      .select(col("cents"), col("cnt"), col("cum"), col("n"),
+        expr("(n * 5) div 100").as("lo"), expr("(n * 95) div 100").as("hi"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        max(col("lo")).as("lo_rank"),
+        max(col("hi")).as("hi_rank"),
+        sum(expr("""cast(cents AS DECIMAL(38,0)) *
+                   |greatest(0L, least(cum, hi) - greatest(cum - cnt, lo))"""
+          .stripMargin)).as("tsum"),
+        min(when(col("cum") > col("lo"), col("cents"))).as("p5v"),
+        min(when(col("cum") >= col("hi"), col("cents"))).as("p95v"))
+      .select(col("n_orders"), col("lo_rank"), col("hi_rank"),
+        expr("cast(tsum div (hi_rank - lo_rank) AS BIGINT)")
+          .as("trimmed_mean_cents"),
+        expr("""cast((tsum + cast(lo_rank AS DECIMAL(38,0)) * p5v
+               |  + cast(n_orders - hi_rank AS DECIMAL(38,0)) * p95v)
+               |  div n_orders AS BIGINT)""".stripMargin)
+          .as("winsorized_mean_cents"))
+  }
+
+  private val x56Sql =
+    """WITH g AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT cents, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM g),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+      |m AS (
+      |  SELECT n, (n * 5) // 100 AS lo, (n * 95) // 100 AS hi FROM t),
+      |a AS (
+      |  SELECT MAX(n) AS n_orders, MAX(lo) AS lo_rank, MAX(hi) AS hi_rank,
+      |    CAST(SUM(cents::HUGEINT *
+      |      GREATEST(0, LEAST(cum, hi) - GREATEST(cum - cnt, lo)))
+      |      AS HUGEINT) AS tsum,
+      |    MIN(CASE WHEN cum > lo THEN cents END) AS p5v,
+      |    MIN(CASE WHEN cum >= hi THEN cents END) AS p95v
+      |  FROM c CROSS JOIN m)
+      |SELECT n_orders, lo_rank, hi_rank,
+      |  CAST(tsum // (hi_rank - lo_rank) AS BIGINT) AS trimmed_mean_cents,
+      |  CAST((tsum + lo_rank::HUGEINT * p5v
+      |    + (n_orders - hi_rank)::HUGEINT * p95v) // n_orders AS BIGINT)
+      |    AS winsorized_mean_cents
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_robust_mean" -> (x56 _),
     "x53_kruskal_wallis" -> (x53 _),
     "x51_anova" -> (x51 _),
     "x52_markov" -> (x52 _),
@@ -816,6 +885,7 @@ object StatQueries {
     "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x56_robust_mean" -> x56Sql,
     "x53_kruskal_wallis" -> x53Sql,
     "x51_anova" -> x51Sql,
     "x52_markov" -> x52Sql,

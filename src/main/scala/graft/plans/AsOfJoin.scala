@@ -27,13 +27,22 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * pandas after collecting (`/root/reference/src/pa/pa_etl_script.py`
   * merges frames driver-side); here it stays distributed at any scale.
   */
+/** Match direction: Backward = greatest rightTime <= leftTime (the
+  * default everywhere: kdb aj, pandas merge_asof, DuckDB >=); Forward =
+  * smallest rightTime >= leftTime. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends LogicalBinaryNode {
+    rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    toleranceMicros: Option[Long] = None) extends LogicalBinaryNode {
   // right KEY columns are excluded: they equal the left keys on match
   // and are null otherwise — emitting them would only shadow the left
   // names (the same reason `USING` joins emit one key column)
@@ -51,8 +60,8 @@ case class AsOfJoin(
   * [[graft.operators.AsOf]]) and `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +80,9 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
     t == LongType || t.isInstanceOf[TimestampType]),
@@ -96,6 +107,9 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+  // forward-mode candidates are the UN-CONSUMED buffered head, valid
+  // only for the current left row's scan; backward candidates are
+  // copies and persist across left rows of the key
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -115,21 +129,44 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      val tol = toleranceMicros.getOrElse(Long.MaxValue)
+      val forward = direction == AsOfForward
       var cand: InternalRow = null
+      var candTm = 0L
       var candKey: UnsafeRow = null
       lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTm = lTimeProj(l).getLong(0)
+        // forward candidates are re-derived per left row: the previous
+        // row's candidate may since have been consumed (its buffer
+        // recycled) when this row's time moved past it
+        if (forward) cand = null
         var scanning = true
         while (scanning && rBuf.hasNext) {
           val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
           if (cmp < 0) rBuf.next() // right key behind every remaining left
-          else if (cmp == 0 && rTimeProj(rBuf.head).getLong(0) <= lTm) {
+          else if (cmp > 0) scanning = false
+          else if (forward) {
+            // consume right rows strictly before lTm: no later left
+            // (times ascend) can need them either; the match is the
+            // un-consumed head, shared by every left row it covers
+            if (rTimeProj(rBuf.head).getLong(0) < lTm) rBuf.next()
+            else {
+              cand = rBuf.head
+              candTm = rTimeProj(rBuf.head).getLong(0)
+              candKey = lKey.copy()
+              scanning = false
+            }
+          } else if (rTimeProj(rBuf.head).getLong(0) <= lTm) {
             cand = rBuf.next().copy()
+            candTm = rTimeProj(cand).getLong(0)
             candKey = lKey.copy()
           } else scanning = false
         }
-        val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
+        val gapOk =
+          if (forward) cand != null && candTm - lTm <= tol && candTm >= lTm
+          else cand != null && lTm - candTm <= tol
+        val matched = gapOk && keyOrd.compare(candKey, lKey) == 0
         outProj(joined(l, if (matched) cand else nullRight))
       }
     }

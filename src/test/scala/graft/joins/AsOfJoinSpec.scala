@@ -77,6 +77,59 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 8L), (2L, 3L, 1L)))
   }
 
+  test("forward direction: smallest right time >= left time") {
+    val got = AsOf.joinForward(leftDf, rightDf, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .select(col("k"), col("t"), coalesce(col("v"), lit(-1.0)).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 100.0),   // rt=5 is the first at-or-after
+      (1L, 10L, 200.0),  // rt=15
+      (1L, 20L, 250.0),  // rt=20 ties: >= matches
+      (2L, 5L, 300.0),   // rt=6
+      (3L, 7L, -1.0)))   // key absent on the right
+  }
+
+  test("tolerance bounds the match gap in both directions") {
+    val back = AsOf.joinBackward(leftDf, rightDf, Seq("k"), "t", "rt",
+        toleranceMicros = Some(5L))
+      .orderBy("k", "t")
+      .select(coalesce(col("v"), lit(-1.0)))
+      .collect().map(_.getDouble(0)).toSeq
+    // (1,10)->rt5 gap 5 ok; (1,20)->rt20 gap 0 ok; (1,4) none
+    assert(back == Seq(-1.0, 100.0, 250.0, -1.0, -1.0))
+    val fwd = AsOf.joinForward(leftDf, rightDf, Seq("k"), "t", "rt",
+        toleranceMicros = Some(1L))
+      .orderBy("k", "t")
+      .select(coalesce(col("v"), lit(-1.0)))
+      .collect().map(_.getDouble(0)).toSeq
+    // (1,4)->rt5 gap 1 ok; (1,10)->rt15 gap 5 drop; (1,20)->rt20 ok;
+    // (2,5)->rt6 gap 1 ok
+    assert(fwd == Seq(100.0, -1.0, 250.0, 300.0, -1.0))
+  }
+
+  test("left-side filters push below the as-of join; right-side stay above") {
+    val joined = AsOf.joinBackward(leftDf, rightDf, Seq("k"), "t", "rt")
+    // left-only predicate (tag): must land under AsOfJoinExec's left
+    // child; right-only predicate (v): must NOT move (it would change
+    // which candidate an unfiltered left row matches)
+    val plan = joined.filter(col("tag") =!= "q").filter(col("v") > 0.0)
+      .queryExecution.sparkPlan
+    val asof = plan.collect { case e: AsOfJoinExec => e }.head
+    def filtersIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect { case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.sql }
+    assert(filtersIn(asof.left).exists(_.contains("tag")), plan.toString)
+    assert(!filtersIn(asof.left).exists(_.contains("v")), plan.toString)
+    assert(!filtersIn(asof.right).exists(_.contains("tag")), plan.toString)
+    // and the result is unchanged vs filtering the inputs directly
+    val direct = AsOf.joinBackward(
+      leftDf.filter(col("tag") =!= "q"), rightDf, Seq("k"), "t", "rt")
+      .filter(col("v") > 0.0)
+    assert(joined.filter(col("tag") =!= "q").filter(col("v") > 0.0)
+      .collect().toSet == direct.collect().toSet)
+  }
+
   test("randomized parity with the composed union+window as-of") {
     val ss = spark; import ss.implicits._
     // deterministic pseudo-random fixture: 400 left / 300 right rows

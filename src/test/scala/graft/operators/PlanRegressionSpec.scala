@@ -83,9 +83,10 @@ class PlanRegressionSpec extends SparkSpec {
     "x48_runs_test" -> 1,     // 1-row transition-count ride-along
     "t38_kneser_ney" -> 1,    // 1-row bigram-type-count ride-along
     "t40_burstiness" -> 1,    // 1-row corpus-doc-count ride-along
-    "t41_mixture_apportion" -> 3) // 1-row totals + leftover ride-alongs
+    "t41_mixture_apportion" -> 3, // 1-row totals + leftover ride-alongs
                               // (totals re-expands inside the leftover
                               // branch pre-execution, like x40's)
+    "x56_robust_mean" -> 1)   // 1-row total-count ride-along (rank cuts)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
