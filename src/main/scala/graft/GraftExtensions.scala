@@ -134,5 +134,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ...and its filter pushdown (Catalyst's own pushdown only knows
     // Join nodes; left-side predicates commute with the as-of join)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    // ...and column pruning through the node (narrow projections must
+    // reach both child scans' ReadSchema)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
   }
 }

@@ -44,7 +44,8 @@ object AsOf {
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.AsOfJoinFilterPushdown))
       spark.experimental.extraOptimizations =
-        graft.plans.AsOfJoinFilterPushdown +:
+        Seq(graft.plans.AsOfJoinFilterPushdown,
+          graft.plans.AsOfJoinColumnPruning) ++
           spark.experimental.extraOptimizations
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Native backward AS-OF join — the whole-operator extension path the
   * composed form (x5's union + window trick) can't match on shuffle
@@ -85,8 +85,8 @@ case class AsOfJoinExec(
     toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
-    t == LongType || t.isInstanceOf[TimestampType]),
-    s"as-of time columns must be LONG or TIMESTAMP, got " +
+    t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]),
+    s"as-of time columns must be LONG or TIMESTAMP (micros-backed), got " +
       s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
 
   override def output: Seq[Attribute] =

@@ -130,6 +130,28 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().toSet == direct.collect().toSet)
   }
 
+  test("narrow projections prune both parquet scans through the as-of node") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("rts"), col("value").as("pv"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val narrow = AsOf.joinBackward(clicks, buys, Seq("user_id"), "ts", "rts")
+        .select(col("user_id"), col("pv"))
+      narrow.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(scans.size == 2)
+    // neither scan may read the wide unused columns (props, event_id)
+    scans.foreach { s =>
+      val read = s.schema.fieldNames.toSet
+      assert(!read.contains("props") && !read.contains("event_id"),
+        s"scan reads ${read.mkString(",")}")
+    }
+  }
+
   test("randomized parity with the composed union+window as-of") {
     val ss = spark; import ss.implicits._
     // deterministic pseudo-random fixture: 400 left / 300 right rows
