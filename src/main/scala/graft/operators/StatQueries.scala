@@ -871,7 +871,53 @@ object StatQueries {
       |    AS winsorized_mean_cents
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x58_hhi — supplier concentration per nation as the exact
+  // Herfindahl–Hirschman index: HHI = Σ share² over each nation's
+  // suppliers, where share is the supplier's fraction of national
+  // account balance, in ppm with agreed truncation (share_ppm =
+  // (s_i·1e6) div S, hhi_ppm = Σ share_ppm² div 1e6 — both engines
+  // truncate identically, so the ≤1-ppm-per-term loss reproduces
+  // bit-for-bit). 10000-supplier monopoly → 1e6 ppm; uniform k
+  // suppliers → ~1e6/k. Scale shape: one supplier-table aggregate to
+  // (nation, supplier) — already unique — then nation totals via a
+  // nation-bounded aggregate joined back broadcast, one more nation
+  // aggregate. Balances shift to nonneg cents (acctbal can be
+  // negative; shares of a signed total are meaningless, so the audit
+  // uses balance − min over the table, a documented convention).
+  def x58(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"),
+        (floor(col("s_acctbal") * 100).cast("long") + 100000L).as("cents"))
+    val nat = broadcast(sup.groupBy(col("s_nationkey"))
+      .agg(sum(col("cents")).as("total"), count(lit(1)).as("n_sup")))
+    sup.join(nat, Seq("s_nationkey"))
+      .select(col("s_nationkey"), col("n_sup"),
+        expr("(cents * 1000000) div total").as("share_ppm"))
+      .groupBy(col("s_nationkey"))
+      .agg(max(col("n_sup")).as("n_suppliers"),
+        expr("cast(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val x58Sql =
+    """WITH sup AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) + 100000 AS cents
+      |  FROM supplier),
+      |nat AS (SELECT s_nationkey, CAST(SUM(cents) AS BIGINT) AS total,
+      |        COUNT(*) AS n_sup FROM sup GROUP BY 1),
+      |sh AS (
+      |  SELECT sup.s_nationkey, nat.n_sup,
+      |    (cents * 1000000) // total AS share_ppm
+      |  FROM sup JOIN nat USING (s_nationkey))
+      |SELECT s_nationkey, MAX(n_sup) AS n_suppliers,
+      |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+      |FROM sh GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x58_hhi" -> (x58 _),
     "x56_robust_mean" -> (x56 _),
     "x53_kruskal_wallis" -> (x53 _),
     "x51_anova" -> (x51 _),
@@ -885,6 +931,7 @@ object StatQueries {
     "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x58_hhi" -> x58Sql,
     "x56_robust_mean" -> x56Sql,
     "x53_kruskal_wallis" -> x53Sql,
     "x51_anova" -> x51Sql,
