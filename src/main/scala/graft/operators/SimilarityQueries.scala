@@ -1767,7 +1767,120 @@ object SimilarityQueries {
       |  ON c.query_id = r.query_id AND c.cand_id = r.cand_id
       |ORDER BY r.query_id, sel_rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s28_semdedup — SemDeDup-style SEMANTIC deduplication (Abbas et al.
+  // 2023): within each sign-LSH cluster, a vector is dropped iff a
+  // LOWER-id vector in the same cluster is more similar than τ = 7/20.
+  // Unlike s3 (rounded-double cosine), the threshold test here is
+  // EXACT INTEGER: cos ≥ τ ⟺ dot > 0 ∧ 400·dot² ≥ 49·na·nb, evaluated
+  // by cross-multiplication in 128-bit arithmetic (Spark DECIMAL(38,0)
+  // internal — never output — mirrored by DuckDB HUGEINT), so no float
+  // rounding can flip a borderline pair in either engine. The
+  // "dominated by an earlier kept doc" rule is deliberately
+  // EXISTS-shaped (any lower id, kept or not) — unlike the sequential
+  // greedy scan it is embarrassingly parallel, and because domination
+  // by a dropped doc implies a chain to some kept doc at τ-transitive
+  // distance, it is the standard distributed SemDeDup relaxation.
+  // Scale shape: per-row bucket + scaled vector map-side; the only
+  // join is bucket-blocked (adaptive bits pin expected occupancy at
+  // ~250, so candidate work stays ~linear in n); the min-dominator
+  // aggregate shuffles (id, id) longs only.
+  def s28(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"),
+        Similarity.scaled(col("embedding")).as("sv"),
+        Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir))
+          .as("bucket"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val a = v.select(col("vec_id").as("dom_id"), col("sv").as("sa"),
+      col("nrm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id"), col("sv").as("sb"),
+      col("nrm").as("nb"), col("bucket"))
+    val dec = "decimal(20,0)"
+    val dot = Similarity.dotScaled(col("sa"), col("sb"))
+    val dominated = a.join(b, Seq("bucket"))
+      .filter(col("dom_id") < col("vec_id"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0L &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(400) >=
+          col("na").cast(dec) * col("nb").cast(dec) * lit(49))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dom_id")).as("dom_id"))
+    v.select(col("vec_id"))
+      .join(dominated, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        col("dom_id").isNull.as("kept"),
+        col("dom_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s28Sql =
+    s"""WITH $scaledCteAdaptive,
+       |dom AS (
+       |  SELECT b.vec_id, MIN(a.vec_id) AS dom_id
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE $dotSql > 0
+       |    AND CAST($dotSql AS HUGEINT) * ($dotSql) * 400
+       |        >= CAST(a.nrm AS HUGEINT) * b.nrm * 49
+       |  GROUP BY b.vec_id)
+       |SELECT n.vec_id, dom.dom_id IS NULL AS kept, dom.dom_id
+       |FROM n LEFT JOIN dom ON dom.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s29_mrr — retrieval-quality evaluation as MEAN-RECIPROCAL-RANK
+  // components: for each query (vec_id < 5), rank every other vector
+  // by exact integer-scaled cosine (the s1 ranking, rounded to 6 dp
+  // with id tie-break) and report the rank of the first SAME-LABEL
+  // candidate plus its reciprocal in exact ppm (1e6 div rank — integer
+  // division, no float). This is the eval harness an embedding-model
+  // training loop runs per checkpoint. Scale shape: queries broadcast,
+  // candidates stream map-side (the s1 argument); the only window is
+  // per-query over the candidate stream, and the output is one row per
+  // query.
+  def s29(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = e.select(col("vec_id"), col("label"),
+        Similarity.scaled(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("sv").as("qv"), col("nrm").as("qn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sv"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("label") === col("q_label"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rnk")).as("first_rank"))
+      .select(col("query_id"), col("first_rank"),
+        expr("CAST(1000000 AS BIGINT) div first_rank").as("rr_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  private val s29Sql =
+    s"""WITH $scaledCte,
+       |pairs AS (
+       |  SELECT b.vec_id AS query_id, b.label AS q_label,
+       |    a.vec_id AS cand_id, a.label,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, q_label, label,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM pairs),
+       |f AS (SELECT query_id, CAST(MIN(rnk) AS BIGINT) AS first_rank
+       |      FROM r WHERE label = q_label GROUP BY query_id)
+       |SELECT query_id, first_rank,
+       |  CAST(1000000 // first_rank AS BIGINT) AS rr_ppm
+       |FROM f ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_mrr" -> (s29 _),
+    "s28_semdedup" -> (s28 _),
     "s27_mmr" -> (s27 _),
     "s26_pq_adc" -> (s26 _),
     "s25_negative_pairs" -> (s25 _),
@@ -1797,6 +1910,8 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s29_mrr" -> s29Sql,
+    "s28_semdedup" -> s28Sql,
     "s27_mmr" -> s27Sql,
     "s26_pq_adc" -> s26Sql,
     "s25_negative_pairs" -> s25Sql,

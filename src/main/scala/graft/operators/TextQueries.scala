@@ -2002,7 +2002,142 @@ object TextQueries {
       |  AS epoch_pos
       |FROM documents ORDER BY epoch_pos, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t44_gopher_rules — the Gopher-style (Rae et al. 2021 §A1.1) document
+  // quality-rule suite as a per-rule violation census: word-count
+  // bounds, mean-word-length bounds, alphabetic-word ratio, and
+  // stop-word presence (>=1 of the 8-word core list), plus a pass-all row. Every ratio test is
+  // CROSS-MULTIPLIED to pure integer comparisons (mean len < 3 ⟺
+  // sum_len < 3·n_tok; alpha < 80% ⟺ 5·n_alpha < 4·n_tok) so no float
+  // ever enters and both engines agree bit-for-bit. Scale shape: one
+  // map-side projection of four boolean flags per document (codegen
+  // HOFs over the token array — nothing but 5 partial-agg longs leaves
+  // a task), one single-row reduce, then a constant 5-row unpivot.
+  // At 100 TB this is the cheapest possible full-corpus pass: zero
+  // joins, zero wide shuffles, one scan.
+  def t44(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(
+      transform(toks, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(array_intersect(
+      array_distinct(toks),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    val wcF = (nTok < 20L) || (nTok > 100000L)
+    val mwlF = (sumLen < nTok * 3L) || (sumLen > nTok * 10L)
+    val alphaF = nAlpha * 5L < nTok * 4L
+    val stopF = nStop < 1L
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(wcF.as("wc"), mwlF.as("mwl"), alphaF.as("al"), stopF.as("st"))
+      .agg(
+        sum(when(col("wc"), 1L).otherwise(0L)).as("f_wc"),
+        sum(when(col("mwl"), 1L).otherwise(0L)).as("f_mwl"),
+        sum(when(col("al"), 1L).otherwise(0L)).as("f_al"),
+        sum(when(col("st"), 1L).otherwise(0L)).as("f_st"),
+        sum(when(!col("wc") && !col("mwl") && !col("al") && !col("st"), 1L)
+          .otherwise(0L)).as("f_ok"))
+      .selectExpr(
+        """stack(5,
+          |  'alpha_ratio', f_al,
+          |  'mean_word_len', f_mwl,
+          |  'pass_all', f_ok,
+          |  'stopwords', f_st,
+          |  'word_count', f_wc) AS (rule, n_docs)""".stripMargin)
+      .orderBy(col("rule"))
+  }
+
+  private val t44Sql =
+    """WITH f AS (
+      |  SELECT
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(coalesce(list_aggregate(
+      |      list_transform(string_split(text, ' '), w -> length(w)),
+      |      'sum'), 0) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+      |      w -> w IN ('the','be','to','of','and','that','have','with')))
+      |      AS BIGINT) AS n_stop
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS f_wc,
+      |    CAST(SUM(CASE WHEN sum_len < n_tok * 3 OR sum_len > n_tok * 10 THEN 1 ELSE 0 END) AS BIGINT) AS f_mwl,
+      |    CAST(SUM(CASE WHEN n_alpha * 5 < n_tok * 4 THEN 1 ELSE 0 END) AS BIGINT) AS f_al,
+      |    CAST(SUM(CASE WHEN n_stop < 1 THEN 1 ELSE 0 END) AS BIGINT) AS f_st,
+      |    CAST(SUM(CASE WHEN NOT (n_tok < 20 OR n_tok > 100000)
+      |      AND NOT (sum_len < n_tok * 3 OR sum_len > n_tok * 10)
+      |      AND NOT (n_alpha * 5 < n_tok * 4)
+      |      AND NOT (n_stop < 1) THEN 1 ELSE 0 END) AS BIGINT) AS f_ok
+      |  FROM f)
+      |SELECT 'alpha_ratio' AS rule, f_al AS n_docs FROM g
+      |UNION ALL SELECT 'mean_word_len', f_mwl FROM g
+      |UNION ALL SELECT 'pass_all', f_ok FROM g
+      |UNION ALL SELECT 'stopwords', f_st FROM g
+      |UNION ALL SELECT 'word_count', f_wc FROM g
+      |ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t45_pipeline_funnel — the END-TO-END curation funnel: the stage
+  // chain a real pretraining-data build runs (quality gate → language
+  // filter → exact dedup → per-source cap), emitted as a survival
+  // census per stage. Composes the individually-gated operators
+  // (t44's rules, t3's lang field, d1's exact dedup, t11's source cap)
+  // into one auditable pipeline — the number a data lead actually
+  // reads ("how many documents survived to training?").
+  // Scale shape per stage: quality/lang are map-side flags; exact
+  // dedup groups on md5(text) — a 32-byte key, NOT the document body,
+  // so the dedup exchange carries hashes (min(doc_id) survivorship:
+  // deterministic, order-free); the source cap is a per-source
+  // row_number over doc_id — source cardinality is bounded, and the
+  // counts-only output means nothing row-scale ever hits the driver.
+  def t45(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val qual = base.filter(size(tokens(col("text"))) >= 20)
+    val en = qual.filter(col("lang") === "en")
+    val keptIds = en.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = en.join(keptIds, Seq("doc_id"), "left_semi")
+    val capped = deduped
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 400)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("1_total", base)
+      .unionAll(stage("2_quality", qual))
+      .unionAll(stage("3_lang", en))
+      .unionAll(stage("4_exact_dedup", deduped))
+      .unionAll(stage("5_source_cap", capped))
+      .orderBy(col("stage"))
+  }
+
+  private val t45Sql =
+    """WITH base AS (SELECT * FROM documents WHERE text IS NOT NULL),
+      |qual AS (SELECT * FROM base WHERE len(string_split(text, ' ')) >= 20),
+      |en AS (SELECT * FROM qual WHERE lang = 'en'),
+      |kept AS (SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+      |dd AS (SELECT en.* FROM en WHERE doc_id IN (SELECT doc_id FROM kept)),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT source,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |    FROM dd) WHERE rn <= 400)
+      |SELECT '1_total' AS stage, COUNT(*) AS n_docs FROM base
+      |UNION ALL SELECT '2_quality', COUNT(*) FROM qual
+      |UNION ALL SELECT '3_lang', COUNT(*) FROM en
+      |UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM dd
+      |UNION ALL SELECT '5_source_cap', COUNT(*) FROM capped
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t45_pipeline_funnel" -> (t45 _),
+    "t44_gopher_rules" -> (t44 _),
     "t43_feistel_order" -> (t43 _),
     "t42_isotonic_pava" -> (t42 _),
     "t41_mixture_apportion" -> (t41 _),
@@ -2047,6 +2182,8 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t45_pipeline_funnel" -> t45Sql,
+    "t44_gopher_rules" -> t44Sql,
     "t43_feistel_order" -> t43Sql,
     "t42_isotonic_pava" -> t42Sql,
     "t41_mixture_apportion" -> t41Sql,
