@@ -1878,7 +1878,192 @@ object SimilarityQueries {
        |  CAST(1000000 // first_rank AS BIGINT) AS rr_ppm
        |FROM f ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s30_pca_power — the top principal component of the embedding cloud
+  // by EXACT INTEGER power iteration, the "is this embedding space
+  // collapsing?" diagnostic a training pipeline runs per checkpoint
+  // (anisotropy / dominant-direction drift). One pass builds the full
+  // Gram matrix and the mean sums: each row expands map-side to the
+  // d²+d+1 flattened products [sv⊗sv ++ sv ++ 1] and a partial hash
+  // aggregate absorbs the volume (≤ 4161 partial rows per partition
+  // cross the exchange — the x42 argument; partials ride DECIMAL(38,0)
+  // so a 2^63 overflow past ~9e6 vectors is impossible by carriage,
+  // not by luck). The centered covariance C = n·G − s·sᵀ and 15
+  // fixed rounds of v ← (C·v)·1e6 / max|C·v| then run in Scala BigInt
+  // inside ONE dim²-bounded mapGroups (no driver collect); DuckDB
+  // mirrors the identical arithmetic with a recursive CTE over
+  // HUGEINT LIST matrices (x52's precedent), so the eigenvector is
+  // bit-exact cross-engine — a FIXED iteration count, not a
+  // convergence test, which is what makes it deterministic. ev_ppm =
+  // Rayleigh-over-trace staged as ((vᵀCv // vᵀv)·1e6) // tr(C): the
+  // staged form keeps the oracle inside int128 (the single-expression
+  // product reaches ~1e39 at gate scale); BigInt has no bound, the
+  // HUGEINT carriage caps the ORACLE at ~100× embeddings.
+  def s30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 64 // embedding dim (TESTDATA.md); oracle hard-codes the same
+    val cells = Tables.embeddings(spark, dir)
+      .select(Similarity.scaled(col("embedding")).as("sv"))
+      .select(posexplode(expr(
+        "concat(flatten(transform(sv, x -> transform(sv, y -> x * y)))," +
+          " sv, array(cast(1 as bigint)))")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
+    cells.select(col("pos"), col("s").cast("string").as("s"))
+      .as[(Int, String)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val m = it.toMap // d²+d+1 entries — dim-bounded by construction
+        def g(i: Int) = BigInt(m(i))
+        val n = g(d * d + d)
+        val sums = Array.tabulate(d)(j => g(d * d + j))
+        val c = Array.tabulate(d, d)((i, j) => n * g(i * d + j) - sums(i) * sums(j))
+        var v = Array.fill(d)(BigInt(1000000))
+        for (_ <- 1 to 15) {
+          val nv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+          val mx = nv.map(_.abs).max.max(BigInt(1))
+          v = nv.map(x => x * 1000000 / mx)
+        }
+        val num = (0 until d).map(i =>
+          v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
+        val den = v.map(x => x * x).sum
+        val tr = (0 until d).map(i => c(i)(i)).sum
+        val ev = if (den == 0 || tr == 0) BigInt(0) else num / den * 1000000 / tr
+        (0 until d).iterator.map(i => (i.toLong, v(i).toLong, ev.toLong))
+      }
+      .toDF("dim_idx", "comp_ppm", "ev_ppm")
+      .orderBy(col("dim_idx"))
+  }
+
+  private val s30Sql =
+    """WITH RECURSIVE v AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(64)) AS i),
+      |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM v),
+      |s AS (SELECT d.i AS i, CAST(SUM(sv[d.i + 1]) AS HUGEINT) AS s
+      |      FROM v, dims d GROUP BY 1),
+      |g AS (SELECT di.i AS i, dj.i AS j,
+      |        CAST(SUM(sv[di.i + 1] * sv[dj.i + 1]) AS HUGEINT) AS g
+      |      FROM v, dims di, dims dj GROUP BY 1, 2),
+      |c AS (SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
+      |      FROM g, nn JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j),
+      |crow AS (SELECT i, list(c ORDER BY j) AS cr FROM c GROUP BY i),
+      |m AS (SELECT list(cr ORDER BY i) AS cm FROM crow),
+      |it AS (
+      |  SELECT 0 AS step, [CAST(1000000 AS HUGEINT) for j IN range(64)] AS vv
+      |  FROM m
+      |  UNION ALL
+      |  SELECT step + 1,
+      |    [x * 1000000 // GREATEST(list_max([abs(y) for y IN nv]),
+      |       CAST(1 AS HUGEINT)) for x IN nv]
+      |  FROM (SELECT step,
+      |          [list_sum([cm[i + 1][j + 1] * vv[j + 1] for j IN range(64)])
+      |           for i IN range(64)] AS nv
+      |        FROM it, m WHERE step < 15)),
+      |fin AS (SELECT vv FROM it WHERE step = 15),
+      |ray AS (SELECT
+      |    list_sum([vv[i + 1] *
+      |      list_sum([cm[i + 1][j + 1] * vv[j + 1] for j IN range(64)])
+      |      for i IN range(64)]) AS num,
+      |    list_sum([x * x for x IN vv]) AS den,
+      |    list_sum([cm[i + 1][i + 1] for i IN range(64)]) AS tr
+      |  FROM fin, m)
+      |SELECT CAST(d.i AS BIGINT) AS dim_idx,
+      |  CAST(f.vv[d.i + 1] AS BIGINT) AS comp_ppm,
+      |  CAST(CASE WHEN r.den = 0 OR r.tr = 0 THEN 0
+      |    ELSE ((r.num // r.den) * 1000000) // r.tr END AS BIGINT) AS ev_ppm
+      |FROM fin f, ray r, dims d
+      |ORDER BY dim_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s31_jl_neighbors — Johnson–Lindenstrauss sign random projection
+  // (64 → 16 dims) with a NEIGHBOR-PRESERVATION eval: each vector is
+  // projected through a deterministic ±1 matrix (sign of a Knuth
+  // multiplicative hash of the cell index — no stored matrix, both
+  // engines re-derive it; the multiplier's operand is ≤ 1041 so the
+  // product is nowhere near 2^63, the t32 pre-mod lesson doesn't
+  // apply), and for each query (vec_id < 5) the gate reports how many
+  // of the exact-cosine top-10 survive in the projected-cosine top-10,
+  // plus where the true nearest neighbor lands in projected rank.
+  // This is the "can we shard ANN on a 4× cheaper vector?" measurement.
+  // Scale shape: the projection is map-only (16 fused dot products per
+  // row); the eval is s1's broadcast-queries shape — candidates stream,
+  // nothing but per-query top ranks survive the window.
+  def s31(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val proj = expr(
+      """transform(sequence(0, 15), t -> aggregate(sequence(0, 63),
+        |  cast(0 as bigint), (acc, j) -> acc +
+        |  (CASE WHEN (cast(j * 16 + t + 1 as bigint) * 2654435761) % 4294967296
+        |            < 2147483648
+        |        THEN sv[j] ELSE -sv[j] END)))""".stripMargin)
+    val v = e.select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+      .withColumn("pv", proj)
+      .withColumn("pnrm", Similarity.dotScaled(col("pv"), col("pv")))
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn"), col("pv").as("qpv"), col("pnrm").as("qpn")))
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_e").desc, col("vec_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_p").desc, col("vec_id"))
+    v.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e", round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("sv"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("cos_p", round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("pv"), col("qpv")), col("pnrm"), col("qpn")), 6))
+      .withColumn("rnk_e", row_number().over(we).cast("long"))
+      .withColumn("rnk_p", row_number().over(wp).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rnk_e") <= 10 && col("rnk_p") <= 10, 1L)
+          .otherwise(0L)).as("overlap10"),
+        max(when(col("rnk_e") === 1, col("rnk_p"))).as("nn_proj_rank"))
+      .orderBy(col("query_id"))
+  }
+
+  private val s31Sql =
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, sv,
+       |    list_aggregate(list_transform(sv, x -> x * x), 'sum') AS nrm,
+       |    [list_sum([CASE WHEN ((j * 16 + t + 1) * 2654435761) % 4294967296
+       |                        < 2147483648
+       |                    THEN sv[j + 1] ELSE -sv[j + 1] END
+       |               for j IN range(64)])
+       |     for t IN range(16)] AS pv
+       |  FROM v0),
+       |n AS (SELECT vec_id, sv, nrm, pv,
+       |        list_aggregate(list_transform(pv, x -> x * x), 'sum') AS pnrm
+       |      FROM v),
+       |pairs AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos_e,
+       |    ${cosSql(
+            "list_aggregate(list_transform(range(1, 17), i -> a.pv[i] * b.pv[i]), 'sum')",
+            "a.pnrm", "b.pnrm")} AS cos_p
+       |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, cand_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos_e DESC, cand_id) AS rnk_e,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos_p DESC, cand_id) AS rnk_p
+       |      FROM pairs)
+       |SELECT query_id,
+       |  CAST(SUM(CASE WHEN rnk_e <= 10 AND rnk_p <= 10 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS overlap10,
+       |  MAX(CASE WHEN rnk_e = 1 THEN rnk_p END) AS nn_proj_rank
+       |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_jl_neighbors" -> (s31 _),
+    "s30_pca_power" -> (s30 _),
     "s29_mrr" -> (s29 _),
     "s28_semdedup" -> (s28 _),
     "s27_mmr" -> (s27 _),
@@ -1910,6 +2095,8 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s31_jl_neighbors" -> s31Sql,
+    "s30_pca_power" -> s30Sql,
     "s29_mrr" -> s29Sql,
     "s28_semdedup" -> s28Sql,
     "s27_mmr" -> s27Sql,

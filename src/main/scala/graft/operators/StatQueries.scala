@@ -916,7 +916,67 @@ object StatQueries {
       |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
       |FROM sh GROUP BY 1 ORDER BY s_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x59_rate_limit — per-key GCRA admission (the "leaky bucket as
+  // meter" RFC-2697 shape): each user's event stream is rate-limited
+  // to one event per 30s with a 60s burst allowance, the politeness
+  // budget a crawl/ingest pipeline enforces per domain. The recurrence
+  // tat' = max(ts, tat) + T on admit is a genuine non-linear fold — it
+  // is NOT prefix-sum decomposable (max ∘ +) — so this is x20's honest
+  // escape hatch: ONE shuffle on user_id, then a bounded per-key scan
+  // in event-time order inside mapGroups, O(1) state per key. Skew
+  // costs a hot key its own row count, nothing cross-key. First event
+  // seeds tat = ts + T (tat starts at 0 — epoch µs are positive, so
+  // the first test always admits; the oracle's recursive CTE seeds the
+  // identical row). st26 runs the SAME recurrence as an always-on
+  // transformWithState stream and emits the per-event decisions.
+  def x59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = 30000000L // period: 1 event / 30s (µs)
+    val burst = 2 * T // 60s burst allowance
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var tat = 0L; var adm = 0L; var rej = 0L
+        evs.foreach { case (_, tsu, _) =>
+          if (tsu >= tat - burst) { adm += 1; tat = math.max(tsu, tat) + T }
+          else rej += 1
+        }
+        (uid, adm, rej)
+      }
+      .toDF("user_id", "admitted", "rejected")
+      .orderBy(col("user_id"))
+  }
+
+  private val x59Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events WHERE user_id IS NOT NULL),
+      |sim AS (
+      |  SELECT user_id, rn, cnt, tsu + 30000000 AS tat,
+      |    CAST(1 AS BIGINT) AS adm, CAST(0 AS BIGINT) AS rej
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.cnt,
+      |    CASE WHEN e.tsu >= s.tat - 60000000
+      |      THEN GREATEST(e.tsu, s.tat) + 30000000 ELSE s.tat END,
+      |    s.adm + CASE WHEN e.tsu >= s.tat - 60000000 THEN 1 ELSE 0 END,
+      |    s.rej + CASE WHEN e.tsu >= s.tat - 60000000 THEN 0 ELSE 1 END
+      |  FROM sim s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT user_id, adm AS admitted, rej AS rejected
+      |FROM sim WHERE rn = cnt ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x59_rate_limit" -> (x59 _),
     "x58_hhi" -> (x58 _),
     "x56_robust_mean" -> (x56 _),
     "x53_kruskal_wallis" -> (x53 _),
@@ -931,6 +991,7 @@ object StatQueries {
     "x46_ks_test" -> (x46 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x59_rate_limit" -> x59Sql,
     "x58_hhi" -> x58Sql,
     "x56_robust_mean" -> x56Sql,
     "x53_kruskal_wallis" -> x53Sql,

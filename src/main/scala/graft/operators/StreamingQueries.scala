@@ -690,7 +690,43 @@ object StreamingQueries {
       |FROM f, m WHERE (hidx + 1) * 3600000000 <= wm
       |ORDER BY hour""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st26_rate_limit — x59's GCRA admission as an always-on streaming
+  // query ([[Streaming.rateLimitTws]], transformWithState List+Value
+  // state): events buffer per user until the watermark finalizes their
+  // event-time order, then fold through the theoretical-arrival-time
+  // ValueState — which SURVIVES across micro-batches, so a burst that
+  // straddles a batch boundary is still throttled (the property that
+  // makes this a streaming operator, not a per-batch recomputation).
+  // Unlike x59's per-user counts, this gate emits the PER-EVENT
+  // decisions — the stream a downstream ingest would actually filter
+  // on. The oracle runs the identical recurrence (seed tat = ts + T,
+  // admit iff ts ≥ tat − 2T, tat' = max(ts, tat) + T) as a recursive
+  // CTE stepping each user's rank sequence in lockstep.
+  def st26(spark: SparkSession, dir: String): DataFrame =
+    Streaming.rateLimitTws(spark, dir, periodUs = 30000000L)
+      .orderBy(col("event_id"))
+
+  private val st26Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events WHERE user_id IS NOT NULL),
+      |sim AS (
+      |  SELECT user_id, rn, event_id, tsu + 30000000 AS tat, TRUE AS admitted
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id,
+      |    CASE WHEN e.tsu >= s.tat - 60000000
+      |      THEN GREATEST(e.tsu, s.tat) + 30000000 ELSE s.tat END,
+      |    e.tsu >= s.tat - 60000000
+      |  FROM sim s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT event_id, user_id, admitted
+      |FROM sim ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st26_rate_limit" -> (st26 _),
     "st25_stream_drift" -> (st25 _),
     "st24_stream_anti" -> (st24 _),
     "st23_stream_kmv" -> (st23 _),
@@ -718,6 +754,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st26_rate_limit" -> st26Sql,
     "st25_stream_drift" -> st25Sql,
     "st24_stream_anti" -> st24Sql,
     "st23_stream_kmv" -> st23Sql,

@@ -888,6 +888,81 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Append, rows.toDF(), forceRocksDb = true)
   }
 
+  final case class RlEvt(user_id: Long, event_id: Long, tsu: Long,
+      event_ts: java.sql.Timestamp)
+  final case class PendRl(tsu: Long, event_id: Long)
+  final case class RlDecision(event_id: Long, user_id: Long, admitted: Boolean)
+
+  /** Streaming GCRA rate limiter (x59's stream twin): per-user
+    * admission at one event per `periodUs` with a `2·periodUs` burst
+    * allowance, as an always-on transformWithState query. Same
+    * buffer-until-watermark shape as [[LocfProcessor]]: events buffer
+    * in ListState until the finalize timer proves their event-time
+    * order is complete, then fold in (tsu, event_id) order through the
+    * theoretical-arrival-time ValueState — which SURVIVES the drain,
+    * so a burst spanning two micro-batches is still throttled (the
+    * property a per-batch batch job can't give you). State per key is
+    * one long + the watermark-bounded pending buffer. Emits the
+    * per-event admit/deny decisions; the batch x59 gate aggregates the
+    * identical recurrence to per-user counts. */
+  class RateLimitProcessor(periodUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RlEvt, RlDecision] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendRl] = _
+    @transient private var tat: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendRl](
+        "pending", E.product[PendRl], TTLConfig.NONE)
+      tat = getHandle.getValueState[Long]("tat", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[RlEvt],
+        timers: TimerValues): Iterator[RlDecision] = {
+      val batch = rows.map(e => PendRl(e.tsu, e.event_id)).toArray
+      pending.appendList(batch)
+      val maxMs = batch.map(_.tsu / 1000).max
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(maxMs, timers.getCurrentWatermarkInMs + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[RlDecision] = {
+      val evs = pending.get().toArray.sortBy(e => (e.tsu, e.event_id))
+      var t = if (tat.exists()) tat.get() else 0L
+      val out = evs.map { e =>
+        val admit = e.tsu >= t - 2 * periodUs
+        if (admit) t = math.max(e.tsu, t) + periodUs
+        RlDecision(e.event_id, uid, admit)
+      }
+      tat.update(t) // the budget carries across batches: it IS the limiter
+      pending.clear()
+      out.iterator
+    }
+  }
+
+  /** [[RateLimitProcessor]] as a real streaming query (append mode,
+    * AvailableNow, RocksDB). */
+  def rateLimitTws(spark: SparkSession, sfDir: String, periodUs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = s"graft_stream_twsrl_${queryCounter.incrementAndGet()}"
+    val events = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[RlEvt]
+    val decisions = events.groupByKey(_.user_id)
+      .transformWithState(
+        new RateLimitProcessor(periodUs), TimeMode.EventTime(), OutputMode.Append)
+    drainToLocal(spark, name, OutputMode.Append, decisions.toDF(), forceRocksDb = true)
+  }
+
   /** Engine-native streaming dedup: `dropDuplicatesWithinWatermark` on
     * (user_id, event_type) — first-arrival keeps the row, duplicate
     * arrivals are dropped, and (unlike plain `dropDuplicates`) the

@@ -31,6 +31,8 @@ class PlanRegressionSpec extends SparkSpec {
     "s1_topk_brute" -> 1,     // 1-row query vector × corpus
     "s29_mrr" -> 1,           // same shape as s1: bounded query-set
                               // broadcast × candidate stream
+    "s31_jl_neighbors" -> 1,  // same shape as s29: bounded query-set
+                              // broadcast × candidate stream
     "s7_topk_ivf" -> 1,       // codebook broadcast: 2^bits centroid rows
     "sk2_hll_union" -> 1,     // 1-row global HLL-merge aggregate
     "t14_temperature_mix" -> 1, // per-source rate table: #sources rows
