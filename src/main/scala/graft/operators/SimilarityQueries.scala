@@ -1883,38 +1883,80 @@ object SimilarityQueries {
   // by EXACT INTEGER power iteration, the "is this embedding space
   // collapsing?" diagnostic a training pipeline runs per checkpoint
   // (anisotropy / dominant-direction drift). One pass builds the full
-  // Gram matrix and the mean sums: each row expands map-side to the
-  // d²+d+1 flattened products [sv⊗sv ++ sv ++ 1] and a partial hash
-  // aggregate absorbs the volume (≤ 4161 partial rows per partition
-  // cross the exchange — the x42 argument; partials ride DECIMAL(38,0)
-  // so a 2^63 overflow past ~9e6 vectors is impossible by carriage,
-  // not by luck). The centered covariance C = n·G − s·sᵀ and 15
-  // fixed rounds of v ← (C·v)·1e6 / max|C·v| then run in Scala BigInt
-  // inside ONE dim²-bounded mapGroups (no driver collect); DuckDB
-  // mirrors the identical arithmetic with a recursive CTE over
-  // HUGEINT LIST matrices (x52's precedent), so the eigenvector is
-  // bit-exact cross-engine — a FIXED iteration count, not a
-  // convergence test, which is what makes it deterministic. ev_ppm =
-  // Rayleigh-over-trace staged as ((vᵀCv // vᵀv)·1e6) // tr(C): the
-  // staged form keeps the oracle inside int128 (the single-expression
-  // product reaches ~1e39 at gate scale); BigInt has no bound, the
-  // HUGEINT carriage caps the ORACLE at ~100× embeddings.
+  // Gram matrix and the mean sums with a per-partition BLAS-syrk-style
+  // accumulation — mapPartitions is the DOCUMENTED last-resort tier,
+  // taken here because this is genuinely imperative per-partition
+  // work: d² multiply-adds per row into ONE reusable long buffer, zero
+  // per-row allocation (the declarative formulation — flatten a
+  // d²-product array per row, posexplode, partial hash agg — measured
+  // 4.4s warm at sf0.1 vs 0.5s for this; the explode's 4161-element
+  // array per row is pure allocator load the aggregate then re-sums).
+  // Each partition emits one d²+d+1 partial; overflow is handled by
+  // EPOCHED spill — the long fast path folds into a BigInt shadow
+  // every 4M rows (|products| ≤ 1e12, so 4e6·1e12 < 2^63 between
+  // spills), making the accumulation exact at ANY corpus size, and
+  // partials cross the exchange as decimal strings (x53's carriage).
+  // The centered covariance C = n·G − s·sᵀ and 15 fixed rounds of
+  // v ← (C·v)·1e6 / max|C·v| then run in Scala BigInt inside ONE
+  // dim²-bounded mapGroups (no driver collect); DuckDB mirrors the
+  // identical arithmetic with a recursive CTE over HUGEINT LIST
+  // matrices (x52's precedent), so the eigenvector is bit-exact
+  // cross-engine — a FIXED iteration count, not a convergence test,
+  // which is what makes it deterministic. ev_ppm = Rayleigh-over-trace
+  // staged as ((vᵀCv // vᵀv)·1e6) // tr(C): the staged form keeps the
+  // oracle inside int128 (the single-expression product reaches ~1e39
+  // at gate scale); BigInt has no bound, the HUGEINT carriage caps the
+  // ORACLE at ~100× embeddings.
   def s30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = 64 // embedding dim (TESTDATA.md); oracle hard-codes the same
-    val cells = Tables.embeddings(spark, dir)
-      .select(Similarity.scaled(col("embedding")).as("sv"))
-      .select(posexplode(expr(
-        "concat(flatten(transform(sv, x -> transform(sv, y -> x * y)))," +
-          " sv, array(cast(1 as bigint)))")))
-      .groupBy(col("pos"))
-      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
-    cells.select(col("pos"), col("s").cast("string").as("s"))
-      .as[(Int, String)]
+    val partials = Tables.embeddings(spark, dir)
+      .select(col("embedding"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val k = d * d + d + 1
+        val accL = new Array[Long](k)
+        val accB = Array.fill(k)(BigInt(0))
+        val sv = new Array[Long](d)
+        var rows = 0
+        var any = false
+        def spill(): Unit = {
+          var p = 0
+          while (p < k) { accB(p) += accL(p); accL(p) = 0L; p += 1 }
+          rows = 0
+        }
+        it.foreach { emb =>
+          any = true
+          var i = 0
+          // same scaling as Similarity.scaled: floor(double(x) · 1e6)
+          while (i < d) { sv(i) = math.floor(emb(i).toDouble * 1e6).toLong; i += 1 }
+          i = 0
+          while (i < d) {
+            val xi = sv(i)
+            val base = i * d
+            var j = 0
+            while (j < d) { accL(base + j) += xi * sv(j); j += 1 }
+            accL(d * d + i) += xi
+            i += 1
+          }
+          accL(d * d + d) += 1L
+          rows += 1
+          if (rows == 4000000) spill()
+        }
+        spill()
+        if (any) Iterator.single(accB.map(_.toString)) else Iterator.empty
+      }
+    partials
       .groupByKey(_ => 0)
       .flatMapGroups { (_, it) =>
-        val m = it.toMap // d²+d+1 entries — dim-bounded by construction
-        def g(i: Int) = BigInt(m(i))
+        val parts = it.toArray // ≤ #partitions rows, each d²+d+1 strings
+        val k = d * d + d + 1
+        val tot = Array.fill(k)(BigInt(0))
+        parts.foreach { p =>
+          var i = 0
+          while (i < k) { tot(i) += BigInt(p(i)); i += 1 }
+        }
+        def g(i: Int) = tot(i)
         val n = g(d * d + d)
         val sums = Array.tabulate(d)(j => g(d * d + j))
         val c = Array.tabulate(d, d)((i, j) => n * g(i * d + j) - sums(i) * sums(j))
