@@ -137,5 +137,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ...and column pruning through the node (narrow projections must
     // reach both child scans' ReadSchema)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
+
+    // planner strategy: the native keyed point-in-interval join
+    // (sort-merge active-set sweep; graft.operators.Interval also
+    // self-registers it per-session for extension-less sessions)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

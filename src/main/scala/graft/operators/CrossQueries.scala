@@ -362,6 +362,46 @@ object CrossQueries {
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x60_interval_native — x6's point-in-interval semantics through the
+  // NEW native sort-merge interval join ([[graft.plans.IntervalJoin]],
+  // the as-of operator's sibling): views landing inside each purchase's
+  // trailing 2-hour attribution window, per user. The native operator
+  // plans EXACTLY two hash exchanges (the equi-join lower bound; spec-
+  // pinned) and sweeps each partition once with an active-open-interval
+  // buffer — no BETWEEN residual filter over the full per-key cross
+  // product (Spark's default plan for this join), no binned explode
+  // (x6's rewrite), no width parameter to tune. The oracle is the plain
+  // inequality join DuckDB can afford at oracle scale.
+  def x60(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_type"))
+    val views = ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
+    val windows = ev.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("tsu") - lit(7200000000L)).as("lo"), col("tsu").as("hi"))
+    Interval.join(views, windows, Seq("user_id"), "tsu", "lo", "hi")
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
+  private val x60Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |v AS (SELECT user_id, event_id AS view_id, tsu
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id,
+      |        tsu - 7200000000 AS lo, tsu AS hi
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, p.purchase_id, v.view_id
+      |FROM v JOIN p ON v.user_id = p.user_id AND v.tsu BETWEEN p.lo AND p.hi
+      |ORDER BY v.user_id, purchase_id, view_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x7_scd2_history — gaps-and-islands change collapse (the SCD2 build
   // step of a dimension-history pipeline): per customer, collapse runs
   // of consecutive equal order status into [eff_from, eff_to] intervals
@@ -1986,6 +2026,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_interval_native" -> (x60 _),
     "x50_price_volume_mix" -> (x50 _),
     "x39_vwap" -> (x39 _),
     "x38_holt_forecast" -> (x38 _),
@@ -2060,6 +2101,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x60_interval_native" -> x60Sql,
     "x6_range_join" -> x6Sql,
     "x7_scd2_history" -> x7Sql,
     "x8_bloom_join" -> x8Sql,
