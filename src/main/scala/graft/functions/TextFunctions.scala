@@ -75,6 +75,16 @@ object TextFunctions {
       graft.functions.expressions.LangId(GraftColumnBridge.expression(c)))
   }
 
+  /** Greedy longest-match subword piece count against the fixed
+    * [[graft.functions.expressions.WordPieceKernel]] vocabulary — the
+    * WordPiece inference rule as one codegen'd byte-walk kernel. */
+  def wordpieceTokens(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.expressions.WordPieceTokens(
+        GraftColumnBridge.expression(c)))
+  }
+
   /** The pre-kernel formulation of [[languageId]] — equivalence-spec
     * oracle only; do not use in query paths (codegen size). */
   private[graft] def languageIdReference(c: Column): Column = {

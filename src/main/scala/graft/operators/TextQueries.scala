@@ -2135,7 +2135,76 @@ object TextQueries {
       |UNION ALL SELECT '5_source_cap', COUNT(*) FROM capped
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t46_wordpiece — WordPiece-style tokenizer INFERENCE (t20/t21 train
+  // the merges; this is the other half a serving pipeline runs): greedy
+  // longest-match segmentation of every document against a fixed
+  // subword vocabulary, reported as per-source token totals and the
+  // chars-per-token compression ratio in exact ppm. Spark runs the
+  // `wordpiece_tokens` codegen byte-walk kernel (one pass per doc, zero
+  // allocation, packed-int binary-search probes — see
+  // [[graft.functions.expressions.WordPieceKernel]]); the DuckDB
+  // mirror tokenizes each DISTINCT word once via a precomputed
+  // greedy-step table + recursive walk and weights by occurrence
+  // (t20's weighted-vocabulary trick), with the vocabulary literal
+  // interpolated from the SAME Scala list, so there is exactly one
+  // vocabulary definition. Words are maximal ASCII-letter runs,
+  // ASCII-lowercased — a definition both engines state byte-for-byte.
+  // Scale shape: the kernel is map-side and vocabulary-independent of
+  // corpus size; only per-source partial sums cross the exchange.
+  def t46(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        wordpieceTokens(col("text")).as("toks"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE n_chars * 1000000 div n_tokens END")
+          .as("cpt_ppm"))
+      .orderBy(col("source"))
+
+  private val t46Sql = {
+    val vocabLit = graft.functions.expressions.WordPieceKernel.allPieces
+      .map(p => s"'$p'").mkString(", ")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT source, text FROM documents WHERE text IS NOT NULL),
+       |words AS (
+       |  SELECT source, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+       |  FROM docs),
+       |wc AS (SELECT source, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM wc),
+       |vocab AS (SELECT unnest([$vocabLit]) AS v),
+       |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS p FROM dw),
+       |adv AS (SELECT pos.w, pos.p, MAX(len(v)) AS adv
+       |        FROM pos JOIN vocab ON substr(pos.w, pos.p, len(v)) = v
+       |        GROUP BY 1, 2),
+       |tok AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks FROM dw
+       |  UNION ALL
+       |  SELECT t.w, t.p + a.adv, t.toks + 1
+       |  FROM tok t JOIN adv a ON a.w = t.w AND a.p = t.p),
+       |wt AS (SELECT w, toks FROM tok WHERE p = len(w) + 1),
+       |agg AS (SELECT wc.source,
+       |          CAST(SUM(wc.cnt * wt.toks) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(wc.cnt * len(wc.w)) AS BIGINT) AS n_chars
+       |        FROM wc JOIN wt ON wt.w = wc.w GROUP BY 1),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY 1)
+       |SELECT nd.source, nd.n_docs,
+       |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |  COALESCE(agg.n_chars, 0) AS n_chars,
+       |  CAST(CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN 0
+       |    ELSE agg.n_chars * 1000000 // agg.n_tokens END AS BIGINT) AS cpt_ppm
+       |FROM nd LEFT JOIN agg ON agg.source = nd.source
+       |ORDER BY nd.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t46_wordpiece" -> (t46 _),
     "t45_pipeline_funnel" -> (t45 _),
     "t44_gopher_rules" -> (t44 _),
     "t43_feistel_order" -> (t43 _),
@@ -2182,6 +2251,7 @@ object TextQueries {
     "t16_pmi_bigrams" -> (t16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "t46_wordpiece" -> t46Sql,
     "t45_pipeline_funnel" -> t45Sql,
     "t44_gopher_rules" -> t44Sql,
     "t43_feistel_order" -> t43Sql,
