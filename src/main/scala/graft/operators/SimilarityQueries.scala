@@ -2035,15 +2035,11 @@ object SimilarityQueries {
   // nothing but per-query top ranks survive the window.
   def s31(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val proj = expr(
-      """transform(sequence(0, 15), t -> aggregate(sequence(0, 63),
-        |  cast(0 as bigint), (acc, j) -> acc +
-        |  (CASE WHEN (cast(j * 16 + t + 1 as bigint) * 2654435761) % 4294967296
-        |            < 2147483648
-        |        THEN sv[j] ELSE -sv[j] END)))""".stripMargin)
     val v = e.select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"))
       .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
-      .withColumn("pv", proj)
+      // sign_project codegen kernel — the equivalent transform/aggregate
+      // HOF is CodegenFallback and measured 17s warm at the 100× probe
+      .withColumn("pv", Similarity.signProject(col("sv"), 16))
       .withColumn("pnrm", Similarity.dotScaled(col("pv"), col("pv")))
     val q = broadcast(v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("sv").as("qv"),

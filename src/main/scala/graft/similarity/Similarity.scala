@@ -61,6 +61,15 @@ object Similarity {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** JL ±1 sign projection of a scaled vector to `k` dims via the
+    * [[graft.functions.expressions.SignProject]] codegen kernel (the
+    * HOF formulation is CodegenFallback — interpreted per row). */
+  def signProject(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.SignProject(
+      GraftColumnBridge.expression(c), k))
+  }
+
   /** Deterministic cosine from scaled vectors (long dots, double sqrt). */
   def cosineExact(a: Column, b: Column): Column =
     dotScaled(a, b).cast(DoubleType) /
