@@ -142,5 +142,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (sort-merge active-set sweep; graft.operators.Interval also
     // self-registers it per-session for extension-less sessions)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // ...and its optimizer rules: BOTH-side filter pushdown (the join
+    // is inner — each output row references exactly one row per side)
+    // and column pruning down to the scans' ReadSchema
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinColumnPruning)
   }
 }

@@ -26,6 +26,12 @@ object Interval {
     if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
       spark.experimental.extraStrategies =
         IntervalJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.IntervalJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        Seq(graft.plans.IntervalJoinFilterPushdown,
+          graft.plans.IntervalJoinColumnPruning) ++
+          spark.experimental.extraOptimizations
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-joins (same scan on both sides) stay unambiguous

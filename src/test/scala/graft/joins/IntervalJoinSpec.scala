@@ -73,6 +73,48 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 12L)))
   }
 
+  test("filters push below the interval join on BOTH sides (inner-join commute)") {
+    val joined = Interval.join(pointsDf, intervalsDf, Seq("k"), "t", "lo", "hi")
+    val plan = joined.filter(col("tag") =!= "q").filter(col("rid") > 0L)
+      .queryExecution.sparkPlan
+    val node = plan.collect { case e: graft.plans.IntervalJoinExec => e }.head
+    def filtersIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect { case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.sql }
+    assert(filtersIn(node.left).exists(_.contains("tag")), plan.toString)
+    assert(filtersIn(node.right).exists(_.contains("rid")), plan.toString)
+    // and the result equals filtering the inputs directly
+    val direct = Interval.join(
+      pointsDf.filter(col("tag") =!= "q"),
+      intervalsDf.filter(col("rid") > 0L), Seq("k"), "t", "lo", "hi")
+    assert(joined.filter(col("tag") =!= "q").filter(col("rid") > 0L)
+      .collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq) ===
+      direct.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+  }
+
+  test("narrow projections prune both parquet scans through the interval node") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("tsu", graft.streaming.Streaming.tsMicros(col("ts")))
+    val points = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("tsu"), col("props"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("tsu") - 100L).as("lo"), col("tsu").as("hi"),
+        col("value"), col("props").as("p2"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Interval.join(points, windows, Seq("user_id"), "tsu", "lo", "hi")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(scans.size == 2)
+    scans.foreach { s =>
+      assert(!s.schema.fieldNames.contains("props"),
+        s"scan reads ${s.schema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("randomized parity with the composed equi-join + BETWEEN residual") {
     val ss = spark; import ss.implicits._
     def mix(i: Long, salt: Long): Long =
