@@ -61,7 +61,15 @@ object DumpPlans {
     // round 6, closing session: exact-statistics + training-mix family
     "t38_kneser_ney", "t39_good_turing", "t40_burstiness",
     "t41_mixture_apportion", "t42_isotonic_pava", "t43_feistel_order",
-    "x51_anova", "x52_markov", "x53_kruskal_wallis")
+    "x51_anova", "x52_markov", "x53_kruskal_wallis",
+    // round 6, closing session 2: as-of-native + curation families
+    "x54_asof_native", "x55_asof_forward", "x56_robust_mean",
+    "x57_cohort_ltv", "x58_hhi", "v24_k_anonymity",
+    "t44_gopher_rules", "t45_pipeline_funnel", "s28_semdedup", "s29_mrr",
+    // round 6, closing session 3: spectral / tokenizer / rate-limit /
+    // native interval join
+    "s30_pca_power", "s31_jl_neighbors", "t46_wordpiece",
+    "x59_rate_limit", "x60_interval_native")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
@@ -130,6 +138,12 @@ object DumpPlans {
       |  selected by the monotone event count. KMV insertion is
       |  order-independent, so the drained estimate hash-matches the
       |  batch formula computed by an engine that never saw a stream.
+      |- **st26_rate_limit (GCRA admission, TWS)** — per-user
+      |  buffer-until-watermark (st19's shape): pending events bounded by
+      |  the watermark horizon, folded in event-time order through ONE
+      |  long of durable state (the theoretical arrival time), which
+      |  survives micro-batches so bursts straddling a batch boundary
+      |  still throttle. Emission = per-event admit/deny, append-final.
       |
       |File-sink parity: `StreamFileSinkSpec` proves st6 row-identical
       |through the parquet file sink + `_spark_metadata` commit log —
