@@ -483,6 +483,61 @@ object CrossQueries {
       |FROM g ORDER BY o_custkey, run_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
+  // x7: after the dimension history exists, every fact row must be
+  // re-keyed to the dimension VERSION whose validity interval contains
+  // its date), through the native interval join. Points = orders
+  // (custkey, orderdate as epoch-day long); intervals = x7's
+  // gaps-and-islands status runs. Most facts land in exactly one era;
+  // boundary-day ties (an era closing and the next opening on the same
+  // date) genuinely match two — the multiplicity a plain as-of join
+  // would silently collapse, and the reason this is the interval
+  // operator's fixture. Scale shape: both sides hash-cluster on
+  // custkey only (two exchanges), the sweep holds at most a handful of
+  // open eras per customer, and no BETWEEN residual ever sees the
+  // per-customer cross product.
+  def x61(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val points = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("day"))
+    val runs = scd2Islands(Tables.orders(spark, dir))
+      .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
+        datediff(col("eff_from"), epoch).cast("long").as("lo"),
+        datediff(col("eff_to"), epoch).cast("long").as("hi"))
+    Interval.join(points, runs, Seq("o_custkey"), "day", "lo", "hi")
+      .select(col("o_orderkey"), col("o_custkey"), col("run_idx"),
+        col("status"))
+      .orderBy(col("o_orderkey"), col("run_idx"))
+  }
+
+  private val x61Sql =
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CASE WHEN lag(o_orderkey) OVER ord IS NULL
+      |           OR lag(o_orderstatus) OVER ord IS DISTINCT FROM o_orderstatus
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (
+      |  SELECT *, SUM(chg) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM w),
+      |g AS (
+      |  SELECT o_custkey, island, o_orderstatus AS status,
+      |    min(o_orderdate) AS eff_from, max(o_orderdate) AS eff_to
+      |  FROM i GROUP BY 1, 2, 3),
+      |p AS (SELECT o_orderkey, o_custkey, o_orderdate
+      |      FROM orders WHERE o_orderdate IS NOT NULL)
+      |SELECT p.o_orderkey, p.o_custkey AS o_custkey,
+      |  CAST(g.island AS BIGINT) AS run_idx, g.status
+      |FROM p JOIN g ON p.o_custkey = g.o_custkey
+      |  AND p.o_orderdate BETWEEN g.eff_from AND g.eff_to
+      |ORDER BY p.o_orderkey, run_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x8_bloom_join — Bloom-pruned big-to-big join (semi-join reduction):
   // lineitem rows joined to a filtered slice of orders, with a
   // `BloomFilterAggregate` over the build-side keys prefiltering the
@@ -2026,6 +2081,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_scd2_effectivity" -> (x61 _),
     "x60_interval_native" -> (x60 _),
     "x50_price_volume_mix" -> (x50 _),
     "x39_vwap" -> (x39 _),
@@ -2101,6 +2157,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x61_scd2_effectivity" -> x61Sql,
     "x60_interval_native" -> x60Sql,
     "x6_range_join" -> x6Sql,
     "x7_scd2_history" -> x7Sql,
