@@ -922,10 +922,13 @@ object StatQueries {
   // to one event per 30s with a 60s burst allowance, the politeness
   // budget a crawl/ingest pipeline enforces per domain. The recurrence
   // tat' = max(ts, tat) + T on admit is a genuine non-linear fold — it
-  // is NOT prefix-sum decomposable (max ∘ +) — so this is x20's honest
-  // escape hatch: ONE shuffle on user_id, then a bounded per-key scan
-  // in event-time order inside mapGroups, O(1) state per key. Skew
-  // costs a hot key its own row count, nothing cross-key. First event
+  // is NOT prefix-sum decomposable (max ∘ +) — so the shape is ONE
+  // shuffle on user_id with a SECONDARY SORT: sortWithinPartitions
+  // puts each key's events in event-time order, and a mapPartitions
+  // fold with key-change detection streams through them holding O(1)
+  // state and ZERO buffering — unlike a groupByKey+sort, a hot key
+  // never materializes in memory at all (the sort spills in the
+  // exchange machinery, where Spark is built to spill). First event
   // seeds tat = ts + T (tat starts at 0 — epoch µs are positive, so
   // the first test always admits; the oracle's recursive CTE seeds the
   // identical row). st26 runs the SAME recurrence as an always-on
@@ -939,16 +942,34 @@ object StatQueries {
       .select(col("user_id"),
         graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
         col("event_id"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsu"), col("event_id"))
       .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e._2, e._3))
-        var tat = 0L; var adm = 0L; var rej = 0L
-        evs.foreach { case (_, tsu, _) =>
-          if (tsu >= tat - burst) { adm += 1; tat = math.max(tsu, tat) + T }
-          else rej += 1
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long)] {
+          private var cur = Long.MinValue
+          private var tat = 0L; private var adm = 0L; private var rej = 0L
+          private var pending: Option[(Long, Long, Long)] = None
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (uid, tsu, _) = it.next()
+              if (uid != cur) {
+                if (cur != Long.MinValue) pending = Some((cur, adm, rej))
+                cur = uid; tat = 0L; adm = 0L; rej = 0L
+              }
+              if (tsu >= tat - burst) { adm += 1; tat = math.max(tsu, tat) + T }
+              else rej += 1
+            }
+            if (pending.isEmpty && !it.hasNext && cur != Long.MinValue) {
+              pending = Some((cur, adm, rej))
+              cur = Long.MinValue
+            }
+          }
+          override def hasNext: Boolean = { roll(); pending.nonEmpty }
+          override def next(): (Long, Long, Long) = {
+            roll(); val r = pending.get; pending = None; r
+          }
         }
-        (uid, adm, rej)
       }
       .toDF("user_id", "admitted", "rejected")
       .orderBy(col("user_id"))
