@@ -2099,7 +2099,208 @@ object SimilarityQueries {
        |  MAX(CASE WHEN rnk_e = 1 THEN rnk_p END) AS nn_proj_rank
        |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s32_ivfpq — the COMPOSED production ANN index (FAISS's IVFPQ): the
+  // coarse IVF quantizer routes each query to its nprobe=2 nearest
+  // cells (s7's trained truncated-mean centroids), ADC scores ONLY the
+  // routed candidates through their PQ codes (s26's lookup-table scan
+  // — 4 table probes per candidate, the raw vector never participates),
+  // and the top-R=20 shortlist is reranked EXACTLY (integer L2² over
+  // scaled longs). s7 and s26 gate the two halves in isolation; this
+  // gate pins their COMPOSITION — cell routing must not disturb code
+  // assignment, and the ADC boundary ties must resolve identically
+  // after the candidate set shrinks. Scale shape: both codebooks are
+  // bounded collects (≤2^bits coarse + m·4 PQ rows — broadcast-class,
+  // not data collects); assignment and encoding are map-side against
+  // literals; the only per-candidate exchange carries (query, cand,
+  // term) partials from the routed subset — nprobe/2^bits of the
+  // corpus, the IVF selectivity that makes the scan sublinear.
+  def s32(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val m = 4; val subDim = 16; val bits = 3; val nprobe = 2
+    // coarse quantizer: s7's trainer (truncated-mean centroid per
+    // sign-LSH seed cell; bounded 2^bits-row collect)
+    val cand0 = e.select(col("vec_id").as("cand_id"),
+      Similarity.scaled(col("embedding")).as("cv"),
+      Similarity.signBucket(col("embedding"), bits).as("icell"))
+    val coarse: Seq[(Int, Seq[Long], Long)] = cand0
+      .select(col("icell"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("icell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("icell"), col("pos"), expr("s div n").as("c"))
+      .groupBy(col("icell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("icell"), expr("transform(pc, e -> e.c)").as("cent"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1),
+        r.getSeq[Long](1).map(x => x * x).sum))
+      .sortBy(_._1).toSeq
+    val cellScores = coarse.map { case (cell, cvec, cn2) =>
+      struct(
+        round(Similarity.cosineWithNorms(
+          Similarity.dotScaled(col("cv"), typedlit(cvec)), col("cn"), lit(cn2)), 6)
+          .as("cos"),
+        lit(-cell).as("negcell"))
+    }
+    val assigned = cand0
+      .withColumn("cn", Similarity.dotScaled(col("cv"), col("cv")))
+      .withColumn("best", array_max(array(cellScores: _*)))
+      .select(col("cand_id"), (-col("best.negcell")).as("cell"))
+    val centDf = coarse.toDF("cell", "cent", "centn")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cell"))
+    val q0 = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        Similarity.scaled(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.dotScaled(col("qv"), col("qv")))
+    val probed = q0.crossJoin(broadcast(centDf))
+      .withColumn("qcos", round(Similarity.cosineWithNorms(
+        Similarity.dotScaled(col("qv"), col("cent")), col("qn"), col("centn")), 6))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // PQ codebooks + per-vector codes (s26's trainer/encoder)
+    val trained = Similarity.pqTrain(e, "embedding", m, subDim)
+    val candSub = Similarity
+      .pqCodesWith(e, "vec_id", "embedding", m, subDim, trained)
+      .select(col("vec_id").as("cand_id"), explode(expr(
+        """array(named_struct('sub', 0, 'cell', code0),
+          |  named_struct('sub', 1, 'cell', code1),
+          |  named_struct('sub', 2, 'cell', code2),
+          |  named_struct('sub', 3, 'cell', code3))""".stripMargin)).as("e"))
+      .select(col("cand_id"), col("e.sub").as("sub"), col("e.cell").as("pcell"))
+    val terms = trained.map { case (s, c, cent, cn2) =>
+      val subv = expr(s"slice(qv, ${s * subDim + 1}, $subDim)")
+      struct(lit(s).as("sub"), lit(c).as("pcell"),
+        (Similarity.dotScaled(subv, subv)
+          - lit(2L) * Similarity.dotScaled(subv, typedlit(cent)) + lit(cn2))
+          .as("term"))
+    }
+    val lut = q0.select(col("query_id"), explode(array(terms: _*)).as("t"))
+      .select(col("query_id"), col("t.sub").as("sub"),
+        col("t.pcell").as("pcell"), col("t.term").as("term"))
+    // IVF routing: the ADC scan sees only the probed cells' candidates
+    val routed = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id"))
+    val shortlist = routed.join(candSub, Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "pcell"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("term")).as("adc_dist"))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= 20)
+    val cv = e.select(col("vec_id").as("cand_id"),
+      Similarity.scaled(col("embedding")).as("cv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_sq").asc, col("cand_id"))
+    shortlist.join(cv, Seq("cand_id")).join(broadcast(q0), Seq("query_id"))
+      .withColumn("l2_sq", Similarity.dotScaled(col("cv"), col("cv"))
+        - lit(2L) * Similarity.dotScaled(col("cv"), col("qv"))
+        + Similarity.dotScaled(col("qv"), col("qv")))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("l2_sq"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val s32Sql = {
+    def centDot(vec: String) =
+      s"list_aggregate(list_transform(range(1, len($vec) + 1), i -> $vec[i] * c.cent[i]), 'sum')"
+    def dot16(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, 17), i -> $a[i] * $b[i]), 'sum')"
+    def dot64(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, 65), i -> $a[i] * $b[i]), 'sum')"
+    val qs = "q.qv[c.sub*16+1 : c.sub*16+16]"
+    s"""WITH $scaledCte,
+       |gcomp AS (
+       |  SELECT bucket AS icell, i AS pos, CAST(SUM(sv[i]) AS BIGINT) AS s,
+       |    COUNT(*) AS cnt
+       |  FROM v, range(1, 65) t(i) GROUP BY 1, 2),
+       |gcent AS (
+       |  SELECT icell,
+       |    list(CASE WHEN s < 0 THEN -((-s) // cnt) ELSE s // cnt END
+       |      ORDER BY pos) AS cent
+       |  FROM gcomp GROUP BY icell),
+       |gcw AS (SELECT icell, cent,
+       |  list_aggregate(list_transform(cent, x -> x * x), 'sum') AS cn2
+       |  FROM gcent),
+       |gassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, c.icell AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${cosSql(centDot("a.sv"), "a.nrm", "c.cn2")} DESC, c.icell) AS rc
+       |    FROM n a CROSS JOIN gcw c) WHERE rc = 1),
+       |gprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT b.vec_id AS query_id, c.icell AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${cosSql(centDot("b.sv"), "b.nrm", "c.cn2")} DESC, c.icell) AS rc
+       |    FROM n b CROSS JOIN gcw c WHERE b.vec_id < 5) WHERE rc <= 2),
+       |subs AS (
+       |  SELECT vec_id, s AS sub, sv[s*16+1 : s*16+16] AS subv,
+       |    (CASE WHEN sv[s*16+1] >= 0 THEN 2 ELSE 0 END +
+       |     CASE WHEN sv[s*16+2] >= 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS s) t),
+       |pcomp AS (
+       |  SELECT sub, cell, i AS pos, CAST(SUM(subv[i]) AS BIGINT) AS sm,
+       |    COUNT(*) AS cnt
+       |  FROM subs, range(1, 17) t(i) GROUP BY 1, 2, 3),
+       |pcent AS (
+       |  SELECT sub, cell,
+       |    list(CASE WHEN sm < 0 THEN -((-sm) // cnt) ELSE sm // cnt END
+       |      ORDER BY pos) AS cent
+       |  FROM pcomp GROUP BY 1, 2),
+       |pcw AS (SELECT sub, cell, cent,
+       |  list_aggregate(list_transform(cent, x -> x * x), 'sum') AS cc
+       |  FROM pcent),
+       |pd AS (
+       |  SELECT s.vec_id, s.sub, c.cell,
+       |    ${dot16("s.subv", "s.subv")} - 2 * ${dot16("s.subv", "c.cent")}
+       |      + c.cc AS dist
+       |  FROM subs s JOIN pcw c ON s.sub = c.sub),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rk
+       |    FROM pd) WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, sv AS qv FROM v WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.query_id, c.sub, c.cell,
+       |    ${dot16(qs, qs)} - 2 * ${dot16(qs, "c.cent")} + c.cc AS term
+       |  FROM q CROSS JOIN pcw c),
+       |routed AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id
+       |  FROM gassign a JOIN gprobe p ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT r.query_id, r.cand_id, CAST(SUM(l.term) AS BIGINT) AS adc_dist
+       |  FROM routed r JOIN codes k ON k.cand_id = r.cand_id
+       |  JOIN lut l ON l.query_id = r.query_id AND l.sub = k.sub
+       |    AND l.cell = k.cell
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, cand_id, adc_dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, cand_id) AS ark FROM adc) WHERE ark <= 20),
+       |ex AS (
+       |  SELECT s.query_id, s.cand_id, s.adc_dist,
+       |    CAST(${dot64("cv.sv", "cv.sv")} - 2 * ${dot64("cv.sv", "q.qv")}
+       |      + ${dot64("q.qv", "q.qv")} AS BIGINT) AS l2_sq
+       |  FROM short s JOIN v cv ON cv.vec_id = s.cand_id
+       |  JOIN q ON q.query_id = s.query_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, l2_sq, adc_dist
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY l2_sq, cand_id) AS rnk FROM ex)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_ivfpq" -> (s32 _),
     "s31_jl_neighbors" -> (s31 _),
     "s30_pca_power" -> (s30 _),
     "s29_mrr" -> (s29 _),
@@ -2133,6 +2334,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s32_ivfpq" -> s32Sql,
     "s31_jl_neighbors" -> s31Sql,
     "s30_pca_power" -> s30Sql,
     "s29_mrr" -> s29Sql,

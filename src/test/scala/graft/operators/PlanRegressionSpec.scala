@@ -34,6 +34,7 @@ class PlanRegressionSpec extends SparkSpec {
     "s31_jl_neighbors" -> 1,  // same shape as s29: bounded query-set
                               // broadcast × candidate stream
     "s7_topk_ivf" -> 1,       // codebook broadcast: 2^bits centroid rows
+    "s32_ivfpq" -> 1,         // same coarse-probe broadcast as s7
     "sk2_hll_union" -> 1,     // 1-row global HLL-merge aggregate
     "t14_temperature_mix" -> 1, // per-source rate table: #sources rows
     "t16_pmi_bigrams" -> 2,   // two 1-row corpus-total aggregates
