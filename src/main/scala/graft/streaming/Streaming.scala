@@ -85,17 +85,42 @@ object Streaming {
     * Copying out (the sink already materialized these rows on the
     * driver, so this adds no asymptotic cost) and releasing makes every
     * invocation start from the same resource state. */
+  /** Ephemeral checkpoint base for the gate drains. These checkpoints
+    * exist only for the duration of one AvailableNow drain and are
+    * deleted right after — they carry NO durability contract (the
+    * production path, [[PipelineStream]], takes an explicit caller
+    * checkpoint dir and is untouched by this). Placing them on tmpfs
+    * when the host has one removes disk-latency noise from the
+    * per-micro-batch commit log fsyncs — measured 2× on streaming gate
+    * medians when the host's /tmp slowed between sessions (st11 8.5s →
+    * 4s). Falls back to java.io.tmpdir. */
+  private def ephemeralCheckpointDir(name: String): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
+      else System.getProperty("java.io.tmpdir")
+    val dir = new java.io.File(base, s"$name-${java.util.UUID.randomUUID()}")
+    dir.mkdirs()
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   private def drainToLocal(
       spark: SparkSession, name: String, mode: OutputMode, out: DataFrame,
       forceRocksDb: Boolean = false): DataFrame = {
-    withStreamShufflePartitions(spark, forceRocksDb) {
+    val ckpt = ephemeralCheckpointDir(name)
+    try withStreamShufflePartitions(spark, forceRocksDb) {
       val q = out.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } finally deleteRecursively(ckpt)
     val sink = spark.table(name)
     val schema = sink.schema
     val rows = java.util.Arrays.asList(sink.collect(): _*)
