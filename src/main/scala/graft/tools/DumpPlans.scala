@@ -69,7 +69,8 @@ object DumpPlans {
     // round 6, closing session 3: spectral / tokenizer / rate-limit /
     // native interval join
     "s30_pca_power", "s31_jl_neighbors", "t46_wordpiece",
-    "x59_rate_limit", "x60_interval_native")
+    "x59_rate_limit", "x60_interval_native", "x61_scd2_effectivity",
+    "s32_ivfpq")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
