@@ -483,6 +483,113 @@ object CrossQueries {
       |FROM g ORDER BY o_custkey, run_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x62_window_funnel — the ORDERED funnel with a per-step time window
+  // (ClickHouse's windowFunnel): a user reaches level k iff there is a
+  // view → click → purchase chain with each consecutive gap strictly
+  // positive and ≤ 1h — unlike x2's unordered conditional-mins, the
+  // chain constraint is per-PAIR, so "max level reached" is a genuine
+  // sequential property. Spark runs it as the secondary-sort fold
+  // (x59's shape — zero per-key buffering) with an O(levels) DP: for
+  // each level keep the LATEST TWO distinct achieve times; the valid
+  // predecessor of an event at time t is the largest achieve time < t
+  // (the latest, unless it ties t — the two-candidate trick that makes
+  // equal-timestamp shadowing impossible), and if the LATEST valid
+  // predecessor is farther back than the window no earlier one can be
+  // closer. The oracle states the same semantics as EXISTS chains —
+  // any (v, c) / (v, c, p) witness — which the largest-predecessor DP
+  // provably decides identically.
+  def x62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = 3600000000L // 1h window per step, in µs
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_id"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .otherwise(3).as("step"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsu"), col("event_id"))
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        val NONE = Long.MinValue
+        new Iterator[(Long, Long)] {
+          private var cur = NONE
+          // last(k), prev(k): the two latest DISTINCT achieve times of
+          // level k (1-indexed; level 1 = any view)
+          private val last = Array.fill(4)(NONE)
+          private val prev = Array.fill(4)(NONE)
+          private var pending: Option[(Long, Long)] = None
+          private def maxLevel: Long = {
+            var k = 3
+            while (k >= 1 && last(k) == NONE) k -= 1
+            k.toLong
+          }
+          private def reset(): Unit = {
+            var k = 1
+            while (k <= 3) { last(k) = NONE; prev(k) = NONE; k += 1 }
+          }
+          private def achieve(k: Int, t: Long): Unit =
+            if (t != last(k)) { prev(k) = last(k); last(k) = t }
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (uid, tsu, _, step) = it.next()
+              if (uid != cur) {
+                if (cur != NONE && last(1) != NONE) pending = Some((cur, maxLevel))
+                cur = uid; reset()
+              }
+              if (step == 1) achieve(1, tsu)
+              else {
+                // largest achieve time of level step-1 strictly before tsu
+                val p = if (last(step - 1) != NONE && last(step - 1) < tsu)
+                  last(step - 1) else prev(step - 1)
+                if (p != NONE && p < tsu && tsu - p <= T) achieve(step, tsu)
+              }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != NONE) {
+              if (last(1) != NONE) pending = Some((cur, maxLevel))
+              cur = NONE
+            }
+          }
+          override def hasNext: Boolean = { roll(); pending.nonEmpty }
+          override def next(): (Long, Long) = {
+            roll(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF("user_id", "lvl")
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("lvl"))
+  }
+
+  private val x62Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |v AS (SELECT user_id, tsu FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, tsu FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase'),
+      |u1 AS (SELECT DISTINCT user_id FROM v),
+      |u2 AS (
+      |  SELECT DISTINCT c.user_id FROM c JOIN v ON v.user_id = c.user_id
+      |  WHERE c.tsu > v.tsu AND c.tsu - v.tsu <= 3600000000),
+      |u3 AS (
+      |  SELECT DISTINCT p.user_id
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |    JOIN v ON v.user_id = p.user_id
+      |  WHERE c.tsu > v.tsu AND c.tsu - v.tsu <= 3600000000
+      |    AND p.tsu > c.tsu AND p.tsu - c.tsu <= 3600000000)
+      |SELECT CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+      |                 WHEN u2.user_id IS NOT NULL THEN 2
+      |                 ELSE 1 END AS BIGINT) AS lvl,
+      |  COUNT(*) AS n_users
+      |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2081,6 +2188,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_window_funnel" -> (x62 _),
     "x61_scd2_effectivity" -> (x61 _),
     "x60_interval_native" -> (x60 _),
     "x50_price_volume_mix" -> (x50 _),
@@ -2157,6 +2265,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x62_window_funnel" -> x62Sql,
     "x61_scd2_effectivity" -> x61Sql,
     "x60_interval_native" -> x60Sql,
     "x6_range_join" -> x6Sql,

@@ -54,6 +54,31 @@ class SpectralRateGatesSpec extends SparkSpec {
     }
   }
 
+  test("x62 window-funnel DP equals the brute-force EXISTS chains") {
+    val T = 3600000000L
+    val got = CrossQueries.queries("x62_window_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = e.groupBy(_._1)
+    val levels = byUser.map { case (_, evs) =>
+      val v = evs.filter(_._2 == "view").map(_._3)
+      val c = evs.filter(_._2 == "click").map(_._3)
+      val p = evs.filter(_._2 == "purchase").map(_._3)
+      if (v.isEmpty) 0L
+      else {
+        val c2 = c.filter(ct => v.exists(vt => ct > vt && ct - vt <= T))
+        val l3 = p.exists(pt => c2.exists(ct => pt > ct && pt - ct <= T))
+        if (l3) 3L else if (c2.nonEmpty) 2L else 1L
+      }
+    }.filter(_ > 0L)
+    val expect = levels.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    assert(got === expect)
+  }
+
   test("st26 streaming decisions aggregate to x59's batch counts") {
     val dec = StreamingQueries.queries("st26_rate_limit")(spark, dir)
     val agg = dec.groupBy(col("user_id"))
