@@ -70,7 +70,7 @@ object DumpPlans {
     // native interval join
     "s30_pca_power", "s31_jl_neighbors", "t46_wordpiece",
     "x59_rate_limit", "x60_interval_native", "x61_scd2_effectivity",
-    "s32_ivfpq")
+    "s32_ivfpq", "x62_window_funnel")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
