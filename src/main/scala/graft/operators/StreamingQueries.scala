@@ -725,7 +725,28 @@ object StreamingQueries {
       |SELECT event_id, user_id, admitted
       |FROM sim ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st27_window_funnel — x62's ordered window-funnel as an always-on
+  // transformWithState query ([[Streaming.windowFunnelTws]]): the
+  // per-level latest-two-achieve-times DP folds each watermark-
+  // finalized batch in event-time order through a ValueState that
+  // SURVIVES micro-batches, so a view→click→purchase chain straddling
+  // a batch boundary still counts (the property a per-batch rescan
+  // loses). Each finalize emits the user's current level; the gate
+  // takes the LATEST row per user via the monotone cumulative event
+  // count (st22's pattern), then counts users per level — hash-equal
+  // to x62's batch EXISTS-chain oracle.
+  def st27(spark: SparkSession, dir: String): DataFrame =
+    Streaming.windowFunnelTws(spark, dir, windowUs = 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_seen"), col("lvl"))).as("m"))
+      .filter(col("m.lvl") >= 1L)
+      .groupBy(col("m.lvl").as("lvl"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("lvl"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st27_window_funnel" -> (st27 _),
     "st26_rate_limit" -> (st26 _),
     "st25_stream_drift" -> (st25 _),
     "st24_stream_anti" -> (st24 _),
@@ -754,6 +775,9 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming funnel shares x62's batch oracle: same semantics,
+    // incremental execution
+    "st27_window_funnel" -> CrossQueries.oracleSql("x62_window_funnel"),
     "st26_rate_limit" -> st26Sql,
     "st25_stream_drift" -> st25Sql,
     "st24_stream_anti" -> st24Sql,

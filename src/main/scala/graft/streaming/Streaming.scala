@@ -970,6 +970,102 @@ object Streaming {
     }
   }
 
+  final case class WfEvt(user_id: Long, event_id: Long, tsu: Long, step: Int,
+      event_ts: java.sql.Timestamp)
+  final case class PendWf(tsu: Long, event_id: Long, step: Int)
+  /** Per-level latest two DISTINCT achieve times (x62's DP state) plus
+    * the cumulative event count for update-mode latest-row selection. */
+  final case class WfState(l1: Long, p1: Long, l2: Long, p2: Long,
+      l3: Long, p3: Long, seen: Long)
+  final case class WfLevel(user_id: Long, n_seen: Long, lvl: Long)
+
+  /** Streaming ordered window-funnel (x62's stream twin): per user, the
+    * max level reached through view → click → purchase chains with each
+    * consecutive gap positive and ≤ `windowUs`, maintained as an
+    * always-on transformWithState query. Buffer-until-watermark (the
+    * [[LocfProcessor]] shape), then the O(levels) DP from x62 — each
+    * level keeps its latest two distinct achieve times, so an
+    * equal-timestamp event can never shadow a valid earlier
+    * predecessor — folds the batch in event-time order through a
+    * ValueState that SURVIVES batches: a chain straddling a micro-batch
+    * boundary still counts. Emits the user's current level per
+    * finalize; the gate takes the latest row per user via the monotone
+    * cumulative count (st22's pattern). */
+  class WindowFunnelProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WfEvt, WfLevel] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendWf] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[WfState] = _
+    private val NONE = Long.MinValue
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendWf](
+        "pending", E.product[PendWf], TTLConfig.NONE)
+      st = getHandle.getValueState[WfState]("st", E.product[WfState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[WfEvt],
+        timers: TimerValues): Iterator[WfLevel] = {
+      val batch = rows.map(e => PendWf(e.tsu, e.event_id, e.step)).toArray
+      pending.appendList(batch)
+      val maxMs = batch.map(_.tsu / 1000).max
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(maxMs, timers.getCurrentWatermarkInMs + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[WfLevel] = {
+      val evs = pending.get().toArray.sortBy(e => (e.tsu, e.event_id))
+      val s0 = if (st.exists()) st.get()
+        else WfState(NONE, NONE, NONE, NONE, NONE, NONE, 0L)
+      val last = Array(NONE, s0.l1, s0.l2, s0.l3)
+      val prev = Array(NONE, s0.p1, s0.p2, s0.p3)
+      evs.foreach { e =>
+        if (e.step == 1) {
+          if (e.tsu != last(1)) { prev(1) = last(1); last(1) = e.tsu }
+        } else {
+          val k = e.step
+          val p = if (last(k - 1) != NONE && last(k - 1) < e.tsu) last(k - 1)
+            else prev(k - 1)
+          if (p != NONE && p < e.tsu && e.tsu - p <= windowUs &&
+            e.tsu != last(k)) { prev(k) = last(k); last(k) = e.tsu }
+        }
+      }
+      val seen = s0.seen + evs.length
+      st.update(WfState(last(1), prev(1), last(2), prev(2), last(3), prev(3), seen))
+      pending.clear() // the DP state is the carry; raw events are not
+      val lvl = if (last(3) != NONE) 3L else if (last(2) != NONE) 2L
+        else if (last(1) != NONE) 1L else 0L
+      Iterator.single(WfLevel(uid, seen, lvl))
+    }
+  }
+
+  /** [[WindowFunnelProcessor]] as a real streaming query (append mode,
+    * AvailableNow, RocksDB). */
+  def windowFunnelTws(spark: SparkSession, sfDir: String, windowUs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = s"graft_stream_twswf_${queryCounter.incrementAndGet()}"
+    val events = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .otherwise(3).as("step"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[WfEvt]
+    val levels = events.groupByKey(_.user_id)
+      .transformWithState(
+        new WindowFunnelProcessor(windowUs), TimeMode.EventTime(), OutputMode.Append)
+    drainToLocal(spark, name, OutputMode.Append, levels.toDF(), forceRocksDb = true)
+  }
+
   /** [[RateLimitProcessor]] as a real streaming query (append mode,
     * AvailableNow, RocksDB). */
   def rateLimitTws(spark: SparkSession, sfDir: String, periodUs: Long): DataFrame = {
