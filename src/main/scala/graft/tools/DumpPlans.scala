@@ -145,6 +145,12 @@ object DumpPlans {
       |  long of durable state (the theoretical arrival time), which
       |  survives micro-batches so bursts straddling a batch boundary
       |  still throttle. Emission = per-event admit/deny, append-final.
+      |- **st27_window_funnel (ordered funnel DP, TWS)** — same
+      |  buffer-until-watermark family: state = six longs per user (the
+      |  latest two achieve times per funnel level) + a cumulative
+      |  count; chains straddling batch boundaries still count
+      |  (spec-proven under maxFilesPerTrigger=1). Per-finalize level
+      |  emission, latest row selected downstream by the monotone count.
       |
       |File-sink parity: `StreamFileSinkSpec` proves st6 row-identical
       |through the parquet file sink + `_spark_metadata` commit log —
