@@ -355,29 +355,40 @@ object TpchQueries {
   // ---------------------------------------------------------------------
   // q58_blocking_supplier — TPC-H Q21: suppliers who were the SOLE
   // late shipper in multi-supplier orders (shipped >60 days after
-  // order date while every co-supplier shipped on time). The
-  // EXISTS/NOT-EXISTS pair becomes LEFT SEMI then LEFT ANTI on the
-  // deduped (order, supplier) pair sets — both sides are
-  // pair-cardinality (lines collapse first), both joins hash on
-  // orderkey, and the inequality on suppkey rides the join condition.
+  // order date while every co-supplier shipped on time). Classic
+  // aggregate rewrite of the EXISTS/NOT-EXISTS pair: ONE pass over
+  // lineitem⋈orders folds lines to (order, supplier, is_late), a
+  // second per-order aggregate counts suppliers / late suppliers and
+  // carries the sole late supplier (well-defined exactly when
+  // n_late = 1), and the filter `n_late = 1 AND n_supp > 1` replaces
+  // both correlated quantifiers. Key algebraic step: a pair is late
+  // iff its LATEST line is late (all lines of an order share one
+  // o_orderdate), so lineitem pre-aggregates max(l_shipdate) per
+  // (order, supplier) BEFORE touching orders — the join input is
+  // pair-cardinality, not line-cardinality. Scale shape: three hash
+  // exchanges (pair keys → orderkey → suppkey), all map-side
+  // combined, NO fact-derived broadcast build — the r6 plan broadcast
+  // the distinct pair set (fact-cardinality, grows with data); here
+  // per-order state is two counters, the only AQE-eligible broadcast
+  // is the 2-column orders projection (runtime-size-guarded, demotes
+  // to SMJ at scale), and the oracle stays the independent EXISTS
+  // form.
   def q58(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val late = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val pairs = li.select(col("l_orderkey").as("pok"), col("l_suppkey").as("psk"))
-      .distinct()
-    late
-      .join(pairs, col("ok") === col("pok") && col("sk") =!= col("psk"),
-        "left_semi")
-      .join(late.select(col("ok").as("ook"), col("sk").as("osk")),
-        col("ok") === col("ook") && col("sk") =!= col("osk"), "left_anti")
-      .groupBy(col("sk").as("s_suppkey"))
+    val isLate =
+      col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    pairs
+      .join(ord, col("ok") === col("o_orderkey"))
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(isLate, 1).otherwise(0)).as("n_late"),
+        max(when(isLate, col("sk"))).as("late_sk"))
+      .filter(col("n_late") === 1 && col("n_supp") > 1)
+      .groupBy(col("late_sk").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(10)
