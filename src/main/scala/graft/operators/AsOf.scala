@@ -38,15 +38,9 @@ object AsOf {
       leftTime: String, rightTime: String, direction: AsOfDirection,
       toleranceMicros: Option[Long]): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        AsOfJoinStrategy +: spark.experimental.extraStrategies
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.AsOfJoinFilterPushdown))
-      spark.experimental.extraOptimizations =
-        Seq(graft.plans.AsOfJoinFilterPushdown,
-          graft.plans.AsOfJoinColumnPruning) ++
-          spark.experimental.extraOptimizations
+    graft.plans.SessionRegistration.ensure(spark, AsOfJoinStrategy,
+      Seq(graft.plans.AsOfJoinFilterPushdown,
+        graft.plans.AsOfJoinColumnPruning))
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-as-of (same scan on both sides) stays unambiguous

@@ -19,19 +19,16 @@ object Interval {
     * is joined with each `right` row (keys, `rightLo`, `rightHi`)
     * satisfying `rightLo <= leftTime <= rightHi` (BETWEEN bounds).
     * Right key columns are elided (they equal the left's); other right
-    * columns keep their names — callers project/rename as usual. */
+    * columns keep their names — callers project/rename as usual.
+    * Null semantics match the composed SQL join: a row with a null
+    * key, null `leftTime`, or null `rightLo`/`rightHi` never matches
+    * (the exec drops such rows before the sweep). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightLo: String, rightHi: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
-      spark.experimental.extraStrategies =
-        IntervalJoinStrategy +: spark.experimental.extraStrategies
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.IntervalJoinFilterPushdown))
-      spark.experimental.extraOptimizations =
-        Seq(graft.plans.IntervalJoinFilterPushdown,
-          graft.plans.IntervalJoinColumnPruning) ++
-          spark.experimental.extraOptimizations
+    graft.plans.SessionRegistration.ensure(spark, IntervalJoinStrategy,
+      Seq(graft.plans.IntervalJoinFilterPushdown,
+        graft.plans.IntervalJoinColumnPruning))
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-joins (same scan on both sides) stay unambiguous

@@ -127,28 +127,49 @@ case class IntervalJoinExec(
       // the key's maximum concurrent overlap, the operator's one buffer
       val active = new ArrayBuffer[(InternalRow, Long)]
       var activeKey: UnsafeRow = null
+      // SQL inner-join null semantics: a NULL key or NULL bound makes
+      // `l.key = r.key AND t BETWEEN lo AND hi` UNKNOWN, never a match —
+      // but the sweep's natural ordering groups null keys together and
+      // UnsafeRow.getLong reads a null field as 0, so null rows must be
+      // dropped EXPLICITLY on both sides (left: skipped; right: consumed
+      // off the buffered iterator — null keys/los sort first within
+      // their run, so consumption preserves the merge order).
       lIter.flatMap { l =>
         val lKey = lKeyProj(l)
-        val lTm = lTimeProj(l).getLong(0)
-        if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
-          active.clear()
-          activeKey = lKey.copy()
+        val lTimeRow = lTimeProj(l)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) Iterator.empty
+        else {
+          val lTm = lTimeRow.getLong(0)
+          if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
+            active.clear()
+            activeKey = lKey.copy()
+          }
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val head = rBuf.head
+            if (rKeyProj(head).anyNull) rBuf.next() // null key: no match ever
+            else {
+              val cmp = keyOrd.compare(rKeyProj(head), lKey)
+              if (cmp < 0) rBuf.next() // right key behind every remaining left
+              else if (cmp > 0) scanning = false
+              else {
+                val loRow = rLoProj(head)
+                if (loRow.isNullAt(0)) rBuf.next() // null lo: no match ever
+                else if (loRow.getLong(0) <= lTm) {
+                  val r = rBuf.next().copy()
+                  val hiRow = rHiProj(r)
+                  // a null hi never matches; an interval already closed
+                  // before this point can never match a later one either
+                  // (times ascend) — drop, not admit
+                  if (!hiRow.isNullAt(0) && hiRow.getLong(0) >= lTm)
+                    active += ((r, hiRow.getLong(0)))
+                } else scanning = false
+              }
+            }
+          }
+          active.filterInPlace(_._2 >= lTm)
+          active.iterator.map { case (r, _) => outProj(joined(l, r)) }
         }
-        var scanning = true
-        while (scanning && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-          if (cmp < 0) rBuf.next() // right key behind every remaining left
-          else if (cmp > 0) scanning = false
-          else if (rLoProj(rBuf.head).getLong(0) <= lTm) {
-            val r = rBuf.next().copy()
-            val rHiV = rHiProj(r).getLong(0)
-            // an interval already closed before this point can never
-            // match a later one either (times ascend) — drop, not admit
-            if (rHiV >= lTm) active += ((r, rHiV))
-          } else scanning = false
-        }
-        active.filterInPlace(_._2 >= lTm)
-        active.iterator.map { case (r, _) => outProj(joined(l, r)) }
       }
     }
   }

@@ -96,11 +96,44 @@ object Streaming {
     * 4s). Falls back to java.io.tmpdir. */
   private def ephemeralCheckpointDir(name: String): java.io.File = {
     val shm = new java.io.File("/dev/shm")
-    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
+    // tmpfs is RAM: only use it with headroom (512 MB — gate
+    // checkpoints are a few MB), else a small /dev/shm would trade
+    // fsync latency for memory pressure
+    val base = if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace > 512L * 1024 * 1024) shmBase.getPath
       else System.getProperty("java.io.tmpdir")
     val dir = new java.io.File(base, s"$name-${java.util.UUID.randomUUID()}")
     dir.mkdirs()
+    // a crashed/killed run must not leak RAM-backed state until reboot:
+    // every live dir is registered with one JVM-wide shutdown hook, and
+    // stale dirs from an earlier kill -9 are swept at first use
+    ephemeralDirs.add(dir)
+    cleanupHookInstalled
     dir
+  }
+
+  /** Tracked live ephemeral dirs; the normal path removes each in its
+    * gate's `finally`, the shutdown hook catches abnormal JVM exits. */
+  private val ephemeralDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = ephemeralDirs.poll()
+      while (d != null) { deleteRecursively(d); d = ephemeralDirs.poll() }
+    }))
+
+  /** The shared tmpfs base, swept of stale (>2 h old — gates run in
+    * seconds) checkpoint dirs left by kill -9'd JVMs on first access.
+    * The age threshold keeps concurrent JVMs (bench + test run) from
+    * deleting each other's live checkpoints. */
+  private lazy val shmBase: java.io.File = {
+    val base = new java.io.File("/dev/shm/graft_ckpt")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(base.listFiles()).foreach(_.foreach { d =>
+      if (d.lastModified() < cutoff) deleteRecursively(d)
+    })
+    base
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -120,7 +153,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    } finally { deleteRecursively(ckpt); ephemeralDirs.remove(ckpt) }
     val sink = spark.table(name)
     val schema = sink.schema
     val rows = java.util.Arrays.asList(sink.collect(): _*)
@@ -494,8 +527,22 @@ object Streaming {
       gapMinutes: Int, outDir: String, ckptDir: String): DataFrame = {
     val events = watermarkedSessionEvents(spark, sfDir)
     val flows = sessionFlows(events, gapMinutes)
-    withStreamShufflePartitions(spark) {
-      val q = flows.toDF().writeStream
+    drainToFile(spark, flows.toDF(), outDir, ckptDir)
+  }
+
+  /** Drain a streaming frame through the parquet FILE sink and read it
+    * back through the `_spark_metadata` commit log — the shared
+    * production-path drain behind every `*File` variant (st6's
+    * [[sessionFlowCountsFile]] doc has the full rationale: no
+    * driver-heap materialization, atomic visibility, crash-orphan
+    * files invisible to readers). Append mode only — the parquet sink
+    * supports nothing else, which is also why every `*File` variant
+    * wraps an append-mode gate. */
+  private def drainToFile(spark: SparkSession, out: DataFrame,
+      outDir: String, ckptDir: String,
+      forceRocksDb: Boolean = false): DataFrame = {
+    withStreamShufflePartitions(spark, forceRocksDb) {
+      val q = out.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", outDir)
@@ -1069,19 +1116,35 @@ object Streaming {
   /** [[RateLimitProcessor]] as a real streaming query (append mode,
     * AvailableNow, RocksDB). */
   def rateLimitTws(spark: SparkSession, sfDir: String, periodUs: Long): DataFrame = {
+    val name = s"graft_stream_twsrl_${queryCounter.incrementAndGet()}"
+    drainToLocal(spark, name, OutputMode.Append,
+      rateLimitDecisions(spark, sfDir, periodUs), forceRocksDb = true)
+  }
+
+  /** [[rateLimitTws]] drained through the parquet FILE sink (see
+    * [[drainToFile]]) — proves the production path for the
+    * transformWithState + RocksDB processor family, not just the
+    * legacy-API aggregations (`StreamFileSinkSpec` pins it row-for-row
+    * against the memory-sink gate). */
+  def rateLimitTwsFile(spark: SparkSession, sfDir: String, periodUs: Long,
+      outDir: String, ckptDir: String): DataFrame =
+    drainToFile(spark, rateLimitDecisions(spark, sfDir, periodUs),
+      outDir, ckptDir, forceRocksDb = true)
+
+  private def rateLimitDecisions(
+      spark: SparkSession, sfDir: String, periodUs: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val name = s"graft_stream_twsrl_${queryCounter.incrementAndGet()}"
     val events = eventsStream(spark, sfDir)
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"))
       .withColumn("event_ts", timestamp_micros(col("tsu")))
       .withWatermark("event_ts", "0 seconds")
       .as[RlEvt]
-    val decisions = events.groupByKey(_.user_id)
+    events.groupByKey(_.user_id)
       .transformWithState(
         new RateLimitProcessor(periodUs), TimeMode.EventTime(), OutputMode.Append)
-    drainToLocal(spark, name, OutputMode.Append, decisions.toDF(), forceRocksDb = true)
+      .toDF()
   }
 
   /** Engine-native streaming dedup: `dropDuplicatesWithinWatermark` on
@@ -1298,6 +1361,20 @@ object Streaming {
     * delay, and state is one (sums + ≤types list) row per open hour. */
   def hourlyDriftTvd(spark: SparkSession, sfDir: String, thresholdPpm: Long): DataFrame = {
     val name = s"graft_stream_drift_${queryCounter.incrementAndGet()}"
+    drainToLocal(spark, name, OutputMode.Append,
+      driftStream(spark, sfDir, thresholdPpm))
+  }
+
+  /** [[hourlyDriftTvd]] drained through the parquet FILE sink (see
+    * [[drainToFile]]) — the monitoring stream a production deployment
+    * would actually persist. */
+  def hourlyDriftTvdFile(spark: SparkSession, sfDir: String,
+      thresholdPpm: Long, outDir: String, ckptDir: String): DataFrame =
+    drainToFile(spark, driftStream(spark, sfDir, thresholdPpm),
+      outDir, ckptDir)
+
+  private def driftStream(
+      spark: SparkSession, sfDir: String, thresholdPpm: Long): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).rowsBetween(
@@ -1327,7 +1404,7 @@ object Streaming {
                | - aggregate(tl, 0L, (a, x) -> a + x.ref_ppm)) div 2"""
           .stripMargin).as("tvd_ppm"))
       .withColumn("drifted", col("tvd_ppm") >= lit(thresholdPpm))
-    drainToLocal(spark, name, OutputMode.Append, stream)
+    stream
   }
 
   /** Streaming ANTI interval join — NOT EXISTS as an always-on query:

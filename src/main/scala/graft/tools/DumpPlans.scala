@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpPlans {
 
-  private val headline = Seq(
+  // public: PlanCoverageSpec pins the ">1s bench median ⇒ headline
+  // plan" rule against this list
+  val headline = Seq(
     "q1_agg", "q2_filter_project", "q3_join_broadcast", "q4_semi_join",
     "q7_topk", "q8_window", "q21_rolling_window", "q22_corr_subquery",
     "v3_valid_by_opco", "d1_exact_dedup",
@@ -70,7 +72,16 @@ object DumpPlans {
     // native interval join
     "s30_pca_power", "s31_jl_neighbors", "t46_wordpiece",
     "x59_rate_limit", "x60_interval_native", "x61_scd2_effectivity",
-    "s32_ivfpq", "x62_window_funnel")
+    "s32_ivfpq", "x62_window_funnel",
+    // round 7: close the ">1s bench median ⇒ headline plan" rule
+    // mechanically (PlanCoverageSpec now pins it against bench_detail)
+    "d12_cdc_chunks", "d16_containment", "d17_minhash_eval",
+    "d5_dedup_clusters", "q16_sql", "q53_market_share",
+    "q65_promo_suppliers", "s11_label_prop", "s14_triangle_count",
+    "s19_kmeans", "s24_degree_histogram", "s8_embed_clusters",
+    "t16_pmi_bigrams", "t27_lm_score", "v11_badrecords", "v5_pa_route",
+    "v6_roundtrip", "v7_orc_roundtrip", "x17_pit_audit",
+    "x20_stock_rollforward", "x31_compaction_plan")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

@@ -141,4 +141,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(native.toSet === composed.toSet)
     assert(native.nonEmpty) // the fixture must actually exercise matches
   }
+
+  test("null keys and null bounds never match (SQL inner-join parity)") {
+    val ss = spark; import ss.implicits._
+    // nulls in every role: left key, left time, right key, lo, hi —
+    // plus live rows proving the non-null pairs still join
+    val points = Seq(
+      (Some(1L), Some(5L), 1L), (None, Some(5L), 2L),
+      (Some(1L), None, 3L), (Some(2L), Some(7L), 4L))
+      .toDF("k", "t", "lid").repartition(2)
+    val intervals = Seq(
+      (Some(1L), Some(1L), Some(10L), 11L), (None, Some(1L), Some(10L), 12L),
+      (Some(1L), None, Some(10L), 13L), (Some(1L), Some(1L), None, 14L),
+      (Some(2L), Some(6L), Some(8L), 15L))
+      .toDF("k", "lo", "hi", "rid").repartition(2)
+    val native = Interval.join(points, intervals, Seq("k"), "t", "lo", "hi")
+      .select($"lid", $"rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val composed = points.join(
+        intervals.withColumnRenamed("k", "k2"),
+        $"k" === $"k2" && $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"lid", $"rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native.size === composed.size)
+    assert(native.toSet === composed.toSet)
+    assert(native.toSet === Set((1L, 11L), (4L, 15L)))
+  }
 }

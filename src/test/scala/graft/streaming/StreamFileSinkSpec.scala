@@ -44,4 +44,38 @@ class StreamFileSinkSpec extends SparkSpec {
     assert(meta.exists && meta.listFiles().nonEmpty,
       "file sink wrote no _spark_metadata commit log")
   }
+
+  test("st25 (drift monitor) through the parquet file sink equals the gate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("drift_file_sink").toString
+    val ckpt = Files.createTempDirectory("drift_file_ckpt").toString
+    val fromFile = Streaming
+      .hourlyDriftTvdFile(spark, dir, thresholdPpm = 200000L, out, ckpt)
+      .orderBy(col("hour")).collect()
+    val fromMemory = graft.operators.StreamingQueries.st25(spark, dir)
+      .collect()
+    assert(fromFile.length == fromMemory.length,
+      s"file sink ${fromFile.length} rows vs memory sink ${fromMemory.length}")
+    fromFile.zip(fromMemory).zipWithIndex.foreach { case ((f, m), i) =>
+      assert(f == m, s"row $i differs: file=$f memory=$m")
+    }
+    assert(new java.io.File(out, "_spark_metadata").exists)
+  }
+
+  test("st26 (GCRA rate limit, TWS+RocksDB) through the parquet file sink equals the gate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("rl_file_sink").toString
+    val ckpt = Files.createTempDirectory("rl_file_ckpt").toString
+    val fromFile = Streaming
+      .rateLimitTwsFile(spark, dir, periodUs = 30000000L, out, ckpt)
+      .orderBy(col("event_id")).collect()
+    val fromMemory = graft.operators.StreamingQueries.st26(spark, dir)
+      .collect()
+    assert(fromFile.length == fromMemory.length,
+      s"file sink ${fromFile.length} rows vs memory sink ${fromMemory.length}")
+    fromFile.zip(fromMemory).zipWithIndex.foreach { case ((f, m), i) =>
+      assert(f == m, s"row $i differs: file=$f memory=$m")
+    }
+    assert(new java.io.File(out, "_spark_metadata").exists)
+  }
 }
