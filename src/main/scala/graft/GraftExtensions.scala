@@ -147,5 +147,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and column pruning down to the scans' ReadSchema
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinFilterPushdown)
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinColumnPruning)
+    // ...and the SQL auto-rewrite: plain `l.k = r.k AND t BETWEEN lo
+    // AND hi` inner joins re-plan onto the native sweep with no API
+    // change (conf-gated: spark.graft.intervalJoin.autoRewrite)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinAutoRewrite)
   }
 }

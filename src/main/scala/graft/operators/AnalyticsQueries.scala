@@ -1016,6 +1016,62 @@ object AnalyticsQueries {
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // v25_column_profile — one-pass table profiling (the
+  // ingestion-gate data-quality report every warehouse loader runs
+  // before accepting a drop): per column, null count, exact distinct
+  // count, and min/max in a type-stable string form (bigints exact,
+  // money as floor-cents — monotone, so floor∘min = min∘floor — dates
+  // as yyyy-MM-dd). ONE scan computes all 24 aggregates; the six exact
+  // count-distincts plan as a single Expand (×6 rows map-side, one
+  // exchange on the expanded grouping) — the standard exact-profile
+  // cost, swapped for HLL sketches (sk2's path) when approximate is
+  // acceptable at 100 TB. The 1-row wide result unpivots via stack()
+  // into the per-column report.
+  def v25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val cols: Seq[(String, Column, Column => Column)] = Seq(
+      ("o_orderkey", col("o_orderkey"), (c: Column) => c.cast("string")),
+      ("o_custkey", col("o_custkey"), (c: Column) => c.cast("string")),
+      ("o_orderstatus", col("o_orderstatus"), (c: Column) => c),
+      ("o_orderpriority", col("o_orderpriority"), (c: Column) => c),
+      ("o_totalprice", col("o_totalprice"),
+        (c: Column) => floor(c * 100).cast("long").cast("string")),
+      ("o_orderdate", col("o_orderdate"),
+        (c: Column) => date_format(c, "yyyy-MM-dd")))
+    val aggs = cols.flatMap { case (n, c, repr) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+      countDistinct(c).as(s"${n}__nd"),
+      repr(min(c)).as(s"${n}__min"),
+      repr(max(c)).as(s"${n}__max"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${cols.size}, " + cols.map { case (n, _, _) =>
+      s"'$n', `${n}__nulls`, `${n}__nd`, `${n}__min`, `${n}__max`"
+    }.mkString(", ") + ") AS (col_name, n_nulls, n_distinct, vmin, vmax)"
+    wide.select(col("n_rows"), expr(stackExpr))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("vmin"), col("vmax"))
+      .orderBy(col("col_name"))
+  }
+
+  private val v25Sql = Seq(
+    ("o_orderkey", "CAST(%s AS VARCHAR)"),
+    ("o_custkey", "CAST(%s AS VARCHAR)"),
+    ("o_orderstatus", "%s"),
+    ("o_orderpriority", "%s"),
+    ("o_totalprice", "CAST(CAST(FLOOR(%s * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d')"))
+    .map { case (n, repr) =>
+      s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  COUNT(DISTINCT $n) AS n_distinct,
+         |  ${repr.format(s"MIN($n)")} AS vmin,
+         |  ${repr.format(s"MAX($n)")} AS vmax
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------------
   // x49_join_ivm — incremental JOIN-view maintenance by delta
   // decomposition, the join sibling of x33's aggregate IVM: for the
   // standing view V = agg(R ⋈ S) with a batch of new orders ΔR AND new
@@ -1100,6 +1156,7 @@ object AnalyticsQueries {
     "x49_join_ivm" -> (x49 _),
     "v23_pseudonymize" -> (v23 _),
     "v24_k_anonymity" -> (v24 _),
+    "v25_column_profile" -> (v25 _),
     "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
@@ -1124,6 +1181,7 @@ object AnalyticsQueries {
     "x49_join_ivm" -> x49Sql,
     "v23_pseudonymize" -> v23Sql,
     "v24_k_anonymity" -> v24Sql,
+    "v25_column_profile" -> v25Sql,
     "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,

@@ -590,6 +590,60 @@ object CrossQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x63_interval_sql — x60's attribution semantics written as PLAIN SQL
+  // and re-planned onto the native sweep by the optimizer
+  // ([[graft.plans.IntervalJoinAutoRewrite]]): the query text is the
+  // `v.user_id = p.user_id AND v.tsu BETWEEN p.lo AND p.hi` join any
+  // warehouse user would write; the session rule turns it into
+  // IntervalJoinExec (zero API change — the rewrite path
+  // `IntervalJoinAutoRewriteSpec` plan-pins), and the extra
+  // mixed-side conjunct (`view_id <> purchase_id`, trivially true on
+  // disjoint id ranges but structurally a residual) proves non-pattern
+  // predicates survive as a post-join filter. Output is per-purchase
+  // attributed-view stats, so the gate exercises the restored right
+  // key through a downstream aggregate.
+  def x63(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Interval.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_type"))
+    ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
+      .createOrReplaceTempView("graft_x63_views")
+    ev.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("tsu") - lit(7200000000L)).as("lo"), col("tsu").as("hi"))
+      .createOrReplaceTempView("graft_x63_purchases")
+    spark.sql(
+      """SELECT v.user_id, p.purchase_id,
+        |  COUNT(*) AS n_views, MIN(v.view_id) AS first_view
+        |FROM graft_x63_views v JOIN graft_x63_purchases p
+        |  ON v.user_id = p.user_id
+        | AND v.tsu BETWEEN p.lo AND p.hi
+        | AND v.view_id <> p.purchase_id
+        |GROUP BY v.user_id, p.purchase_id
+        |ORDER BY v.user_id, p.purchase_id""".stripMargin)
+  }
+
+  private val x63Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |v AS (SELECT user_id, event_id AS view_id, tsu
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id,
+      |        tsu - 7200000000 AS lo, tsu AS hi
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, p.purchase_id,
+      |  COUNT(*) AS n_views, MIN(v.view_id) AS first_view
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND v.tsu BETWEEN p.lo AND p.hi AND v.view_id <> p.purchase_id
+      |GROUP BY v.user_id, p.purchase_id
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2097,6 +2151,69 @@ object CrossQueries {
       |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x64_twap — hourly TIME-weighted average (x39's other weighting
+  // axis, the market-data / metering standard): per (event type,
+  // hour), each observation's value holds until the next observation
+  // of that type or the hour boundary, whichever is first, and the
+  // average weights by that holding duration (whole seconds, exact
+  // integer arithmetic — floor-cents × dur_s // Σdur_s, headroom
+  // ~4.5e10 rows/group before int64 saturates at these value ranges).
+  // Scale shape: the lead() window partitions by (type, hour) — NOT
+  // by type alone, which would funnel each type through one reducer —
+  // sound because a next-observation beyond the hour end clips to the
+  // boundary anyway, so the within-hour lead is semantically
+  // identical. The follow-up aggregate groups on the same keys, so
+  // Spark reuses the window's exchange: ONE shuffle end to end.
+  def x64(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("hidx"))
+      .orderBy(col("tsu"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hidx", expr("tsu div 3600000000"))
+      .withColumn("next_tsu", lead(col("tsu"), 1).over(w))
+      .withColumn("dur_s", expr(
+        "(coalesce(next_tsu, (hidx + 1) * 3600000000) - tsu) div 1000000"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("cents") * col("dur_s")).as("wsum"),
+        sum(col("dur_s")).as("dsum"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("hidx") * lit(3600000000L)),
+          "yyyy-MM-dd HH:mm").as("hour"),
+        col("n_obs"),
+        expr("CAST(wsum div NULLIF(dsum, 0) AS BIGINT)").as("twap_cents"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val x64Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS tsu,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 3600000000 AS hidx
+      |  FROM events WHERE value IS NOT NULL),
+      |l AS (
+      |  SELECT *, LEAD(tsu) OVER (PARTITION BY event_type, hidx
+      |      ORDER BY tsu, event_id) AS next_tsu
+      |  FROM e),
+      |d AS (
+      |  SELECT event_type, hidx, cents,
+      |    (coalesce(next_tsu, (hidx + 1) * 3600000000) - tsu) // 1000000
+      |      AS dur_s
+      |  FROM l)
+      |SELECT event_type,
+      |  strftime(make_timestamp(hidx * 3600000000), '%Y-%m-%d %H:%M')
+      |    AS hour,
+      |  COUNT(*) AS n_obs,
+      |  CAST(SUM(cents * dur_s) // NULLIF(CAST(SUM(dur_s) AS BIGINT), 0)
+      |    AS BIGINT) AS twap_cents
+      |FROM d GROUP BY event_type, hidx
+      |ORDER BY event_type, hour""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x39_vwap — monthly volume-weighted average price (x37's weighted
   // MEAN sibling, the standard market/pricing readout): per ship
   // month, VWAP = Σ(price·qty) / Σqty in exact milli-cents by one
@@ -2188,6 +2305,8 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x64_twap" -> (x64 _),
+    "x63_interval_sql" -> (x63 _),
     "x62_window_funnel" -> (x62 _),
     "x61_scd2_effectivity" -> (x61 _),
     "x60_interval_native" -> (x60 _),
@@ -2265,6 +2384,8 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x64_twap" -> x64Sql,
+    "x63_interval_sql" -> x63Sql,
     "x62_window_funnel" -> x62Sql,
     "x61_scd2_effectivity" -> x61Sql,
     "x60_interval_native" -> x60Sql,

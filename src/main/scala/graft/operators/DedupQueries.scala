@@ -1221,7 +1221,63 @@ object DedupQueries {
       |  CAST(MAX(nh * 1000000 // ng) AS BIGINT) AS max_ppm
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d23_paragraph_dedup — CCNet-style cross-document CHUNK dedup (Wenzek
+  // et al. 2020 dedup at paragraph granularity, the step most large web
+  // corpora run before doc-level MinHash): split every doc into
+  // contiguous 20-token chunks, hash each, keep a chunk only at its
+  // corpus-wide FIRST occurrence (min (doc_id, chunk_idx) — the same
+  // deterministic survivorship as d1), and report per doc how much text
+  // survives. Scale shape: the exchange carries (doc_id, idx, md5, len)
+  // — never chunk text; one shuffle on chunk hash elects keepers (a
+  // rank-1 window, map-side combinable into min-struct form at higher
+  // SF), one shuffle on doc_id re-aggregates. O(chunks), no pairwise
+  // anything — paragraph dedup is exact, which is why production
+  // pipelines run it at full corpus size.
+  def d23(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("ci"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.windowStarts(col("toks"), 20)).as(Seq("ci", "start")),
+        col("toks"))
+      .select(col("doc_id"), col("ci"),
+        md5(array_join(TextFunctions.windowSlice(col("toks"), col("start"), 20), " ")).as("h"),
+        size(TextFunctions.windowSlice(col("toks"), col("start"), 20)).as("clen"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") === 1, col("clen")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d23Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 20)) AS start
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, (start - 1) // 20 AS ci,
+      |    md5(array_to_string(list_slice(toks, start, start + 19), ' ')) AS h,
+      |    len(list_slice(toks, start, start + 19)) AS clen
+      |  FROM st),
+      |k AS (SELECT doc_id, ci, clen,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, ci) AS rn
+      |      FROM ch)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_paragraph_dedup" -> (d23 _),
     "d22_contamination_ratio" -> (d22 _),
     "d21_lsh_tuning" -> (d21 _),
     "d20_cluster_sizes" -> (d20 _),
@@ -1246,6 +1302,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d23_paragraph_dedup" -> d23Sql,
     "d22_contamination_ratio" -> d22Sql,
     "d21_lsh_tuning" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,

@@ -15,6 +15,20 @@ import graft.plans.{IntervalJoin, IntervalJoinStrategy}
   */
 object Interval {
 
+  /** Installs the SQL auto-rewrite on the session: after this, ANY
+    * plain `spark.sql` / DataFrame inner join of the shape
+    * `l.k = r.k AND t BETWEEN lo AND hi` plans as the native
+    * [[graft.plans.IntervalJoin]] sweep with no API change (see
+    * [[graft.plans.IntervalJoinAutoRewrite]] for the exact match
+    * conditions and the schema-restoration contract). Also installed
+    * by `GraftExtensions`; disable per-session with
+    * `spark.graft.intervalJoin.autoRewrite=false`. */
+  def enableSqlRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.plans.SessionRegistration.ensure(spark, IntervalJoinStrategy,
+      Seq(graft.plans.IntervalJoinAutoRewrite,
+        graft.plans.IntervalJoinFilterPushdown,
+        graft.plans.IntervalJoinColumnPruning))
+
   /** Inner point-in-interval join: every `left` row (keys, `leftTime`)
     * is joined with each `right` row (keys, `rightLo`, `rightHi`)
     * satisfying `rightLo <= leftTime <= rightHi` (BETWEEN bounds).

@@ -2299,8 +2299,113 @@ object SimilarityQueries {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s33_sq8 — scalar-quantized (SQ8) search, the THIRD compression
+  // lane next to PQ (s26/s32) and raw exact (s1), and the one FAISS
+  // picks when recall matters more than the last 4× of memory: each
+  // dimension is independently quantized to an 8-bit code against the
+  // corpus per-dimension [min, max] range, scoring runs against the
+  // dequantized codes, and the top-20 SQ shortlist reranks exactly for
+  // top-5. Scale shape: the 64-dim range stats are ONE map-side
+  // aggregate (128 agg buffers, 1-row result broadcast back);
+  // quantization is map-side per row (no shuffle); scoring scans the
+  // CODE representation — in production an array<tinyint> 8× smaller
+  // than the float vectors, the entire point of SQ — and only the
+  // 20-row shortlists touch raw vectors again. Gate arithmetic stays
+  // scaled-long (quantize and dequantize are integer div with
+  // non-negative operands, so Spark's truncate == DuckDB's floor) so
+  // the oracle restates train→quantize→score→rerank exactly.
+  def s33(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val sv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.scaled(col("embedding")).as("v"))
+    val statAggs = (0 until dim).map(i =>
+      min(element_at(col("v"), i + 1)).as(s"mn$i")) ++
+      (0 until dim).map(i => max(element_at(col("v"), i + 1)).as(s"mx$i"))
+    val stats = sv.agg(statAggs.head, statAggs.tail: _*)
+      .select(
+        array((0 until dim).map(i => col(s"mn$i")): _*).as("mn"),
+        array((0 until dim).map(i => col(s"mx$i")): _*).as("mx"))
+    // dequantized code value: mn + ((x-mn)*255 div rng) * rng div 255
+    // (rng >= 0 and x >= mn, so truncating div == floor div)
+    val dqExpr = expr(
+      """transform(v, (x, i) ->
+        |  element_at(mn, i + 1) +
+        |  ((x - element_at(mn, i + 1)) * 255L div
+        |     greatest(element_at(mx, i + 1) - element_at(mn, i + 1), 1L))
+        |  * (element_at(mx, i + 1) - element_at(mn, i + 1)) div 255L)"""
+        .stripMargin)
+    val codes = sv.crossJoin(broadcast(stats)) // 1-row stats ride-along
+      .select(col("vec_id").as("cand_id"), dqExpr.as("dq"))
+    val q = sv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("qq", Similarity.dotScaled(col("qv"), col("qv")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("cand_id"))
+    val shortlist = codes
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (Similarity.dotScaled(col("dq"), col("dq"))
+          - lit(2L) * Similarity.dotScaled(col("dq"), col("qv"))
+          + col("qq")).as("sq_dist"))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= 20)
+      .select(col("query_id"), col("cand_id"), col("sq_dist"))
+    val cv = sv.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_sq").asc, col("cand_id"))
+    shortlist.join(cv, Seq("cand_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("l2_sq", Similarity.dotScaled(col("cv"), col("cv"))
+        - lit(2L) * Similarity.dotScaled(col("cv"), col("qv"))
+        + col("qq"))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("l2_sq"),
+        col("sq_dist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val s33Sql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, unnest(range(1, len(sv) + 1)) AS i, unnest(sv) AS x
+      |  FROM v),
+      |stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+      |dq AS (
+      |  SELECT c.vec_id AS cand_id, c.i,
+      |    s.mn + ((c.x - s.mn) * 255 // greatest(s.mx - s.mn, 1))
+      |      * (s.mx - s.mn) // 255 AS d
+      |  FROM comp c JOIN stats s USING (i)),
+      |qc AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id < 5),
+      |sq AS (
+      |  SELECT q.query_id, c.cand_id,
+      |    CAST(SUM((q.x - c.d) * (q.x - c.d)) AS BIGINT) AS sq_dist
+      |  FROM qc q JOIN dq c ON c.i = q.i AND c.cand_id <> q.query_id
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, cand_id, sq_dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sq_dist, cand_id) AS ark FROM sq) WHERE ark <= 20),
+      |ex AS (
+      |  SELECT s.query_id, s.cand_id, s.sq_dist,
+      |    CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS l2_sq
+      |  FROM short s
+      |  JOIN comp c ON c.vec_id = s.cand_id
+      |  JOIN qc q ON q.query_id = s.query_id AND q.i = c.i
+      |  GROUP BY 1, 2, 3)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, l2_sq, sq_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY l2_sq, cand_id) AS rnk FROM ex)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s32_ivfpq" -> (s32 _),
+    "s33_sq8" -> (s33 _),
     "s31_jl_neighbors" -> (s31 _),
     "s30_pca_power" -> (s30 _),
     "s29_mrr" -> (s29 _),
@@ -2335,6 +2440,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s32_ivfpq" -> s32Sql,
+    "s33_sq8" -> s33Sql,
     "s31_jl_neighbors" -> s31Sql,
     "s30_pca_power" -> s30Sql,
     "s29_mrr" -> s29Sql,

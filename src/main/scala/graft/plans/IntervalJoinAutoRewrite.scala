@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Rewrites plain SQL point-in-interval joins to the native
+  * [[IntervalJoin]] operator — the zero-API-change path: a user writing
+  *
+  * {{{ SELECT ... FROM points p JOIN spans s
+  *     ON p.k = s.k AND p.t BETWEEN s.lo AND s.hi }}}
+  *
+  * gets the O(n + m + matches) active-set sweep instead of Spark's
+  * SortMergeJoin-on-key with the range as a post-join residual filter,
+  * which materializes every (point, interval) pair of a key through
+  * the join buffer before filtering (p·r per key — the quadratic
+  * blowup the native operator exists to avoid; see [[IntervalJoin]]).
+  *
+  * Match conditions (all required, else the Join is left untouched):
+  * INNER join; at least one `l.attr = r.attr` equi conjunct (EqualTo
+  * only — null-safe `<=>` treats NULL=NULL as a match, which the
+  * null-dropping exec must not claim); exactly one lower and one upper
+  * bound conjunct on the SAME bare left attribute against bare right
+  * attributes (`t >= lo` / `t <= hi` in either written order — BETWEEN
+  * parses to exactly this); every bound column micros-backed (LONG /
+  * TIMESTAMP / TIMESTAMP_NTZ — what the exec sweeps as longs). Casts
+  * around a bound column mean mixed types: no match, no rewrite.
+  * Remaining conjuncts stay as a Filter above (inner-join residuals
+  * commute), where [[IntervalJoinFilterPushdown]] — same fixed-point
+  * batch — pushes the single-sided ones back below the new node.
+  *
+  * Schema restoration: [[IntervalJoin]] elides right key columns (the
+  * USING convention), but the SQL join emits them, so the rewrite tops
+  * the node with a Project re-deriving each right key from its left
+  * counterpart (equal by the join predicate) under the ORIGINAL exprId
+  * — parent operators resolve unchanged.
+  *
+  * Null semantics are exact: the exec drops null-keyed and
+  * null-bounded rows on both sides, which is precisely the rows the
+  * SQL predicate evaluates to UNKNOWN for.
+  *
+  * Conf-gated by `spark.graft.intervalJoin.autoRewrite` (default true
+  * where the rule is installed — via GraftExtensions or
+  * [[graft.operators.Interval.enableSqlRewrite]]).
+  */
+object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def microsBacked(t: DataType): Boolean =
+    t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]
+
+  /** One conjunct's role in the interval pattern. */
+  private sealed trait Role
+  private case class Equi(l: AttributeReference, r: AttributeReference) extends Role
+  private case class Lower(t: AttributeReference, lo: AttributeReference) extends Role
+  private case class Upper(t: AttributeReference, hi: AttributeReference) extends Role
+  private case class Rest(e: Expression) extends Role
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(
+        "spark.graft.intervalJoin.autoRewrite", "true") != "true") return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        def la(e: Expression): Option[AttributeReference] = e match {
+          case a: AttributeReference if left.outputSet.contains(a) => Some(a)
+          case _ => None
+        }
+        def ra(e: Expression): Option[AttributeReference] = e match {
+          case a: AttributeReference if right.outputSet.contains(a) => Some(a)
+          case _ => None
+        }
+
+        val roles: Seq[Role] = conjuncts(cond).map {
+          case p @ EqualTo(a, b) =>
+            la(a).zip(ra(b)).orElse(la(b).zip(ra(a)))
+              .map { case (l, r) => Equi(l, r) }.getOrElse(Rest(p))
+          case p @ GreaterThanOrEqual(a, b) => // t >= lo | hi >= t
+            la(a).zip(ra(b)).map { case (t, lo) => Lower(t, lo): Role }
+              .orElse(la(b).zip(ra(a)).map { case (t, hi) => Upper(t, hi) })
+              .getOrElse(Rest(p))
+          case p @ LessThanOrEqual(a, b) => // t <= hi | lo <= t
+            la(a).zip(ra(b)).map { case (t, hi) => Upper(t, hi): Role }
+              .orElse(la(b).zip(ra(a)).map { case (t, lo) => Lower(t, lo) })
+              .getOrElse(Rest(p))
+          case p => Rest(p)
+        }
+        val equi = roles.collect { case e: Equi => e }
+        val lowers = roles.collect { case l: Lower => l }
+        val uppers = roles.collect { case u: Upper => u }
+        val rest = roles.collect { case Rest(e) => e }
+
+        (lowers, uppers) match {
+          case (Seq(Lower(t1, lo)), Seq(Upper(t2, hi)))
+              if t1.semanticEquals(t2) && equi.nonEmpty &&
+                Seq(t1, lo, hi).forall(a => microsBacked(a.dataType)) =>
+            val node = IntervalJoin(left, right,
+              equi.map(_.l), equi.map(_.r), t1, lo, hi)
+            // right key columns come back as aliases of their left
+            // counterparts under the original exprIds
+            val rkByExprId = equi.map(e => e.r.exprId -> e.l).toMap
+            val restored: Seq[NamedExpression] = j.output.map { a =>
+              rkByExprId.get(a.exprId) match {
+                case Some(lCounterpart) =>
+                  Alias(lCounterpart, a.name)(
+                    exprId = a.exprId, qualifier = a.qualifier,
+                    explicitMetadata = Some(a.metadata))
+                case None => a
+              }
+            }
+            val projected = Project(restored, node)
+            rest.reduceOption(And).map(Filter(_, projected)).getOrElse(projected)
+          case _ => j
+        }
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.joins
+
+import graft.SparkSpec
+import graft.operators.Interval
+import graft.plans.IntervalJoinExec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.plans.IntervalJoinAutoRewrite]]: the optimizer rule
+  * that re-plans plain `l.k = r.k AND t BETWEEN lo AND hi` inner joins
+  * onto the native sweep. Checks the four contract surfaces: (1) the
+  * rewrite fires and the result matches Spark's own join on the same
+  * query — including null keys/bounds and duplicate rows; (2) residual
+  * conjuncts survive; (3) non-matching shapes (strict bounds, outer
+  * joins, null-safe equality, non-micros types) are left untouched;
+  * (4) the conf kill-switch works.
+  */
+class IntervalJoinAutoRewriteSpec extends SparkSpec {
+
+  private def hasIntervalExec(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.collect { case e: IntervalJoinExec => e }.nonEmpty
+
+  private def pointsDf: DataFrame = {
+    val ss = spark; import ss.implicits._
+    (Seq((Some(1L), Some(5L), 1L), (Some(1L), Some(10L), 2L),
+      (Some(2L), Some(7L), 3L), (None, Some(5L), 4L), (Some(1L), None, 5L),
+      (Some(1L), Some(10L), 6L)) // duplicate (k,t): multiplicity check
+      ).toDF("k", "t", "lid").repartition(3)
+  }
+
+  private def spansDf: DataFrame = {
+    val ss = spark; import ss.implicits._
+    (Seq((Some(1L), Some(1L), Some(10L), 11L), (Some(1L), Some(6L), Some(20L), 12L),
+      (Some(2L), Some(8L), Some(9L), 13L), (None, Some(1L), Some(10L), 14L),
+      (Some(1L), None, Some(10L), 15L), (Some(1L), Some(1L), None, 16L),
+      (Some(1L), Some(1L), Some(10L), 17L)) // duplicate span
+      ).toDF("k", "lo", "hi", "rid").repartition(2)
+  }
+
+  private def parity(make: => DataFrame): Unit = {
+    Interval.enableSqlRewrite(spark)
+    val rewritten = make
+    assert(hasIntervalExec(rewritten), rewritten.queryExecution.sparkPlan.toString)
+    val a = rewritten.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    // plan AND run the baseline inside the kill-switch window — the
+    // optimizer fires lazily, so forcing must happen before the unset
+    spark.conf.set("spark.graft.intervalJoin.autoRewrite", "false")
+    val b = try {
+      val plain = make
+      assert(!hasIntervalExec(plain))
+      plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    } finally spark.conf.unset("spark.graft.intervalJoin.autoRewrite")
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("SQL BETWEEN join rewrites to IntervalJoinExec and matches Spark's join") {
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    parity(spark.sql(
+      """SELECT p.k, p.lid, s.rid, s.k AS sk
+        |FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t BETWEEN s.lo AND s.hi""".stripMargin))
+  }
+
+  test("DataFrame-API range join rewrites too, written bounds flipped") {
+    val p = pointsDf
+    val s = spansDf.withColumnRenamed("k", "k2")
+    parity(p.join(s, p("k") === s("k2") &&
+      s("lo") <= p("t") && s("hi") >= p("t")))
+  }
+
+  test("residual conjuncts survive as a post-join filter") {
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    parity(spark.sql(
+      """SELECT p.lid, s.rid
+        |FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi
+        | AND p.lid <> s.rid AND p.lid < 100""".stripMargin))
+  }
+
+  test("non-matching shapes are left untouched") {
+    Interval.enableSqlRewrite(spark)
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    // strict bound
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin)))
+    // left outer
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_p p LEFT JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi""".stripMargin)))
+    // null-safe equality must NOT claim the null-dropping exec
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k <=> s.k AND p.t >= s.lo AND p.t <= s.hi""".stripMargin)))
+    // two lower bounds: ambiguous, no rewrite
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi
+        | AND p.lid >= s.lo""".stripMargin)))
+    // non-micros bound type (double): no rewrite
+    val ss = spark; import ss.implicits._
+    Seq((1L, 0.5, 1L)).toDF("k", "t", "lid")
+      .createOrReplaceTempView("graft_arw_pd")
+    Seq((1L, 0.0, 1.0, 2L)).toDF("k", "lo", "hi", "rid")
+      .createOrReplaceTempView("graft_arw_sd")
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_pd p JOIN graft_arw_sd s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi""".stripMargin)))
+  }
+
+  test("restored right key column carries correct values downstream") {
+    Interval.enableSqlRewrite(spark)
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    val df = spark.sql(
+      """SELECT s.k AS sk, COUNT(*) AS n
+        |FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t BETWEEN s.lo AND s.hi
+        |GROUP BY s.k ORDER BY sk""".stripMargin)
+    assert(hasIntervalExec(df))
+    // k=1 matches: lid1×(11,17 spans at t=5); lid2,lid6×(11,12,17 at t=10)
+    // → 2 + 3 + 3 = 8; k=2: t=7 not in [8,9] → 0 rows
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 8L)))
+  }
+}
