@@ -736,6 +736,46 @@ object StreamingQueries {
   // takes the LATEST row per user via the monotone cumulative event
   // count (st22's pattern), then counts users per level — hash-equal
   // to x62's batch EXISTS-chain oracle.
+  // ---------------------------------------------------------------------
+  // st28_session_enrich — stream-STATIC range-join enrichment
+  // ([[Streaming.sessionEnrichedPurchases]]): arriving purchases gain
+  // their session id/size from a batch-computed per-user session-
+  // interval dimension via user equality + point-in-interval — the
+  // SCD2-lookup shape (x61) as an always-on query, and the one
+  // streaming join flavor st1–st27 didn't cover (stream-stream
+  // inner/outer/semi/anti all exist; this is the stateless
+  // dimension-enrichment lane). Oracle: the identical islands +
+  // interval join in batch SQL.
+  def st28(spark: SparkSession, dir: String): DataFrame =
+    Streaming.sessionEnrichedPurchases(spark, dir)
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val st28Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, tsu,
+      |    CASE WHEN LAG(tsu) OVER w IS NULL
+      |           OR tsu - LAG(tsu) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu
+      |      ROWS UNBOUNDED PRECEDING) AS sidx
+      |  FROM g),
+      |si AS (
+      |  SELECT user_id, CAST(sidx AS BIGINT) AS sidx,
+      |    MIN(tsu) AS s_start, MAX(tsu) AS s_end, COUNT(*) AS s_n
+      |  FROM s GROUP BY 1, 2),
+      |p AS (SELECT user_id, event_id, tsu FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT p.user_id AS user_id, p.event_id, si.sidx, si.s_n
+      |FROM p JOIN si ON si.user_id = p.user_id
+      |  AND p.tsu BETWEEN si.s_start AND si.s_end
+      |ORDER BY user_id, event_id""".stripMargin
+
   def st27(spark: SparkSession, dir: String): DataFrame =
     Streaming.windowFunnelTws(spark, dir, windowUs = 3600000000L)
       .groupBy(col("user_id"))
@@ -747,6 +787,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st27_window_funnel" -> (st27 _),
+    "st28_session_enrich" -> (st28 _),
     "st26_rate_limit" -> (st26 _),
     "st25_stream_drift" -> (st25 _),
     "st24_stream_anti" -> (st24 _),
@@ -778,6 +819,7 @@ object StreamingQueries {
     // the streaming funnel shares x62's batch oracle: same semantics,
     // incremental execution
     "st27_window_funnel" -> CrossQueries.oracleSql("x62_window_funnel"),
+    "st28_session_enrich" -> st28Sql,
     "st26_rate_limit" -> st26Sql,
     "st25_stream_drift" -> st25Sql,
     "st24_stream_anti" -> st24Sql,

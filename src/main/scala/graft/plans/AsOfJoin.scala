@@ -134,40 +134,59 @@ case class AsOfJoinExec(
       var cand: InternalRow = null
       var candTm = 0L
       var candKey: UnsafeRow = null
+      // Null semantics match the SQL-equivalent argmax left join (and
+      // DuckDB's ASOF LEFT JOIN): a null key or null time on either
+      // side never matches — the left row null-extends, the right row
+      // is skipped. Without the explicit checks, null keys compare
+      // equal under the natural ordering and a null time reads as 0
+      // through UnsafeRow.getLong (the IntervalJoinExec defect, fixed
+      // in both operators the same round). Null-keyed / null-timed
+      // right rows sort FIRST within their run, so consuming them off
+      // the buffered iterator preserves the merge order.
       lIter.map { l =>
         val lKey = lKeyProj(l)
-        val lTm = lTimeProj(l).getLong(0)
-        // forward candidates are re-derived per left row: the previous
-        // row's candidate may since have been consumed (its buffer
-        // recycled) when this row's time moved past it
-        if (forward) cand = null
-        var scanning = true
-        while (scanning && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-          if (cmp < 0) rBuf.next() // right key behind every remaining left
-          else if (cmp > 0) scanning = false
-          else if (forward) {
-            // consume right rows strictly before lTm: no later left
-            // (times ascend) can need them either; the match is the
-            // un-consumed head, shared by every left row it covers
-            if (rTimeProj(rBuf.head).getLong(0) < lTm) rBuf.next()
-            else {
-              cand = rBuf.head
-              candTm = rTimeProj(rBuf.head).getLong(0)
-              candKey = lKey.copy()
-              scanning = false
+        val lTimeRow = lTimeProj(l)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+          outProj(joined(l, nullRight))
+        } else {
+          val lTm = lTimeRow.getLong(0)
+          // forward candidates are re-derived per left row: the previous
+          // row's candidate may since have been consumed (its buffer
+          // recycled) when this row's time moved past it
+          if (forward) cand = null
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val head = rBuf.head
+            if (rKeyProj(head).anyNull || rTimeProj(head).isNullAt(0)) {
+              rBuf.next() // null key/time: can never match any left row
+            } else {
+              val cmp = keyOrd.compare(rKeyProj(head), lKey)
+              if (cmp < 0) rBuf.next() // right key behind every remaining left
+              else if (cmp > 0) scanning = false
+              else if (forward) {
+                // consume right rows strictly before lTm: no later left
+                // (times ascend) can need them either; the match is the
+                // un-consumed head, shared by every left row it covers
+                if (rTimeProj(head).getLong(0) < lTm) rBuf.next()
+                else {
+                  cand = head
+                  candTm = rTimeProj(head).getLong(0)
+                  candKey = lKey.copy()
+                  scanning = false
+                }
+              } else if (rTimeProj(head).getLong(0) <= lTm) {
+                cand = rBuf.next().copy()
+                candTm = rTimeProj(cand).getLong(0)
+                candKey = lKey.copy()
+              } else scanning = false
             }
-          } else if (rTimeProj(rBuf.head).getLong(0) <= lTm) {
-            cand = rBuf.next().copy()
-            candTm = rTimeProj(cand).getLong(0)
-            candKey = lKey.copy()
-          } else scanning = false
+          }
+          val gapOk =
+            if (forward) cand != null && candTm - lTm <= tol && candTm >= lTm
+            else cand != null && lTm - candTm <= tol
+          val matched = gapOk && keyOrd.compare(candKey, lKey) == 0
+          outProj(joined(l, if (matched) cand else nullRight))
         }
-        val gapOk =
-          if (forward) cand != null && candTm - lTm <= tol && candTm >= lTm
-          else cand != null && lTm - candTm <= tol
-        val matched = gapOk && keyOrd.compare(candKey, lKey) == 0
-        outProj(joined(l, if (matched) cand else nullRight))
       }
     }
   }

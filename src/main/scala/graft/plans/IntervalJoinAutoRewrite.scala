@@ -66,7 +66,11 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
     if (conf.getConfString(
         "spark.graft.intervalJoin.autoRewrite", "true") != "true") return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      // the batch sweep must never replace a streaming join: a
+      // stream-static BETWEEN enrichment matches the syntactic pattern
+      // but belongs to the micro-batch planner
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !left.isStreaming && !right.isStreaming =>
         def la(e: Expression): Option[AttributeReference] = e match {
           case a: AttributeReference if left.outputSet.contains(a) => Some(a)
           case _ => None

@@ -185,4 +185,29 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(native.size == 400 && native == composed)
   }
+
+  test("null keys and null times never match; null-keyed left rows null-extend") {
+    val ss = spark; import ss.implicits._
+    // nulls in every role; live rows prove non-null pairs still match
+    val left = Seq(
+      (Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1L), None, 3L), (Some(2L), Some(9L), 4L))
+      .toDF("k", "t", "lid").repartition(2)
+    val right = Seq(
+      (Some(1L), Some(5L), 11L), (None, Some(5L), 12L),
+      (Some(1L), None, 13L), (Some(2L), Some(6L), 14L))
+      .toDF("k", "rt", "rid").repartition(2)
+    val got = AsOf.joinBackward(left, right, Seq("k"), "t", "rt")
+      .select($"lid", coalesce($"rid", lit(-1L)).as("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the SQL-equivalent argmax left join: null key/time -> no match,
+    // left row kept with nulls (lid 2 and 3); null right rows (12, 13)
+    // are never candidates
+    assert(got === Map(1L -> 11L, 2L -> -1L, 3L -> -1L, 4L -> 14L))
+    // forward direction shares the skip logic
+    val fwd = AsOf.joinForward(left, right, Seq("k"), "t", "rt")
+      .select($"lid", coalesce($"rid", lit(-1L)).as("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fwd === Map(1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
 }
