@@ -107,6 +107,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFps(children.head, intArg(children(1), "k"), intArg(children(2), "w"))
       }))
 
+    e.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CdcBoundaries].getName, null,
+        "cdc_boundaries",
+        "cdc_boundaries(text, w) - content-defined chunk boundary positions (md5 window, 1/8 condition, codegen)",
+        ""),
+      (children: Seq[Expression]) => {
+        val w = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_boundaries: w must be an integer literal, got $other")
+        }
+        graft.functions.expressions.CdcBoundaries(children.head, w)
+      }))
+
     Seq[(String, String, String, Expression => Expression)](
       ("has_non_digit", classOf[HasNonDigit].getName,
         "true iff any char is not an ASCII digit (rlike '[^0-9]')", HasNonDigit.apply),

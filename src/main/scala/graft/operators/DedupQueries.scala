@@ -493,6 +493,25 @@ object DedupQueries {
       graft.functions.expressions.WinnowFps(
         org.apache.spark.sql.GraftColumnBridge.expression(toks), 5, 4))
 
+  /** CDC boundary positions for a text column (16-char md5 windows,
+    * 1/8 boundary condition) — the fused
+    * [[graft.functions.expressions.CdcBoundaries]] kernel. */
+  def cdcBoundaries(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.CdcBoundaries(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), 16))
+
+  /** The declarative HOF formulation of [[cdcBoundaries]] — the
+    * equivalence witness for the kernel, never the gate path (the HOF
+    * interpreter allocates a substring + full hex digest + three
+    * arrays per window). The `length < 16` guard matters: Spark's
+    * `sequence(16, n)` for n < 16 is a DESCENDING sequence, not empty. */
+  def cdcBoundariesDeclarative: Column = expr(
+    """CASE WHEN length(text) < 16 THEN CAST(array() AS ARRAY<INT>)
+      |ELSE filter(transform(sequence(16, length(text)), i ->
+      |  CASE WHEN substring(md5(substring(text, i - 15, 16)), 32, 1)
+      |       IN ('0', '1') THEN i END), x -> x IS NOT NULL) END""".stripMargin)
+
   /** The declarative HOF formulation of [[winnowFps]] — the equivalence
     * witness for the kernel (see Round3cOperatorsSpec), never the gate
     * path: Catalyst inlines the shingle-hash array into every window's
@@ -608,22 +627,19 @@ object DedupQueries {
   // the cross-document shared mass (chunks whose hash appears in >1
   // source — the bytes chunk-level dedup would reclaim).
   //
-  // Scale shape: boundary detection is map-only HOFs over each doc
-  // (O(n·w) md5 window hashes at gate fidelity — the production path
-  // is an O(n) rolling Gear/Rabin kernel, same slot as d9's
-  // `winnow_fps`); only (source, chunk-hash, len) rows shuffle, never
-  // text. The `length < 16` guard matters: Spark's `sequence(16, n)`
-  // for n < 16 is a DESCENDING sequence, not empty.
+  // Scale shape: boundary detection is the fused
+  // [[graft.functions.expressions.CdcBoundaries]] kernel — one pass
+  // over the UTF-8 buffer, windows digested as byte slices, no
+  // per-window substring/hex-string/array allocations (the
+  // interpreted-HOF form it replaced, kept below as the equivalence
+  // witness, measured 6.4–7.2s → 2.9s warm isolated at sf0.1 — the
+  // remainder is chunk extraction + the two distinct aggregates);
+  // only (source, chunk-hash, len) rows shuffle, never text.
   def d12(spark: SparkSession, dir: String): DataFrame = {
-    val cw = 16
     val chunks = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), col("text"))
-      .withColumn("bnd", expr(
-        s"""CASE WHEN length(text) < $cw THEN CAST(array() AS ARRAY<INT>)
-           |ELSE filter(transform(sequence($cw, length(text)), i ->
-           |  CASE WHEN substring(md5(substring(text, i - ${cw - 1}, $cw)), 32, 1)
-           |       IN ('0', '1') THEN i END), x -> x IS NOT NULL) END""".stripMargin))
+      .withColumn("bnd", cdcBoundaries(col("text")))
       .withColumn("bs", expr("concat(array(0), bnd, array(length(text)))"))
       .select(col("source"), explode(expr(
         """transform(sequence(1, size(bs) - 1), j ->

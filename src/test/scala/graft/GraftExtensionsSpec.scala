@@ -50,6 +50,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getString(0) === "en")
       assert(spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
         .head().getString(0) === "und")
+      // cdc_boundaries: positions are in-range window ends; short
+      // inputs yield the empty array (not null)
+      val cb = spark.sql(
+        "SELECT cdc_boundaries('the quick brown fox jumps over the lazy dog', 16) AS b")
+        .head().getSeq[Int](0)
+      assert(cb.forall(p => p >= 16 && p <= 43))
+      assert(spark.sql("SELECT cdc_boundaries('tiny', 16) AS b")
+        .head().getSeq[Int](0).isEmpty)
 
       // LevenshteinGuardRule: the optimized filter carries the
       // length-difference guard, runs once (idempotent under the
