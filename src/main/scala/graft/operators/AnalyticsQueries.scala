@@ -1072,6 +1072,104 @@ object AnalyticsQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
   // ---------------------------------------------------------------------
+  // v26_fk_integrity — referential-integrity audit (the other half of
+  // v25's ingestion gate: cross-TABLE consistency, the check every
+  // warehouse runs before trusting a foreign key for joins): for each
+  // declared FK relationship, the child row count, orphan count (a
+  // non-null key with no parent), null-key count, and orphan ppm.
+  // Scale shape: one LEFT join per relationship against the DISTINCT
+  // parent-key projection (dimension parents broadcast; the
+  // fact-to-fact relationship shuffles on the key) with the counts
+  // folded map-side — no driver-side counting, the three audits union
+  // into one frame.
+  def v26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def audit(name: String, child: DataFrame, key: Column,
+        parentKeys: DataFrame): DataFrame =
+      child.select(key.as("k"))
+        .join(parentKeys.distinct().withColumnRenamed(
+          parentKeys.columns.head, "pk"),
+          col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNotNull && col("pk").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("n_null_keys"),
+          expr("CAST(n_orphans * 1000000L div n_child AS BIGINT)")
+            .as("orphan_ppm"))
+    audit("customer_nation", Tables.customer(spark, dir), col("c_nationkey"),
+        Tables.nation(spark, dir).select(col("n_nationkey")))
+      .unionAll(audit("lineitem_orders", Tables.lineitem(spark, dir),
+        col("l_orderkey"), Tables.orders(spark, dir).select(col("o_orderkey"))))
+      .unionAll(audit("orders_customer", Tables.orders(spark, dir),
+        col("o_custkey"), Tables.customer(spark, dir).select(col("c_custkey"))))
+      .orderBy(col("relationship"))
+  }
+
+  private val v26Sql = Seq(
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+    .map { case (name, child, key, parent, pkey) =>
+      s"""SELECT '$name' AS relationship, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN $key IS NOT NULL AND p.pk IS NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST(SUM(CASE WHEN $key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_keys,
+         |  CAST(SUM(CASE WHEN $key IS NOT NULL AND p.pk IS NULL
+         |           THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS orphan_ppm
+         |FROM $child LEFT JOIN
+         |  (SELECT DISTINCT $pkey AS pk FROM $parent) p ON $key = p.pk"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+
+  // ---------------------------------------------------------------------
+  // x65_cdc_apply — CHANGELOG APPLY with delete semantics (the Debezium
+  // /Delta MERGE compaction step: fold an ordered upsert/delete stream
+  // per key to final state): orders as the changelog of each customer's
+  // standing — rows apply in (date, orderkey) order, status 'F' is a
+  // tombstone — and the surviving keys emit their last state plus the
+  // op count. The whole fold is ONE window pass (rank-1 per key picks
+  // the last op, the tombstone filter applies after) — no iterative
+  // driver loop, one shuffle on the key; count rides the same window
+  // partition, so the exchange is reused.
+  def x65(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey"))))
+      .filter(col("rn") === 1 && col("o_orderstatus") =!= "F")
+      .select(col("o_custkey").as("custkey"), col("n_ops"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_date"),
+        col("cents").as("last_cents"))
+      .orderBy(col("custkey"))
+  }
+
+  private val x65Sql =
+    """WITH log AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_ops
+      |  FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+      |SELECT o_custkey AS custkey, n_ops,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS last_date,
+      |  cents AS last_cents
+      |FROM log WHERE rn = 1 AND o_orderstatus <> 'F'
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49_join_ivm — incremental JOIN-view maintenance by delta
   // decomposition, the join sibling of x33's aggregate IVM: for the
   // standing view V = agg(R ⋈ S) with a batch of new orders ΔR AND new
@@ -1157,6 +1255,8 @@ object AnalyticsQueries {
     "v23_pseudonymize" -> (v23 _),
     "v24_k_anonymity" -> (v24 _),
     "v25_column_profile" -> (v25 _),
+    "v26_fk_integrity" -> (v26 _),
+    "x65_cdc_apply" -> (x65 _),
     "v22_temporal_audit" -> (v22 _),
     "q48_rolling_ols" -> (q48 _),
     "q47_linreg" -> (q47 _),
@@ -1182,6 +1282,8 @@ object AnalyticsQueries {
     "v23_pseudonymize" -> v23Sql,
     "v24_k_anonymity" -> v24Sql,
     "v25_column_profile" -> v25Sql,
+    "v26_fk_integrity" -> v26Sql,
+    "x65_cdc_apply" -> x65Sql,
     "v22_temporal_audit" -> v22Sql,
     "q48_rolling_ols" -> q48Sql,
     "q47_linreg" -> q47Sql,
