@@ -1027,6 +1027,12 @@ object AnalyticsQueries {
   // cost, swapped for HLL sketches (sk2's path) when approximate is
   // acceptable at 100 TB. The 1-row wide result unpivots via stack()
   // into the per-column report.
+  //
+  // Plan split (measured 4.2s → <1s at sf0.1): the exact distincts go
+  // in one aggregate (all-long buffers → HashAggregate over the
+  // Expand) and min/max in ANOTHER (string buffers force
+  // SortAggregate — kept off the ×7-expanded rows, sorting only the
+  // un-expanded input); the two 1-row frames cross-join back.
   def v25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     val cols: Seq[(String, Column, Column => Column)] = Seq(
@@ -1038,13 +1044,17 @@ object AnalyticsQueries {
         (c: Column) => floor(c * 100).cast("long").cast("string")),
       ("o_orderdate", col("o_orderdate"),
         (c: Column) => date_format(c, "yyyy-MM-dd")))
-    val aggs = cols.flatMap { case (n, c, repr) => Seq(
+    val orders = Tables.orders(spark, dir)
+    val distAggs = cols.flatMap { case (n, c, _) => Seq(
       sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
-      countDistinct(c).as(s"${n}__nd"),
+      countDistinct(c).as(s"${n}__nd"))
+    } :+ count(lit(1)).as("n_rows")
+    val mmAggs = cols.flatMap { case (n, c, repr) => Seq(
       repr(min(c)).as(s"${n}__min"),
       repr(max(c)).as(s"${n}__max"))
-    } :+ count(lit(1)).as("n_rows")
-    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    }
+    val wide = orders.agg(distAggs.head, distAggs.tail: _*)
+      .crossJoin(orders.agg(mmAggs.head, mmAggs.tail: _*)) // 1-row × 1-row
     val stackExpr = s"stack(${cols.size}, " + cols.map { case (n, _, _) =>
       s"'$n', `${n}__nulls`, `${n}__nd`, `${n}__min`, `${n}__max`"
     }.mkString(", ") + ") AS (col_name, n_nulls, n_distinct, vmin, vmax)"

@@ -1972,6 +1972,54 @@ object TextQueries {
       |FROM o ORDER BY o.bin""".stripMargin
 
   // ---------------------------------------------------------------------
+  // t48_weighted_sample — deterministic weighted sampling WITHOUT
+  // replacement per stratum (the Efraimidis–Spirakis priority-sample
+  // analog in exact integer arithmetic): each doc draws a uniform
+  // 32-bit hash key (pre-modded Knuth mix — the d19/t32 overflow
+  // lesson), its priority is `key div weight` with weight = n_chars
+  // (longer docs proportionally likelier), and each source keeps its
+  // k=5 SMALLEST priorities — one pass, one window per stratum, fully
+  // reproducible across runs and engines (ES uses u^(1/w) order; the
+  // integer quotient preserves the same weight monotonicity without a
+  // transcendental, which no cross-engine hash could survive). Scale
+  // shape: priorities are map-side per row; the per-stratum top-k is a
+  // rank-1..k window that WindowGroupLimit bounds to k rows per
+  // partition before the exchange.
+  def t48(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("(((doc_id % 4294967296) % 67108864) * 2654435761) % 4294967296")
+          .as("key"))
+      .withColumn("priority", expr("key div n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private val t48Sql =
+    """WITH k AS (
+      |  SELECT source, doc_id, n_chars,
+      |    (((doc_id % 4294967296) % 67108864) * 2654435761) % 4294967296
+      |      AS key
+      |  FROM documents WHERE n_chars > 0),
+      |p AS (
+      |  SELECT source, doc_id, n_chars, key // n_chars AS priority
+      |  FROM k),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY priority, doc_id) AS rnk
+      |  FROM p)
+      |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+      |  CAST(priority AS BIGINT) AS priority
+      |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // t43_feistel_order — the deterministic global training-order shuffle:
   // a 2-round Feistel network over the 32-bit doc_id residue gives a
   // BIJECTION of [0, 2^32) (each round replaces one 16-bit half with
@@ -2208,6 +2256,7 @@ object TextQueries {
     "t45_pipeline_funnel" -> (t45 _),
     "t44_gopher_rules" -> (t44 _),
     "t43_feistel_order" -> (t43 _),
+    "t48_weighted_sample" -> (t48 _),
     "t42_isotonic_pava" -> (t42 _),
     "t41_mixture_apportion" -> (t41 _),
     "t40_burstiness" -> (t40 _),
@@ -2255,6 +2304,7 @@ object TextQueries {
     "t45_pipeline_funnel" -> t45Sql,
     "t44_gopher_rules" -> t44Sql,
     "t43_feistel_order" -> t43Sql,
+    "t48_weighted_sample" -> t48Sql,
     "t42_isotonic_pava" -> t42Sql,
     "t41_mixture_apportion" -> t41Sql,
     "t40_burstiness" -> t40Sql,

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * INNER join; at least one `l.attr = r.attr` equi conjunct (EqualTo
   * only — null-safe `<=>` treats NULL=NULL as a match, which the
   * null-dropping exec must not claim); exactly one lower and one upper
-  * bound conjunct on the SAME bare left attribute against bare right
-  * attributes (`t >= lo` / `t <= hi` in either written order — BETWEEN
-  * parses to exactly this); every bound column micros-backed (LONG /
+  * bound conjunct on the SAME bare point-side attribute against bare
+  * interval-side attributes (`t >= lo` / `t <= hi` in either written
+  * order — BETWEEN parses to exactly this; the POINT side may be
+  * either join input, since inner joins commute); every bound column
+  * micros-backed (LONG /
   * TIMESTAMP / TIMESTAMP_NTZ — what the exec sweeps as longs). Casts
   * around a bound column mean mixed types: no match, no rewrite.
   * Remaining conjuncts stay as a Filter above (inner-join residuals
@@ -62,6 +64,65 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
   private case class Upper(t: AttributeReference, hi: AttributeReference) extends Role
   private case class Rest(e: Expression) extends Role
 
+  /** Classify `cond`'s conjuncts with `points` as the point side and
+    * `intervals` as the interval side, and build the rewritten subtree
+    * if the pattern matches in THIS orientation: the node (points
+    * always the node's left — its sweep side), a Project restoring the
+    * ORIGINAL join output (elided interval-side keys come back as
+    * aliases of their point-side counterparts under the original
+    * exprIds — Project reorders freely, so either orientation restores
+    * both column sets), and the residual Filter on top. */
+  private def tryRewrite(j: Join, points: LogicalPlan,
+      intervals: LogicalPlan, cond: Expression): Option[LogicalPlan] = {
+    def pa(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if points.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def ia(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if intervals.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    val roles: Seq[Role] = conjuncts(cond).map {
+      case p @ EqualTo(a, b) =>
+        pa(a).zip(ia(b)).orElse(pa(b).zip(ia(a)))
+          .map { case (pk, ik) => Equi(pk, ik) }.getOrElse(Rest(p))
+      case p @ GreaterThanOrEqual(a, b) => // t >= lo | hi >= t
+        pa(a).zip(ia(b)).map { case (t, lo) => Lower(t, lo): Role }
+          .orElse(pa(b).zip(ia(a)).map { case (t, hi) => Upper(t, hi) })
+          .getOrElse(Rest(p))
+      case p @ LessThanOrEqual(a, b) => // t <= hi | lo <= t
+        pa(a).zip(ia(b)).map { case (t, hi) => Upper(t, hi): Role }
+          .orElse(pa(b).zip(ia(a)).map { case (t, lo) => Lower(t, lo) })
+          .getOrElse(Rest(p))
+      case p => Rest(p)
+    }
+    val equi = roles.collect { case e: Equi => e }
+    val lowers = roles.collect { case l: Lower => l }
+    val uppers = roles.collect { case u: Upper => u }
+    val rest = roles.collect { case Rest(e) => e }
+    (lowers, uppers) match {
+      case (Seq(Lower(t1, lo)), Seq(Upper(t2, hi)))
+          if t1.semanticEquals(t2) && equi.nonEmpty &&
+            Seq(t1, lo, hi).forall(a => microsBacked(a.dataType)) =>
+        val node = IntervalJoin(points, intervals,
+          equi.map(_.l), equi.map(_.r), t1, lo, hi)
+        val elided = equi.map(e => e.r.exprId -> e.l).toMap
+        val restored: Seq[NamedExpression] = j.output.map { a =>
+          elided.get(a.exprId) match {
+            case Some(pointKey) =>
+              Alias(pointKey, a.name)(
+                exprId = a.exprId, qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
+            case None => a
+          }
+        }
+        val projected = Project(restored, node)
+        Some(rest.reduceOption(And).map(Filter(_, projected))
+          .getOrElse(projected))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(
         "spark.graft.intervalJoin.autoRewrite", "true") != "true") return plan
@@ -71,56 +132,13 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
       // but belongs to the micro-batch planner
       case j @ Join(left, right, Inner, Some(cond), _)
           if !left.isStreaming && !right.isStreaming =>
-        def la(e: Expression): Option[AttributeReference] = e match {
-          case a: AttributeReference if left.outputSet.contains(a) => Some(a)
-          case _ => None
-        }
-        def ra(e: Expression): Option[AttributeReference] = e match {
-          case a: AttributeReference if right.outputSet.contains(a) => Some(a)
-          case _ => None
-        }
-
-        val roles: Seq[Role] = conjuncts(cond).map {
-          case p @ EqualTo(a, b) =>
-            la(a).zip(ra(b)).orElse(la(b).zip(ra(a)))
-              .map { case (l, r) => Equi(l, r) }.getOrElse(Rest(p))
-          case p @ GreaterThanOrEqual(a, b) => // t >= lo | hi >= t
-            la(a).zip(ra(b)).map { case (t, lo) => Lower(t, lo): Role }
-              .orElse(la(b).zip(ra(a)).map { case (t, hi) => Upper(t, hi) })
-              .getOrElse(Rest(p))
-          case p @ LessThanOrEqual(a, b) => // t <= hi | lo <= t
-            la(a).zip(ra(b)).map { case (t, hi) => Upper(t, hi): Role }
-              .orElse(la(b).zip(ra(a)).map { case (t, lo) => Lower(t, lo) })
-              .getOrElse(Rest(p))
-          case p => Rest(p)
-        }
-        val equi = roles.collect { case e: Equi => e }
-        val lowers = roles.collect { case l: Lower => l }
-        val uppers = roles.collect { case u: Upper => u }
-        val rest = roles.collect { case Rest(e) => e }
-
-        (lowers, uppers) match {
-          case (Seq(Lower(t1, lo)), Seq(Upper(t2, hi)))
-              if t1.semanticEquals(t2) && equi.nonEmpty &&
-                Seq(t1, lo, hi).forall(a => microsBacked(a.dataType)) =>
-            val node = IntervalJoin(left, right,
-              equi.map(_.l), equi.map(_.r), t1, lo, hi)
-            // right key columns come back as aliases of their left
-            // counterparts under the original exprIds
-            val rkByExprId = equi.map(e => e.r.exprId -> e.l).toMap
-            val restored: Seq[NamedExpression] = j.output.map { a =>
-              rkByExprId.get(a.exprId) match {
-                case Some(lCounterpart) =>
-                  Alias(lCounterpart, a.name)(
-                    exprId = a.exprId, qualifier = a.qualifier,
-                    explicitMetadata = Some(a.metadata))
-                case None => a
-              }
-            }
-            val projected = Project(restored, node)
-            rest.reduceOption(And).map(Filter(_, projected)).getOrElse(projected)
-          case _ => j
-        }
+        // either written orientation: points-left (`p JOIN s ON p.t
+        // BETWEEN s.lo AND s.hi`) or intervals-left (`s JOIN p ON ...`)
+        // — inner joins commute, and the restoring Project puts the
+        // output back in the original column order
+        tryRewrite(j, left, right, cond)
+          .orElse(tryRewrite(j, right, left, cond))
+          .getOrElse(j)
     }
   }
 }

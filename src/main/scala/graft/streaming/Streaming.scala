@@ -1421,8 +1421,21 @@ object Streaming {
     * time-disjoint per user, so every purchase matches exactly once and
     * append-mode emission needs no dedup. */
   def sessionEnrichedPurchases(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val name = s"graft_stream_enrich_${queryCounter.incrementAndGet()}"
+    drainToLocal(spark, name, OutputMode.Append,
+      sessionEnrichedStream(spark, sfDir))
+  }
+
+  /** [[sessionEnrichedPurchases]] through the parquet FILE sink (see
+    * [[drainToFile]]) — the stateless stream-static lane proven on the
+    * production path too. */
+  def sessionEnrichedPurchasesFile(spark: SparkSession, sfDir: String,
+      outDir: String, ckptDir: String): DataFrame =
+    drainToFile(spark, sessionEnrichedStream(spark, sfDir), outDir, ckptDir)
+
+  private def sessionEnrichedStream(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, sfDir)
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), tsMicros(col("ts")).as("tsu"))
@@ -1445,11 +1458,10 @@ object Streaming {
       .filter(col("user_id").isNotNull && col("event_type") === lit("purchase"))
       .select(col("user_id").as("u"), col("event_id"),
         tsMicros(col("ts")).as("ptsu"))
-    val joined = purchases.join(broadcast(sessions),
+    purchases.join(broadcast(sessions),
       col("u") === col("user_id") &&
         col("ptsu") >= col("s_start") && col("ptsu") <= col("s_end"))
       .select(col("user_id"), col("event_id"), col("sidx"), col("s_n"))
-    drainToLocal(spark, name, OutputMode.Append, joined)
   }
 
   /** Streaming ANTI interval join — NOT EXISTS as an always-on query:

@@ -75,6 +75,10 @@ object DumpPlans {
     "s32_ivfpq", "x62_window_funnel",
     // round 7: close the ">1s bench median ⇒ headline plan" rule
     // mechanically (PlanCoverageSpec now pins it against bench_detail)
+    // round 7: new gates (the rewrite showcase x63 + everything >1s)
+    "x63_interval_sql", "x64_twap", "d23_paragraph_dedup",
+    "v25_column_profile", "s33_sq8", "v26_fk_integrity", "x65_cdc_apply",
+    // round 7: close the r6 ">1s bench median => headline plan" gaps
     "d12_cdc_chunks", "d16_containment", "d17_minhash_eval",
     "d5_dedup_clusters", "q16_sql", "q53_market_share",
     "q65_promo_suppliers", "s11_label_prop", "s14_triangle_count",

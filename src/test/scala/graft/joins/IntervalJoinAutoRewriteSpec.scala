@@ -70,6 +70,15 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
       s("lo") <= p("t") && s("hi") >= p("t")))
   }
 
+  test("swapped orientation (intervals written as the left table) rewrites too") {
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    parity(spark.sql(
+      """SELECT s.rid, p.lid, s.k, p.k AS pk
+        |FROM graft_arw_s s JOIN graft_arw_p p
+        |  ON s.k = p.k AND p.t BETWEEN s.lo AND s.hi""".stripMargin))
+  }
+
   test("residual conjuncts survive as a post-join filter") {
     pointsDf.createOrReplaceTempView("graft_arw_p")
     spansDf.createOrReplaceTempView("graft_arw_s")

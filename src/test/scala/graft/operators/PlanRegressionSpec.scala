@@ -91,7 +91,13 @@ class PlanRegressionSpec extends SparkSpec {
     "t41_mixture_apportion" -> 3, // 1-row totals + leftover ride-alongs
                               // (totals re-expands inside the leftover
                               // branch pre-execution, like x40's)
-    "x56_robust_mean" -> 1)   // 1-row total-count ride-along (rank cuts)
+    "x56_robust_mean" -> 1,   // 1-row total-count ride-along (rank cuts)
+    "s33_sq8" -> 2,           // 5-row query-set broadcast × candidate
+                              // stream (s1's shape): SQ scoring pass +
+                              // exact rerank pass
+    "v25_column_profile" -> 1) // 1-row distincts × 1-row min/max frames
+                              // (the HashAggregate/SortAggregate plan
+                              // split — see the gate's comment)
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(

@@ -62,6 +62,23 @@ class StreamFileSinkSpec extends SparkSpec {
     assert(new java.io.File(out, "_spark_metadata").exists)
   }
 
+  test("st28 (stream-static range enrichment) through the parquet file sink equals the gate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("enrich_file_sink").toString
+    val ckpt = Files.createTempDirectory("enrich_file_ckpt").toString
+    val fromFile = Streaming
+      .sessionEnrichedPurchasesFile(spark, dir, out, ckpt)
+      .orderBy(col("user_id"), col("event_id")).collect()
+    val fromMemory = graft.operators.StreamingQueries.st28(spark, dir)
+      .collect()
+    assert(fromFile.length == fromMemory.length,
+      s"file sink ${fromFile.length} rows vs memory sink ${fromMemory.length}")
+    fromFile.zip(fromMemory).zipWithIndex.foreach { case ((f, m), i) =>
+      assert(f == m, s"row $i differs: file=$f memory=$m")
+    }
+    assert(new java.io.File(out, "_spark_metadata").exists)
+  }
+
   test("st26 (GCRA rate limit, TWS+RocksDB) through the parquet file sink equals the gate") {
     val dir = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("rl_file_sink").toString
