@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -51,13 +51,33 @@ case class IntervalJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[IntervalJoin]] as [[IntervalJoinExec]]; injected via
-  * `spark.experimental.extraStrategies` (self-registered by
-  * [[graft.operators.Interval]]) and `GraftExtensions`. */
+/** Plans [[IntervalJoin]] physically — the same size-based choice
+  * Spark's own JoinSelection makes between broadcast-hash and
+  * sort-merge: an interval side whose estimated size fits under the
+  * broadcast threshold plans as [[BroadcastIntervalJoinExec]] (ZERO
+  * shuffles — the point side streams through untouched, the interval
+  * side ships once per executor), everything else as the sort-merge
+  * [[IntervalJoinExec]] (two hash exchanges, the equi-join lower
+  * bound). Threshold: `spark.graft.intervalJoin.broadcastThreshold`
+  * when set, else `spark.sql.autoBroadcastJoinThreshold`; ≤ 0 disables
+  * the broadcast path (the same contract as Spark's threshold).
+  * Injected via `spark.experimental.extraStrategies` (self-registered
+  * by [[graft.operators.Interval]]) and `GraftExtensions`. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case IntervalJoin(l, r, lk, rk, lt, lo, hi) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, lo, hi) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val threshold = conf
+        .getConfString("spark.graft.intervalJoin.broadcastThreshold", "")
+        match {
+          case "" => conf.autoBroadcastJoinThreshold
+          case s => s.toLong
+        }
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastIntervalJoinExec(
+          planLater(l), planLater(r), lk, rk, lt, lo, hi) :: Nil
+      else
+        IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, lo, hi) :: Nil
     case _ => Nil
   }
 }
@@ -172,5 +192,149 @@ case class IntervalJoinExec(
         }
       }
     }
+  }
+}
+
+/** Broadcast point-in-interval join — the zero-shuffle strategy for a
+  * small interval side (see [[IntervalJoinStrategy]] for the choice):
+  * the interval rows broadcast once per executor (IdentityBroadcastMode
+  * — plain rows, no hashed relation), each task builds a per-key
+  * STABBING INDEX over them, and the point side streams through with
+  * NO exchange and NO sort — `outputPartitioning`/`outputOrdering`
+  * pass the left child's through untouched.
+  *
+  * The index is the classic sorted-by-lo array + max-hi segment tree:
+  * a probe at time t binary-searches the count `c` of intervals with
+  * lo ≤ t, then walks only the tree segments of [0, c) whose subtree
+  * max-hi reaches t — O(log m + matches) per probe, never O(m).
+  * Build cost is O(m log m) once per task, sized for a side that fit
+  * under the broadcast threshold by definition.
+  *
+  * Null semantics match [[IntervalJoinExec]] exactly (and therefore
+  * the composed SQL join): null-keyed/bounded interval rows are
+  * dropped at build, null-keyed/timed point rows emit nothing.
+  */
+case class BroadcastIntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightLo: Expression,
+    rightHi: Expression) extends BinaryExecNode {
+
+  require(Seq(leftTime.dataType, rightLo.dataType, rightHi.dataType).forall(t =>
+    t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]),
+    s"interval-join bound columns must be LONG or TIMESTAMP (micros-backed), " +
+      s"got ${leftTime.dataType.sql} / ${rightLo.dataType.sql} / " +
+      s"${rightHi.dataType.sql}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output
+      .filterNot(a => rightKeys.exists(_.semanticEquals(a)))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Per-key stabbing index: intervals sorted by lo; maxHi is a
+    * power-of-two segment tree over the hi values (padding leaves =
+    * Long.MinValue so they never match). */
+  private final class KeyIndex(
+      val los: Array[Long], val rows: Array[InternalRow],
+      val sz: Int, val maxHi: Array[Long]) {
+    /** rows with lo <= t <= hi, appended to `out`. */
+    def probe(t: Long, out: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+      // c = count of intervals with lo <= t (upper bound on sorted los)
+      var a = 0; var b = los.length
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (los(mid) <= t) a = mid + 1 else b = mid
+      }
+      val c = a
+      if (c > 0) collect(1, 0, sz, c, t, out)
+    }
+    private def collect(node: Int, lo: Int, hi: Int, c: Int, t: Long,
+        out: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+      if (lo >= c || maxHi(node) < t) return
+      if (hi - lo == 1) { out += rows(lo); return }
+      val mid = (lo + hi) >>> 1
+      collect(2 * node, lo, mid, c, t, out)
+      collect(2 * node + 1, mid, hi, c, t, out)
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val lo = rightLo; val hi = rightHi
+    val outAttrs = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val rLoProj = UnsafeProjection.create(Seq(lo), rOut)
+      val rHiProj = UnsafeProjection.create(Seq(hi), rOut)
+      // group broadcast rows per key, drop null keys/bounds (SQL: never
+      // match), sort each key's intervals by lo, build the segment tree
+      val byKey = new java.util.HashMap[UnsafeRow, java.util.ArrayList[(Long, Long, InternalRow)]]()
+      broadcastRows.value.foreach { r =>
+        val key = rKeyProj(r)
+        val loRow = rLoProj(r)
+        val hiRow = rHiProj(r)
+        if (!key.anyNull && !loRow.isNullAt(0) && !hiRow.isNullAt(0)) {
+          var lst = byKey.get(key)
+          if (lst == null) {
+            lst = new java.util.ArrayList[(Long, Long, InternalRow)]()
+            byKey.put(key.copy(), lst)
+          }
+          lst.add((loRow.getLong(0), hiRow.getLong(0), r))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow, KeyIndex](byKey.size * 2)
+      byKey.forEach { (key, lst) =>
+        val sorted = lst.toArray(new Array[(Long, Long, InternalRow)](lst.size))
+          .sortBy(_._1)
+        val n = sorted.length
+        var sz = 1
+        while (sz < n) sz <<= 1
+        val maxHi = Array.fill(2 * sz)(Long.MinValue)
+        var i = 0
+        while (i < n) { maxHi(sz + i) = sorted(i)._2; i += 1 }
+        var node = sz - 1
+        while (node >= 1) {
+          maxHi(node) = math.max(maxHi(2 * node), maxHi(2 * node + 1))
+          node -= 1
+        }
+        index.put(key, new KeyIndex(
+          sorted.map(_._1), sorted.map(_._3), sz, maxHi))
+      }
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      val hits = new scala.collection.mutable.ArrayBuffer[InternalRow](16)
+      lIter.flatMap { l =>
+        val lKey = lKeyProj(l)
+        val lTimeRow = lTimeProj(l)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) Iterator.empty
+        else {
+          val idx = index.get(lKey)
+          if (idx == null) Iterator.empty
+          else {
+            hits.clear()
+            idx.probe(lTimeRow.getLong(0), hits)
+            hits.iterator.map(r => outProj(joined(l, r)))
+          }
+        }
+      }
+    }, preservesPartitioning = true)
   }
 }

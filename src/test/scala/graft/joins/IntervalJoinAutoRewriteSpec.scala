@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 class IntervalJoinAutoRewriteSpec extends SparkSpec {
 
   private def hasIntervalExec(df: DataFrame): Boolean =
-    df.queryExecution.sparkPlan.collect { case e: IntervalJoinExec => e }.nonEmpty
+    df.queryExecution.sparkPlan.collect {
+      case e: IntervalJoinExec => e
+      case e: graft.plans.BroadcastIntervalJoinExec => e
+    }.nonEmpty
 
   private def pointsDf: DataFrame = {
     val ss = spark; import ss.implicits._

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 class IntervalJoinSpec extends SparkSpec {
 
+  /** Run `body` with the physical strategy pinned to the sort-merge
+    * exec (threshold ≤ 0 disables the broadcast path — tiny spec
+    * fixtures would otherwise always plan BroadcastIntervalJoinExec). */
+  private def withSortMerge[T](body: => T): T = {
+    spark.conf.set("spark.graft.intervalJoin.broadcastThreshold", "-1")
+    try body
+    finally spark.conf.unset("spark.graft.intervalJoin.broadcastThreshold")
+  }
+
   private def pointsDf: DataFrame = {
     val ss = spark; import ss.implicits._
     Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"),
@@ -44,7 +53,7 @@ class IntervalJoinSpec extends SparkSpec {
 
   test("plan: one IntervalJoinExec, exactly two exchanges (the equi-join lower bound)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try withSortMerge {
       val plan = Interval.join(pointsDf, intervalsDf, Seq("k"), "t", "lo", "hi")
         .queryExecution.executedPlan
       val nodes = plan.collect { case e: IntervalJoinExec => e }
@@ -75,8 +84,10 @@ class IntervalJoinSpec extends SparkSpec {
 
   test("filters push below the interval join on BOTH sides (inner-join commute)") {
     val joined = Interval.join(pointsDf, intervalsDf, Seq("k"), "t", "lo", "hi")
-    val plan = joined.filter(col("tag") =!= "q").filter(col("rid") > 0L)
-      .queryExecution.sparkPlan
+    val plan = withSortMerge {
+      joined.filter(col("tag") =!= "q").filter(col("rid") > 0L)
+        .queryExecution.sparkPlan
+    }
     val node = plan.collect { case e: graft.plans.IntervalJoinExec => e }.head
     def filtersIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
       p.collect { case f: org.apache.spark.sql.execution.FilterExec =>
