@@ -55,13 +55,30 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected via
-  * `spark.experimental.extraStrategies` (self-registered by
-  * [[graft.operators.AsOf]]) and `GraftExtensions`. */
+/** Plans [[AsOfJoin]] physically — the size-based dual-strategy choice
+  * (the interval join's twin, see [[IntervalJoinStrategy]]): a right
+  * side under the broadcast threshold plans as
+  * [[BroadcastAsOfJoinExec]] (zero shuffles, binary-search probes),
+  * everything else as the sort-merge [[AsOfJoinExec]]. Threshold:
+  * `spark.graft.asOfJoin.broadcastThreshold` when set, else
+  * `spark.sql.autoBroadcastJoinThreshold`; ≤ 0 disables broadcast.
+  * Injected via `spark.experimental.extraStrategies` (self-registered
+  * by [[graft.operators.AsOf]]) and `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val threshold = conf
+        .getConfString("spark.graft.asOfJoin.broadcastThreshold", "")
+        match {
+          case "" => conf.autoBroadcastJoinThreshold
+          case s => s.toLong
+        }
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(
+          planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -189,5 +206,129 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+}
+
+/** Broadcast as-of join — the zero-shuffle strategy for a small right
+  * side (see [[AsOfJoinStrategy]] for the size-based choice, the same
+  * one Spark's JoinSelection makes): the right rows broadcast once per
+  * executor, each task groups them per key into a TIME-SORTED array,
+  * and every left row resolves its match with one binary search —
+  * backward (greatest rightTime ≤ leftTime) or forward (smallest ≥),
+  * tolerance applied identically to the sort-merge exec. The left side
+  * streams through with NO exchange and NO sort; partitioning and
+  * ordering pass through.
+  *
+  * Null semantics match [[AsOfJoinExec]] (and the SQL-equivalent
+  * argmax left join): null-keyed/timed right rows never become
+  * candidates; null-keyed/timed left rows null-extend.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+
+  require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
+    t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]),
+    s"as-of time columns must be LONG or TIMESTAMP (micros-backed), got " +
+      s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output
+      .filterNot(a => rightKeys.exists(_.semanticEquals(a)))
+      .map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val outAttrs = output
+    val tol = toleranceMicros.getOrElse(Long.MaxValue)
+    val forward = direction == AsOfForward
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      // per-key rows sorted by time; ties keep ALL rows and the binary
+      // search resolves to the same row the merge would (first/last of
+      // the tied run — deterministic because the sort is stable on the
+      // broadcast order and only the time value is compared)
+      val byKey = new java.util.HashMap[UnsafeRow, java.util.ArrayList[(Long, InternalRow)]]()
+      broadcastRows.value.foreach { r =>
+        val key = rKeyProj(r)
+        val tRow = rTimeProj(r)
+        if (!key.anyNull && !tRow.isNullAt(0)) {
+          var lst = byKey.get(key)
+          if (lst == null) {
+            lst = new java.util.ArrayList[(Long, InternalRow)]()
+            byKey.put(key.copy(), lst)
+          }
+          lst.add((tRow.getLong(0), r))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])](byKey.size * 2)
+      byKey.forEach { (key, lst) =>
+        val sorted = lst.toArray(new Array[(Long, InternalRow)](lst.size))
+          .sortBy(_._1)
+        index.put(key, (sorted.map(_._1), sorted.map(_._2)))
+      }
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTimeRow = lTimeProj(l)
+        var matched: InternalRow = null
+        if (!lKey.anyNull && !lTimeRow.isNullAt(0)) {
+          val entry = index.get(lKey)
+          if (entry != null) {
+            val (times, rows) = entry
+            val lTm = lTimeRow.getLong(0)
+            if (forward) {
+              // least index with times(i) >= lTm
+              var a = 0; var b = times.length
+              while (a < b) {
+                val mid = (a + b) >>> 1
+                if (times(mid) >= lTm) b = mid else a = mid + 1
+              }
+              if (a < times.length && times(a) - lTm <= tol)
+                matched = rows(a)
+            } else {
+              // greatest index with times(i) <= lTm
+              var a = 0; var b = times.length
+              while (a < b) {
+                val mid = (a + b) >>> 1
+                if (times(mid) <= lTm) a = mid + 1 else b = mid
+              }
+              if (a > 0 && lTm - times(a - 1) <= tol)
+                matched = rows(a - 1)
+            }
+          }
+        }
+        outProj(joined(l, if (matched != null) matched else nullRight))
+      }
+    }, preservesPartitioning = true)
   }
 }

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 class AsOfJoinSpec extends SparkSpec {
 
+  /** Pin the physical strategy to the sort-merge exec (threshold ≤ 0
+    * disables the broadcast path — tiny spec fixtures would otherwise
+    * always plan BroadcastAsOfJoinExec). */
+  private def withSortMerge[T](body: => T): T = {
+    spark.conf.set("spark.graft.asOfJoin.broadcastThreshold", "-1")
+    try body
+    finally spark.conf.unset("spark.graft.asOfJoin.broadcastThreshold")
+  }
+
   private def leftDf: DataFrame = {
     val ss = spark; import ss.implicits._
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 4L, "z"),
@@ -48,7 +57,7 @@ class AsOfJoinSpec extends SparkSpec {
     // Only ENSURE_REQUIREMENTS exchanges count — the fixture's explicit
     // repartitions are test noise.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try withSortMerge {
       val plan = AsOf.joinBackward(leftDf, rightDf, Seq("k"), "t", "rt")
         .queryExecution.executedPlan
       val asofs = plan.collect { case e: AsOfJoinExec => e }
@@ -113,8 +122,10 @@ class AsOfJoinSpec extends SparkSpec {
     // left-only predicate (tag): must land under AsOfJoinExec's left
     // child; right-only predicate (v): must NOT move (it would change
     // which candidate an unfiltered left row matches)
-    val plan = joined.filter(col("tag") =!= "q").filter(col("v") > 0.0)
-      .queryExecution.sparkPlan
+    val plan = withSortMerge {
+      joined.filter(col("tag") =!= "q").filter(col("v") > 0.0)
+        .queryExecution.sparkPlan
+    }
     val asof = plan.collect { case e: AsOfJoinExec => e }.head
     def filtersIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
       p.collect { case f: org.apache.spark.sql.execution.FilterExec =>
