@@ -644,6 +644,59 @@ object CrossQueries {
       |ORDER BY user_id, purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x66_band_sql — the plain-SQL BAND join (`c.tsu BETWEEN p.tsu - 30m
+  // AND p.tsu + 30m`), re-planned onto the native interval sweep by the
+  // EXPRESSION-bound generalization of [[graft.plans
+  // .IntervalJoinAutoRewrite]]: unlike x63 the interval side carries NO
+  // precomputed lo/hi columns — the bounds are arithmetic over the
+  // purchase timestamp, written exactly as a warehouse user writes a
+  // proximity join. Semantics: every click within ±30 min of a
+  // same-user purchase, aggregated per purchase. Scale shape: without
+  // the rewrite Spark plans SMJ-on-user_id with the band as a
+  // post-join residual — every (click, purchase) pair of a user
+  // materializes (p·c per user); the sweep admits/evicts clicks as
+  // purchase windows open and close, O(n + m + matches) with state =
+  // max concurrent window overlap per user.
+  def x66(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Interval.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_type"))
+    ev.filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("tsu"))
+      .createOrReplaceTempView("graft_x66_clicks")
+    ev.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tsu").as("ptsu"))
+      .createOrReplaceTempView("graft_x66_purchases")
+    spark.sql(
+      """SELECT c.user_id, p.purchase_id,
+        |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+        |FROM graft_x66_clicks c JOIN graft_x66_purchases p
+        |  ON c.user_id = p.user_id
+        | AND c.tsu BETWEEN p.ptsu - 1800000000 AND p.ptsu + 1800000000
+        |GROUP BY c.user_id, p.purchase_id
+        |ORDER BY c.user_id, p.purchase_id""".stripMargin)
+  }
+
+  private val x66Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |c AS (SELECT user_id, event_id AS click_id, tsu
+      |      FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, tsu AS ptsu
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id AS user_id, p.purchase_id,
+      |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND c.tsu BETWEEN p.ptsu - 1800000000 AND p.ptsu + 1800000000
+      |GROUP BY c.user_id, p.purchase_id
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2305,6 +2358,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
     "x63_interval_sql" -> (x63 _),
     "x62_window_funnel" -> (x62 _),
@@ -2384,6 +2438,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,
     "x63_interval_sql" -> x63Sql,
     "x62_window_funnel" -> x62Sql,

@@ -1292,7 +1292,78 @@ object DedupQueries {
       |    AS tokens_kept
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d24_contam_run — contamination SPAN length, the severity grading on
+  // top of d7's any-overlap flag (the "longest matched n-gram run"
+  // check eval-decontamination pipelines score before deciding drop vs
+  // keep — a doc sharing one stray 8-gram is noise; a doc with a
+  // 40-token matched RUN embeds the benchmark verbatim). Per corpus doc:
+  // the longest run of CONSECUTIVE matched 8-gram start positions
+  // against the eval set (source 'src0'), so a run of r matched grams
+  // ⇒ a common span of r+7 tokens. Plan shape: grams carry their start
+  // index (map-side higher-order projection — text never shuffles,
+  // 32-hex gram digests do); the eval side broadcasts into a left-semi
+  // (d7's shape); runs come from the classic gaps-and-islands
+  // `idx − row_number` key — one window + one aggregate, both keyed on
+  // doc_id, and the window input is only the MATCHED gram trickle, not
+  // the corpus gram stream.
+  def d24(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) >= 8)
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - 8),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(8)), " "))))
+        .as(Seq("idx", "gh")))
+    val evalGrams = grams(docs.filter(col("source") === lit("src0")))
+      .select(col("gh")).distinct()
+    val matched = grams(docs.filter(col("source") =!= lit("src0")))
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    matched
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("source"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("run_len")).as("max_run"),
+        (max(col("run_len")) + lit(7L)).as("span_tokens"),
+        sum(col("run_len")).as("n_matched"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d24Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+      |st AS (
+      |  SELECT doc_id, source, toks,
+      |    unnest(range(0, len(toks) - 7)) AS idx
+      |  FROM t),
+      |gr AS (
+      |  SELECT doc_id, source, idx,
+      |    md5(array_to_string(list_slice(toks, idx + 1, idx + 8), ' ')) AS gh
+      |  FROM st),
+      |ev AS (SELECT DISTINCT gh FROM gr WHERE source = 'src0'),
+      |m AS (
+      |  SELECT doc_id, source, idx FROM gr
+      |  WHERE source <> 'src0' AND gh IN (SELECT gh FROM ev)),
+      |r AS (
+      |  SELECT doc_id, source, idx,
+      |    idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+      |  FROM m),
+      |runs AS (
+      |  SELECT doc_id, source, grp, COUNT(*) AS run_len
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT doc_id, source, CAST(MAX(run_len) AS BIGINT) AS max_run,
+      |  CAST(MAX(run_len) + 7 AS BIGINT) AS span_tokens,
+      |  CAST(SUM(run_len) AS BIGINT) AS n_matched
+      |FROM runs GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_contam_run" -> (d24 _),
     "d23_paragraph_dedup" -> (d23 _),
     "d22_contamination_ratio" -> (d22 _),
     "d21_lsh_tuning" -> (d21 _),
@@ -1318,6 +1389,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d24_contam_run" -> d24Sql,
     "d23_paragraph_dedup" -> d23Sql,
     "d22_contamination_ratio" -> d22Sql,
     "d21_lsh_tuning" -> d21Sql,

@@ -479,7 +479,95 @@ object SketchQueries {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sk9_kmv_setops — SET OPERATIONS on KMV sketches (Beyer et al. 2007,
+  // the property that makes bottom-k the warehouse workhorse over HLL:
+  // sketches COMPOSE): per-segment sketches of the 'view' and 'click'
+  // user populations combine into union / intersection / Jaccard
+  // estimates WITHOUT re-scanning either input — union sketch =
+  // bottom-k of the two sketches' union (exact by the bottom-k
+  // identity), intersection via the ρ/k Jaccard estimator scaled by
+  // the union estimate. This is how audience-overlap questions run at
+  // 100 TB: each segment is sketched once in its own pass (2 KB
+  // partial state per map task, no distinct exchange — sk7's shape),
+  // and every pairwise overlap after that is array arithmetic on
+  // 256-long sketches. Sketch-not-full branch returns the exact count
+  // (kk), the standard KMV estimator contract. The exact union /
+  // intersection anchors ride along for the error audit. All-integer:
+  // the estimate itself hash-gates against the oracle's independent
+  // bottom-k recomputation.
+  def sk9(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvAggregator.Kmv(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    def hv = (((col("user_id") % 67108864L) * 2654435761L) % 4294967296L)
+      .as("hv")
+    val ka = ev.filter(col("event_type") === lit("view")).select(hv)
+      .agg(kmv(col("hv")).as("ka"))
+    val kb = ev.filter(col("event_type") === lit("click")).select(hv)
+      .agg(kmv(col("hv")).as("kb"))
+    val exact = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === lit("view"), 1).otherwise(0)).as("iv"),
+        max(when(col("event_type") === lit("click"), 1).otherwise(0)).as("ic"))
+      .agg(count(lit(1)).as("n_exact_union"),
+        sum(when(col("iv") === 1 && col("ic") === 1, 1L).otherwise(0L))
+          .as("n_exact_inter"))
+    ka.crossJoin(kb).crossJoin(broadcast(exact)) // three 1-row frames
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, 256))
+      .select(col("n_exact_union"), col("n_exact_inter"),
+        element_at(col("u"), -1).as("kth"),
+        size(col("u")).cast("long").as("kk"),
+        expr("cast(size(filter(u, x -> array_contains(ka, x)" +
+          " AND array_contains(kb, x))) as bigint)").as("rho"))
+      .withColumn("est_union",
+        when(col("kk") < 256L, col("kk"))
+          .otherwise(expr("(kk - 1) * 4294967296L div kth")))
+      .select(col("n_exact_union"), col("n_exact_inter"), col("est_union"),
+        when(col("kk") < 256L, col("rho"))
+          .otherwise(expr("rho * est_union div kk")).as("est_inter"),
+        expr("rho * 1000000L div kk").as("jaccard_ppm"))
+  }
+
+  private val sk9Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT event_type,
+      |    ((user_id % 67108864) * 2654435761) % 4294967296 AS hv
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')),
+      |a AS (SELECT hv FROM e WHERE event_type = 'view' ORDER BY hv LIMIT 256),
+      |b AS (SELECT hv FROM e WHERE event_type = 'click' ORDER BY hv LIMIT 256),
+      |u AS (
+      |  SELECT DISTINCT hv
+      |  FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b) ab
+      |  ORDER BY hv LIMIT 256),
+      |t AS (
+      |  SELECT CAST(MAX(hv) AS BIGINT) AS kth, COUNT(*) AS kk,
+      |    CAST(SUM(CASE WHEN hv IN (SELECT hv FROM a)
+      |      AND hv IN (SELECT hv FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      |  FROM u),
+      |x AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_union,
+      |    CAST(SUM(CASE WHEN iv = 1 AND ic = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_exact_inter
+      |  FROM (SELECT user_id,
+      |          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS iv,
+      |          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ic
+      |        FROM events
+      |        WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+      |        GROUP BY user_id) f)
+      |SELECT n_exact_union, n_exact_inter,
+      |  CAST(CASE WHEN kk < 256 THEN kk
+      |    ELSE (kk - 1) * 4294967296 // kth END AS BIGINT) AS est_union,
+      |  CAST(CASE WHEN kk < 256 THEN rho
+      |    ELSE rho * ((kk - 1) * 4294967296 // kth) // kk END AS BIGINT)
+      |    AS est_inter,
+      |  CAST(rho * 1000000 // kk AS BIGINT) AS jaccard_ppm
+      |FROM t CROSS JOIN x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk9_kmv_setops" -> (sk9 _),
     "sk8_bitmap_distinct" -> (sk8 _),
     "sk7_kmv" -> (sk7 _),
     "sk6_bloom_fpr" -> (sk6 _),
@@ -492,6 +580,7 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk9_kmv_setops" -> sk9Sql,
     "sk8_bitmap_distinct" -> sk8Sql,
     "sk7_kmv" -> sk7Sql,
     "sk6_bloom_fpr" -> sk6Sql,

@@ -2251,7 +2251,78 @@ object TextQueries {
        |ORDER BY nd.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t49_linear_classifier — hashed-feature LINEAR classifier INFERENCE
+  // (the fastText/VW serving shape quality- and domain-tagging
+  // pipelines run over every document): each token contributes one
+  // integer weight per class, the doc's class score is the sum, the
+  // label is the argmax. Weights come from the md5-derived hash of
+  // (class ‖ token) — a stand-in weight table that keeps the gate
+  // deterministic AND engine-portable while exercising the real
+  // serving plan; swapping in trained weights changes one expression.
+  // ALL-INTEGER arithmetic: scores are BIGINT sums, argmax tie-breaks
+  // to the lowest class id via array_position-on-greatest, margin =
+  // best − runner-up — no float summation order to disagree across
+  // engines. Scale shape: the per-class weights are MAP-SIDE scalar
+  // expressions over the token stream (no weight table to join or
+  // broadcast — the hash IS the lookup); the only exchanges carry
+  // (doc, 4 longs) partial sums and the (source, label) final rollup.
+  def t49(spark: SparkSession, dir: String): DataFrame = {
+    def wt(c: Int) =
+      (conv(substring(md5(concat(lit(s"c$c§"), col("token"))), 1, 15),
+        16, 10).cast("long") % 2001L - 1000L).as(s"w$c")
+    val scores = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"), wt(0), wt(1), wt(2), wt(3))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w0")).as("s0"), sum(col("w1")).as("s1"),
+        sum(col("w2")).as("s2"), sum(col("w3")).as("s3"))
+      .withColumn("ss", array(col("s0"), col("s1"), col("s2"), col("s3")))
+      .withColumn("best", greatest(col("s0"), col("s1"), col("s2"), col("s3")))
+      .select(col("doc_id"), col("source"),
+        (array_position(col("ss"), col("best")) - 1L).as("label"),
+        (col("best") - element_at(array_sort(col("ss")), 3)).as("margin"))
+    scores.groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("sum_margin"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"), col("label"))
+  }
+
+  private val t49Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(concat('0x', substr(md5(concat('c0§', token)), 1, 15))
+      |      AS UBIGINT) % 2001 AS BIGINT) - 1000 AS w0,
+      |    CAST(CAST(concat('0x', substr(md5(concat('c1§', token)), 1, 15))
+      |      AS UBIGINT) % 2001 AS BIGINT) - 1000 AS w1,
+      |    CAST(CAST(concat('0x', substr(md5(concat('c2§', token)), 1, 15))
+      |      AS UBIGINT) % 2001 AS BIGINT) - 1000 AS w2,
+      |    CAST(CAST(concat('0x', substr(md5(concat('c3§', token)), 1, 15))
+      |      AS UBIGINT) % 2001 AS BIGINT) - 1000 AS w3
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    CAST(SUM(w0) AS BIGINT) AS s0, CAST(SUM(w1) AS BIGINT) AS s1,
+      |    CAST(SUM(w2) AS BIGINT) AS s2, CAST(SUM(w3) AS BIGINT) AS s3
+      |  FROM f GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_id, source,
+      |    CAST(list_position([s0, s1, s2, s3],
+      |      greatest(s0, s1, s2, s3)) - 1 AS BIGINT) AS label,
+      |    greatest(s0, s1, s2, s3)
+      |      - list_sort([s0, s1, s2, s3])[3] AS margin
+      |  FROM s)
+      |SELECT source, label, COUNT(*) AS n_docs,
+      |  CAST(SUM(margin) AS BIGINT) AS sum_margin, MIN(doc_id) AS min_doc
+      |FROM p GROUP BY source, label ORDER BY source, label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t49_linear_classifier" -> (t49 _),
     "t46_wordpiece" -> (t46 _),
     "t45_pipeline_funnel" -> (t45 _),
     "t44_gopher_rules" -> (t44 _),
@@ -2304,6 +2375,7 @@ object TextQueries {
     "t45_pipeline_funnel" -> t45Sql,
     "t44_gopher_rules" -> t44Sql,
     "t43_feistel_order" -> t43Sql,
+    "t49_linear_classifier" -> t49Sql,
     "t48_weighted_sample" -> t48Sql,
     "t42_isotonic_pava" -> t42Sql,
     "t41_mixture_apportion" -> t41Sql,

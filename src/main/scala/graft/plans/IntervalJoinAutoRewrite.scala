@@ -22,13 +22,20 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * INNER join; at least one `l.attr = r.attr` equi conjunct (EqualTo
   * only — null-safe `<=>` treats NULL=NULL as a match, which the
   * null-dropping exec must not claim); exactly one lower and one upper
-  * bound conjunct on the SAME bare point-side attribute against bare
-  * interval-side attributes (`t >= lo` / `t <= hi` in either written
+  * bound conjunct on the SAME point-side expression against
+  * interval-side expressions (`t >= lo` / `t <= hi` in either written
   * order — BETWEEN parses to exactly this; the POINT side may be
-  * either join input, since inner joins commute); every bound column
-  * micros-backed (LONG /
-  * TIMESTAMP / TIMESTAMP_NTZ — what the exec sweeps as longs). Casts
-  * around a bound column mean mixed types: no match, no rewrite.
+  * either join input, since inner joins commute). Point and bound
+  * sides are DETERMINISTIC EXPRESSIONS whose references fall entirely
+  * on one input — bare columns are the common case, but computed
+  * bounds match too, so the plain-SQL BAND join
+  * `c.t BETWEEN p.t - 30m AND p.t + 30m` re-plans onto the sweep
+  * (the logical node and both execs already evaluate arbitrary bound
+  * expressions; only this classifier ever required bare columns).
+  * Every bound expression must be micros-backed (LONG / TIMESTAMP /
+  * TIMESTAMP_NTZ — what the exec sweeps as longs); mixed types mean
+  * no match, no rewrite. Ambiguity (two lower or two upper
+  * candidates) falls back to the plain join — always correct.
   * Remaining conjuncts stay as a Filter above (inner-join residuals
   * commute), where [[IntervalJoinFilterPushdown]] — same fixed-point
   * batch — pushes the single-sided ones back below the new node.
@@ -60,8 +67,8 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
   /** One conjunct's role in the interval pattern. */
   private sealed trait Role
   private case class Equi(l: AttributeReference, r: AttributeReference) extends Role
-  private case class Lower(t: AttributeReference, lo: AttributeReference) extends Role
-  private case class Upper(t: AttributeReference, hi: AttributeReference) extends Role
+  private case class Lower(t: Expression, lo: Expression) extends Role
+  private case class Upper(t: Expression, hi: Expression) extends Role
   private case class Rest(e: Expression) extends Role
 
   /** Classify `cond`'s conjuncts with `points` as the point side and
@@ -82,17 +89,25 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if intervals.outputSet.contains(a) => Some(a)
       case _ => None
     }
+    // a bound-role side: deterministic, references exactly one input
+    // (reference-free means a constant — that is a pushable FILTER the
+    // main optimizer already moved below the join, not a bound)
+    def onSide(e: Expression, side: LogicalPlan): Option[Expression] =
+      if (e.deterministic && e.references.nonEmpty &&
+        e.references.subsetOf(side.outputSet)) Some(e) else None
+    def pe(e: Expression): Option[Expression] = onSide(e, points)
+    def ie(e: Expression): Option[Expression] = onSide(e, intervals)
     val roles: Seq[Role] = conjuncts(cond).map {
       case p @ EqualTo(a, b) =>
         pa(a).zip(ia(b)).orElse(pa(b).zip(ia(a)))
           .map { case (pk, ik) => Equi(pk, ik) }.getOrElse(Rest(p))
       case p @ GreaterThanOrEqual(a, b) => // t >= lo | hi >= t
-        pa(a).zip(ia(b)).map { case (t, lo) => Lower(t, lo): Role }
-          .orElse(pa(b).zip(ia(a)).map { case (t, hi) => Upper(t, hi) })
+        pe(a).zip(ie(b)).map { case (t, lo) => Lower(t, lo): Role }
+          .orElse(pe(b).zip(ie(a)).map { case (t, hi) => Upper(t, hi) })
           .getOrElse(Rest(p))
       case p @ LessThanOrEqual(a, b) => // t <= hi | lo <= t
-        pa(a).zip(ia(b)).map { case (t, hi) => Upper(t, hi): Role }
-          .orElse(pa(b).zip(ia(a)).map { case (t, lo) => Lower(t, lo) })
+        pe(a).zip(ie(b)).map { case (t, hi) => Upper(t, hi): Role }
+          .orElse(pe(b).zip(ie(a)).map { case (t, lo) => Lower(t, lo) })
           .getOrElse(Rest(p))
       case p => Rest(p)
     }

@@ -82,6 +82,39 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
         |  ON s.k = p.k AND p.t BETWEEN s.lo AND s.hi""".stripMargin))
   }
 
+  test("computed bounds rewrite: the plain-SQL band join") {
+    // the bounds are EXPRESSIONS over the interval side (`s.lo - 2` /
+    // `s.lo + 3`), the shape any user writes for a time-band join —
+    // the classifier accepts one-sided deterministic expressions, not
+    // just bare columns
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    parity(spark.sql(
+      """SELECT p.k, p.lid, s.rid
+        |FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t BETWEEN s.lo - 2 AND s.lo + 3""".stripMargin))
+  }
+
+  test("computed bounds: null propagation through the bound expression") {
+    // s.lo NULL makes both computed bounds NULL — the exec must drop
+    // those interval rows exactly as the SQL predicate's UNKNOWN does
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    parity(spark.sql(
+      """SELECT p.lid, s.rid
+        |FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo - 100 AND p.t <= s.hi + 100""".stripMargin))
+  }
+
+  test("bound expression spanning both sides leaves the join untouched") {
+    Interval.enableSqlRewrite(spark)
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    assert(!hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi + p.lid""".stripMargin)))
+  }
+
   test("residual conjuncts survive as a post-join filter") {
     pointsDf.createOrReplaceTempView("graft_arw_p")
     spansDf.createOrReplaceTempView("graft_arw_s")

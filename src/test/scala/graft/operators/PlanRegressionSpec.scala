@@ -41,6 +41,8 @@ class PlanRegressionSpec extends SparkSpec {
     "t19_df_score" -> 1,      // 1-row corpus doc-count aggregate
     "sk4_hll_intersect" -> 4, // 1-row frames: exact-counts × union-est
                               // × per-side pivot (sketch set algebra)
+    "sk9_kmv_setops" -> 2,    // 1-row frames: view-sketch × click-sketch
+                              // × exact anchors (KMV set algebra)
     "q29_equidepth_hist" -> 1, // 1-row corpus-count aggregate (bucket div)
     "s15_ann_recall" -> 2,    // composes s1 + s7, inherits their two
                               // whitelisted bounded broadcasts
