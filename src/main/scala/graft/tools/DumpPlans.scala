@@ -85,7 +85,11 @@ object DumpPlans {
     "s19_kmeans", "s24_degree_histogram", "s8_embed_clusters",
     "t16_pmi_bigrams", "t27_lm_score", "v11_badrecords", "v5_pa_route",
     "v6_roundtrip", "v7_orc_roundtrip", "x17_pit_audit",
-    "x20_stock_rollforward", "x31_compaction_plan")
+    "x20_stock_rollforward", "x31_compaction_plan",
+    // round 7, continued: expression-bound rewrite showcase + new >1s
+    // gates (d24 1.2s / t49 1.5s warm at sf0.1)
+    "x66_band_sql", "d24_contam_run", "t49_linear_classifier",
+    "sk9_kmv_setops")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
