@@ -607,6 +607,95 @@ object StreamingQueries {
       |FROM k ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // st29_stream_hll — hourly distinct-user ESTIMATION with 64 longs of
+  // state per hour: the HLL register sketch as a plain streaming
+  // windowed aggregation (see [[Streaming.hourlyHllRegisters]] for the
+  // state story — this is the windowed, aggregation-only sibling of
+  // st23's global mapGroupsWithState KMV). The gate derives the raw
+  // HLL estimate from the drained registers in exact integer
+  // arithmetic: S = Σ 2^(mx − rho_j) over present registers plus
+  // (64 − present)·2^mx for the absent ones (the 2^−rho harmonic sum
+  // scaled by 2^mx so it stays integral), then
+  // est_raw = ⌊α_ppm·64²·2^mx / (S·10⁶)⌋ with α_ppm = 709365 (the
+  // standard 0.7213/(1+1.079/m) constant in parts-per-million — a
+  // shared literal, so no float crosses an engine boundary). Small-
+  // range correction is the standard LINEAR COUNTING switch (raw ≤
+  // 2.5m with empty registers → est = ⌊m·ln(m/V)⌋, V = empty count):
+  // mandatory here, since sparse hours sit exactly in the regime where
+  // the raw estimator reads register occupancy as ~4× the truth. The
+  // ln lives in a 64-entry INTEGER table shared by both engines as
+  // literals (V has only 64 possible values), keeping the whole gate
+  // float-free.
+  private val hllLcTable = Seq(
+    266, 221, 195, 177, 163, 151, 141, 133, 125, 118, 112, 107, 102, 97,
+    92, 88, 84, 81, 77, 74, 71, 68, 65, 62, 60, 57, 55, 52, 50, 48, 46,
+    44, 42, 40, 38, 36, 35, 33, 31, 30, 28, 26, 25, 23, 22, 21, 19, 18,
+    17, 15, 14, 13, 12, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0)
+
+  def st29(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hour"))
+    Streaming.hourlyHllRegisters(spark, dir)
+      .withColumn("mx", max(col("maxr")).over(w))
+      .withColumn("term", expr("shiftleft(1L, cast(mx - maxr as int))"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_present"), max(col("mx")).as("mx"),
+        sum(col("term")).as("s_present"))
+      .select(col("hour"), col("n_present"),
+        col("mx").as("max_rho"),
+        (col("s_present") + (lit(64L) - col("n_present")) *
+          expr("shiftleft(1L, cast(mx as int))")).as("s_total"))
+      .withColumn("est_raw",
+        expr("cast((cast(709365 as decimal(38,0)) * 4096 *" +
+          " cast(shiftleft(1L, cast(max_rho as int)) as decimal(38,0)))" +
+          " div (cast(s_total as decimal(38,0)) * 1000000) as bigint)"))
+      .withColumn("est_users",
+        when(col("n_present") < 64L && col("est_raw") <= 160L,
+          element_at(
+            expr(s"array(${hllLcTable.mkString("L,")}L)"),
+            (lit(64L) - col("n_present")).cast("int")))
+          .otherwise(col("est_raw")))
+      .orderBy(col("hour"))
+  }
+
+  private val st29Sql =
+    """WITH e AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |    ((user_id % 67108864) * 2654435761) % 4294967296 AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r1 AS (
+      |  SELECT hour, hv % 64 AS reg,
+      |    CASE WHEN hv // 64 = 0 THEN 27
+      |         ELSE 27 - length(bin(hv // 64)) END AS rho
+      |  FROM e),
+      |regs AS (SELECT hour, reg, MAX(rho) AS maxr FROM r1 GROUP BY 1, 2),
+      |h AS (SELECT hour, COUNT(*) AS n_present, MAX(maxr) AS mx
+      |      FROM regs GROUP BY 1),
+      |s AS (
+      |  SELECT r.hour,
+      |    SUM(CAST(1 AS BIGINT) << CAST(h.mx - r.maxr AS INTEGER)) AS s_present
+      |  FROM regs r JOIN h USING (hour) GROUP BY 1),
+      |f AS (
+      |  SELECT h.hour, h.n_present, h.mx,
+      |    s.s_present + (64 - h.n_present) *
+      |      (CAST(1 AS BIGINT) << CAST(h.mx AS INTEGER)) AS s_total
+      |  FROM h JOIN s USING (hour)),
+      |g AS (
+      |  SELECT hour, CAST(n_present AS BIGINT) AS n_present,
+      |    CAST(mx AS BIGINT) AS max_rho, CAST(s_total AS BIGINT) AS s_total,
+      |    CAST((CAST(709365 AS HUGEINT) * 4096 *
+      |      (CAST(1 AS BIGINT) << CAST(mx AS INTEGER)))
+      |      // (CAST(s_total AS HUGEINT) * 1000000) AS BIGINT) AS est_raw
+      |  FROM f)
+      |SELECT hour, n_present, max_rho, s_total, est_raw,
+      |  CASE WHEN n_present < 64 AND est_raw <= 160 THEN CAST(
+      |    [266,221,195,177,163,151,141,133,125,118,112,107,102,97,
+      |     92,88,84,81,77,74,71,68,65,62,60,57,55,52,50,48,46,
+      |     44,42,40,38,36,35,33,31,30,28,26,25,23,22,21,19,18,
+      |     17,15,14,13,12,10,9,8,7,6,5,4,3,2,1,0][64 - n_present]
+      |    AS BIGINT) ELSE est_raw END AS est_users
+      |FROM g ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------------
   // st24_stream_anti — streaming NOT EXISTS: views with no purchase in
   // their 30-minute window, as one continuous query. Structured
   // Streaming has no stream-stream left_anti; [[Streaming
@@ -791,6 +880,7 @@ object StreamingQueries {
     "st26_rate_limit" -> (st26 _),
     "st25_stream_drift" -> (st25 _),
     "st24_stream_anti" -> (st24 _),
+    "st29_stream_hll" -> (st29 _),
     "st23_stream_kmv" -> (st23 _),
     "st22_stream_funnel" -> (st22 _),
     "st21_stream_topk" -> (st21 _),
@@ -823,6 +913,7 @@ object StreamingQueries {
     "st26_rate_limit" -> st26Sql,
     "st25_stream_drift" -> st25Sql,
     "st24_stream_anti" -> st24Sql,
+    "st29_stream_hll" -> st29Sql,
     "st23_stream_kmv" -> st23Sql,
     "st22_stream_funnel" -> st22Sql,
     "st21_stream_topk" -> st21Sql,

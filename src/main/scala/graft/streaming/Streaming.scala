@@ -208,6 +208,44 @@ object Streaming {
     drainToLocal(spark, name, OutputMode.Complete, stream)
   }
 
+  /** Streaming HLL REGISTERS per hour — bounded-state windowed distinct
+    * estimation as a PLAIN streaming aggregation (no custom state
+    * processor, unlike the KMV twin [[kmvDistinct]]): each event maps
+    * to (register = hv mod 64, rho = 1 + leading-zero run of the
+    * remaining 26 hash bits) map-side, and the only state is
+    * `max(rho)` per (hour window, register) — 64 longs per hour
+    * REGARDLESS of user cardinality, vs one state row per user for an
+    * exact streaming distinct. Register-max is commutative/idempotent,
+    * so micro-batch arrival order cannot change the drained registers:
+    * the incremental sketch equals the batch recomputation bit for
+    * bit, and the harmonic-mean estimate derived from it hash-gates.
+    * rho uses the t36 bin-length trick (floor(log2) as string length —
+    * integer, engine-portable), never float log. Complete mode: state
+    * is (hours × 64) rows, and the final drain must include the last
+    * hour, whose window the terminal watermark never closes. */
+  def hourlyHllRegisters(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_hll_${queryCounter.incrementAndGet()}"
+    val stream = eventsStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+      .withWatermark("event_ts", "1 hour")
+      .withColumn("hv",
+        ((col("user_id") % 67108864L) * 2654435761L) % 4294967296L)
+      .withColumn("reg", col("hv") % 64L)
+      .withColumn("w", expr("hv div 64"))
+      // rho = 1 + leading zeros of the 26-bit suffix: 27 - bitlen(w),
+      // with the all-zeros convention rho = 27 (bin(0) = "0" breaks the
+      // bitlen identity, so the zero case is explicit)
+      .withColumn("rho", when(col("w") === 0L, lit(27L))
+        .otherwise(lit(27L) - length(bin(col("w")))))
+      .groupBy(window(col("event_ts"), "1 hour"), col("reg"))
+      .agg(max(col("rho")).as("maxr"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("reg"), col("maxr"))
+    drainToLocal(spark, name, OutputMode.Complete, stream)
+  }
+
   /** Streaming GLOBAL TOP-K in Complete mode — the leaderboard shape:
     * per-user event counts, sorted (count desc, user_id) with LIMIT k.
     * Complete mode is what makes sort+limit legal in a streaming query
