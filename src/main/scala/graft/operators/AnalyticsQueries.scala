@@ -1260,7 +1260,66 @@ object AnalyticsQueries {
       |FROM inc FULL OUTER JOIN f ON inc.c_nationkey = f.c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v27_dp_release — DIFFERENTIALLY-PRIVATE count release (the privacy
+  // family's OUTPUT side, next to v13/v24's k-anonymity input checks):
+  // per-(source, lang) doc counts released through the GEOMETRIC
+  // MECHANISM (Ghosh–Roughgarden–Sundararajan, the discrete Laplace) at
+  // ε = ln 2 — the one ε where the mechanism needs NO floats: with
+  // α = e^(−ε) = 1/2 the noise pmf is P(0)=1/3, P(±k)=2^(−k)/3, so the
+  // inverse-CDF sample is exact integer arithmetic on a 32-bit uniform
+  // (sector select by 3u vs 2³², magnitude = 33 − bitlen via the t36
+  // bin-length trick — never a log). Count queries have sensitivity 1,
+  // so this is ε-DP per group. The uniform is the md5 of the group key
+  // — the t49 convention: a deterministic stand-in that keeps the gate
+  // oracle-checkable while exercising the real release plan; production
+  // swaps ONE expression for a real RNG (and drops the n_true/noise
+  // audit columns this gate keeps as anchors). Scale shape: noise is a
+  // map-side scalar over the GROUPED frame (group cardinality, not doc
+  // cardinality); one count aggregate is the only exchange.
+  def v27(spark: SparkSession, dir: String): DataFrame = {
+    val two32 = 4294967296L
+    val u = conv(substring(md5(concat(
+      coalesce(col("source"), lit("")), lit("§"),
+      coalesce(col("lang"), lit("")))), 1, 8), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("t3", u * 3L)
+      .withColumn("noise",
+        when(col("t3") < two32,
+          -(lit(33L) - length(bin(lit(two32 - 1L) - col("t3")))))
+          .when(col("t3") < 2L * two32, lit(0L))
+          .otherwise(lit(33L) - length(bin(lit(3L * two32 - 1L) - col("t3"))))
+          .cast("long"))
+      .select(col("source"), col("lang"), col("n_true"), col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("n_released"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val v27Sql =
+    """WITH g AS (
+      |  SELECT source, lang, COUNT(*) AS n_true
+      |  FROM documents GROUP BY 1, 2),
+      |u AS (
+      |  SELECT source, lang, n_true,
+      |    CAST(CAST(concat('0x', substr(md5(concat(
+      |      coalesce(source, ''), '§', coalesce(lang, ''))), 1, 8))
+      |      AS UBIGINT) AS BIGINT) * 3 AS t3
+      |  FROM g),
+      |n AS (
+      |  SELECT source, lang, n_true,
+      |    CASE WHEN t3 < 4294967296 THEN
+      |           -(33 - length(bin(4294967295 - t3)))
+      |         WHEN t3 < 8589934592 THEN 0
+      |         ELSE 33 - length(bin(12884901887 - t3)) END AS noise
+      |  FROM u)
+      |SELECT source, lang, n_true, CAST(noise AS BIGINT) AS noise,
+      |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_released
+      |FROM n ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v27_dp_release" -> (v27 _),
     "x49_join_ivm" -> (x49 _),
     "v23_pseudonymize" -> (v23 _),
     "v24_k_anonymity" -> (v24 _),
@@ -1288,6 +1347,7 @@ object AnalyticsQueries {
     "d16_containment" -> (d16 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v27_dp_release" -> v27Sql,
     "x49_join_ivm" -> x49Sql,
     "v23_pseudonymize" -> v23Sql,
     "v24_k_anonymity" -> v24Sql,
