@@ -106,6 +106,28 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
         |  ON p.k = s.k AND p.t >= s.lo - 100 AND p.t <= s.hi + 100""".stripMargin))
   }
 
+  test("randomized band-join parity (expression bounds, 400×300 rows)") {
+    val ss = spark; import ss.implicits._
+    def mix(i: Long, salt: Long): Long =
+      ((i * 2654435761L + salt) % 4294967296L).abs
+    // ~1-in-20 null rate in every role, so the parity covers the
+    // null-dropping path at volume, not just the hand fixture
+    def opt(v: Long, i: Long, salt: Long): Option[Long] =
+      if (mix(i, salt) % 20 == 0) None else Some(v)
+    (0L until 400L)
+      .map(i => (opt(mix(i, 17) % 20, i, 3), opt(mix(i, 31) % 1000, i, 5), i))
+      .toDF("k", "t", "lid").repartition(5)
+      .createOrReplaceTempView("graft_arw_rp")
+    (0L until 300L)
+      .map(i => (opt(mix(i, 7) % 20, i, 11), opt(mix(i, 13) % 1000, i, 19), i))
+      .toDF("k", "ct", "rid").repartition(4)
+      .createOrReplaceTempView("graft_arw_rs")
+    parity(spark.sql(
+      """SELECT p.lid, s.rid
+        |FROM graft_arw_rp p JOIN graft_arw_rs s
+        |  ON p.k = s.k AND p.t BETWEEN s.ct - 25 AND s.ct + 25""".stripMargin))
+  }
+
   test("bound expression spanning both sides leaves the join untouched") {
     Interval.enableSqlRewrite(spark)
     pointsDf.createOrReplaceTempView("graft_arw_p")
