@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, NamedExpression, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -36,6 +36,16 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * TIMESTAMP_NTZ — what the exec sweeps as longs); mixed types mean
   * no match, no rewrite. Ambiguity (two lower or two upper
   * candidates) falls back to the plain join — always correct.
+  *
+  * STRICT bounds normalize when every bound column is LONG (the
+  * epoch-micros convention): `t > lo` ⇔ `t ≥ lo + 1` on integers, so
+  * the conjunct rewrites with a successor bound — guarded so
+  * `lo = Long.MaxValue` maps to NULL (an unsatisfiable `t > MAX` must
+  * never wrap to match-everything; a NULL bound is exactly
+  * "never matches" in the exec). Strict bounds on TIMESTAMP columns
+  * stay unrewritten: +1 on a timestamp is interval arithmetic, not
+  * integer succession, and the sweep's long view of the column cannot
+  * express it safely.
   * Remaining conjuncts stay as a Filter above (inner-join residuals
   * commute), where [[IntervalJoinFilterPushdown]] — same fixed-point
   * batch — pushes the single-sided ones back below the new node.
@@ -63,6 +73,21 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
 
   private def microsBacked(t: DataType): Boolean =
     t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]
+
+  private def allLong(es: Expression*): Boolean =
+    es.forall(_.dataType == LongType)
+
+  /** `bound + 1`, with the unsatisfiable edge mapped to NULL: `t >
+    * Long.MaxValue` admits nothing, and a NULL bound is exactly the
+    * exec's never-matches row — a raw `+ 1` would wrap to MinValue and
+    * match everything. */
+  private def succ(e: Expression): Expression =
+    If(EqualTo(e, Literal(Long.MaxValue)),
+      Literal(null, LongType), Add(e, Literal(1L)))
+
+  private def pred(e: Expression): Expression =
+    If(EqualTo(e, Literal(Long.MinValue)),
+      Literal(null, LongType), Subtract(e, Literal(1L)))
 
   /** One conjunct's role in the interval pattern. */
   private sealed trait Role
@@ -108,6 +133,18 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
       case p @ LessThanOrEqual(a, b) => // t <= hi | lo <= t
         pe(a).zip(ie(b)).map { case (t, hi) => Upper(t, hi): Role }
           .orElse(pe(b).zip(ie(a)).map { case (t, lo) => Lower(t, lo) })
+          .getOrElse(Rest(p))
+      case p @ GreaterThan(a, b) => // t > lo (≥ lo+1) | hi > t (≤ hi−1)
+        pe(a).zip(ie(b)).filter(e => allLong(e._1, e._2))
+          .map { case (t, lo) => Lower(t, succ(lo)): Role }
+          .orElse(pe(b).zip(ie(a)).filter(e => allLong(e._1, e._2))
+            .map { case (t, hi) => Upper(t, pred(hi)) })
+          .getOrElse(Rest(p))
+      case p @ LessThan(a, b) => // t < hi (≤ hi−1) | lo < t (≥ lo+1)
+        pe(a).zip(ie(b)).filter(e => allLong(e._1, e._2))
+          .map { case (t, hi) => Upper(t, pred(hi)): Role }
+          .orElse(pe(b).zip(ie(a)).filter(e => allLong(e._1, e._2))
+            .map { case (t, lo) => Lower(t, succ(lo)) })
           .getOrElse(Rest(p))
       case p => Rest(p)
     }

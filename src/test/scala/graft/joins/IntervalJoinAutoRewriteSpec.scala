@@ -147,14 +147,61 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
         | AND p.lid <> s.rid AND p.lid < 100""".stripMargin))
   }
 
+  test("strict bounds on LONG columns normalize and rewrite (all combos)") {
+    pointsDf.createOrReplaceTempView("graft_arw_p")
+    spansDf.createOrReplaceTempView("graft_arw_s")
+    // (t > lo, t <= hi), (t >= lo, t < hi), fully strict, and the
+    // flipped written order — each must match Spark's own strict join
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t < s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t < s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_p p JOIN graft_arw_s s
+        |  ON p.k = s.k AND s.lo < p.t AND s.hi > p.t""".stripMargin))
+  }
+
+  test("strict MaxValue/MinValue bounds cannot wrap (overflow guard)") {
+    Interval.enableSqlRewrite(spark)
+    val ss = spark; import ss.implicits._
+    Seq((1L, 5L, 1L), (1L, Long.MaxValue, 2L))
+      .toDF("k", "t", "lid").createOrReplaceTempView("graft_arw_pmax")
+    // lo = MaxValue: `t > lo` is unsatisfiable — the +1 normalization
+    // must map it to a NULL bound, never wrap to MinValue-matches-all
+    Seq((1L, Long.MaxValue, Long.MaxValue, 11L), (1L, 0L, Long.MaxValue, 12L))
+      .toDF("k", "lo", "hi", "rid").createOrReplaceTempView("graft_arw_smax")
+    val df = spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_pmax p JOIN graft_arw_smax s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin)
+    assert(hasIntervalExec(df))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 12L), (2L, 12L))) // rid 11 (lo = MAX) matches nothing
+  }
+
   test("non-matching shapes are left untouched") {
     Interval.enableSqlRewrite(spark)
     pointsDf.createOrReplaceTempView("graft_arw_p")
     spansDf.createOrReplaceTempView("graft_arw_s")
-    // strict bound
+    // strict bound on TIMESTAMP columns: +1 would be interval
+    // arithmetic, not integer succession — no rewrite
+    val ss = spark; import ss.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 1L))
+      .toDF("k", "t", "lid").createOrReplaceTempView("graft_arw_pts")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:09"), 2L))
+      .toDF("k", "lo", "hi", "rid").createOrReplaceTempView("graft_arw_sts")
     assert(!hasIntervalExec(spark.sql(
-      """SELECT * FROM graft_arw_p p JOIN graft_arw_s s
+      """SELECT * FROM graft_arw_pts p JOIN graft_arw_sts s
         |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin)))
+    // …while the inclusive timestamp form still rewrites
+    assert(hasIntervalExec(spark.sql(
+      """SELECT * FROM graft_arw_pts p JOIN graft_arw_sts s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi""".stripMargin)))
     // left outer
     assert(!hasIntervalExec(spark.sql(
       """SELECT * FROM graft_arw_p p LEFT JOIN graft_arw_s s
@@ -169,7 +216,6 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
         |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi
         | AND p.lid >= s.lo""".stripMargin)))
     // non-micros bound type (double): no rewrite
-    val ss = spark; import ss.implicits._
     Seq((1L, 0.5, 1L)).toDF("k", "t", "lid")
       .createOrReplaceTempView("graft_arw_pd")
     Seq((1L, 0.0, 1.0, 2L)).toDF("k", "lo", "hi", "rid")
