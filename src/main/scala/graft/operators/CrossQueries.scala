@@ -697,6 +697,56 @@ object CrossQueries {
       |ORDER BY user_id, purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x67_strict_attr_sql — the STRICT-bound attribution window in plain
+  // SQL: clicks STRICTLY after a same-user view, within one hour
+  // (`c.tsu > v.tsu AND c.tsu <= v.tsu + 1h` — the funnel-step shape
+  // x2 computes with min-aggregates). This is the strict-normalization
+  // path of [[graft.plans.IntervalJoinAutoRewrite]] driven end to end:
+  // `>` on LONG micros re-plans as `≥ lo + 1` (with the MaxValue→NULL
+  // overflow guard), so the half-open band join reaches the native
+  // sweep — before the normalization, any strict conjunct pushed the
+  // whole join back to SMJ + residual (per-user click×view pairs
+  // through the join buffer). Per-view click counts aggregate after.
+  def x67(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Interval.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"),
+        col("event_type"))
+    ev.filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("tsu"))
+      .createOrReplaceTempView("graft_x67_clicks")
+    ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("tsu").as("vtsu"))
+      .createOrReplaceTempView("graft_x67_views")
+    spark.sql(
+      """SELECT c.user_id, v.view_id,
+        |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+        |FROM graft_x67_clicks c JOIN graft_x67_views v
+        |  ON c.user_id = v.user_id
+        | AND c.tsu > v.vtsu AND c.tsu <= v.vtsu + 3600000000
+        |GROUP BY c.user_id, v.view_id
+        |ORDER BY c.user_id, v.view_id""".stripMargin)
+  }
+
+  private val x67Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |c AS (SELECT user_id, event_id AS click_id, tsu
+      |      FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, event_id AS view_id, tsu AS vtsu
+      |      FROM e WHERE event_type = 'view')
+      |SELECT c.user_id AS user_id, v.view_id,
+      |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND c.tsu > v.vtsu AND c.tsu <= v.vtsu + 3600000000
+      |GROUP BY c.user_id, v.view_id
+      |ORDER BY user_id, view_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2358,6 +2408,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
     "x63_interval_sql" -> (x63 _),
@@ -2438,6 +2489,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,
     "x63_interval_sql" -> x63Sql,
