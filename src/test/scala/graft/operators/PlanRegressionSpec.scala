@@ -231,6 +231,20 @@ class PlanRegressionSpec extends SparkSpec {
       "q69_topk_per_group: no WindowGroupLimit in plan")
   }
 
+  test("the SQL interval gates keep the native sweep (auto-rewrite pin)") {
+    // x63 (BETWEEN), x66 (expression band bounds), x67 (strict bounds
+    // normalized) all reach IntervalJoinExec/BroadcastIntervalJoinExec
+    // only through IntervalJoinAutoRewrite — a classifier regression
+    // silently re-plans them as SMJ + residual (per-key pair blowup),
+    // so the node's presence is pinned per written shape.
+    Seq("x63_interval_sql", "x66_band_sql", "x67_strict_attr_sql")
+      .foreach { name =>
+        val n = countNodes(plans(name), "IntervalJoin",
+          "BroadcastIntervalJoin")
+        assert(n >= 1, s"$name: no native interval-join node in plan")
+      }
+  }
+
   test("unpartitioned windows only ever run over the offset table") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       val ws = unpartitionedWindows(p)
