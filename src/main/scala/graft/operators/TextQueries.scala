@@ -2321,7 +2321,70 @@ object TextQueries {
       |  CAST(SUM(margin) AS BIGINT) AS sum_margin, MIN(doc_id) AS min_doc
       |FROM p GROUP BY source, label ORDER BY source, label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t51_shard_manifest — the EXPORT step a training job actually
+  // consumes: every document assigned to one of 8 equal-size shards in
+  // the deterministic Feistel epoch order (t43's bijection — shard
+  // membership is reproducible across runs and machines), with a
+  // per-shard MANIFEST row (doc count, token count, rank range, id
+  // checksum) — the v14-style integrity record a loader verifies
+  // before it streams a shard. Balance is exact by construction:
+  // shard = ⌊(rank−1)·S / n⌋ splits ranks into S runs of size ⌈n/S⌉ or
+  // ⌊n/S⌋, never hash-lumpy. Scale shape: the permutation is a
+  // map-side scalar; the global rank is RelationalQueries.globalRank
+  // (range partitions + per-partition offsets — NO single-reducer
+  // window); the 1-row total rides a broadcast; the manifest is one
+  // S-row aggregate. The doc-id checksum is the pre-modded Knuth sum —
+  // order-independent, so it gates exactly.
+  def t51(spark: SparkSession, dir: String): DataFrame = {
+    val s = 8
+    val perm =
+      """(((doc_id % 65536) + (((doc_id % 4294967296) div 65536 + 9109) * 2654435761) % 65536) % 65536) * 65536
+        | + (((doc_id % 4294967296) div 65536
+        |     + (((doc_id % 65536) + (((doc_id % 4294967296) div 65536 + 9109) * 2654435761) % 65536 + 22093) * 2654435761) % 65536) % 65536)"""
+        .stripMargin.replaceAll("\n", " ")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(perm).cast("long").as("epoch_pos"),
+        when(col("text").isNotNull, size(tokens(col("text"))).cast("long"))
+          .otherwise(lit(0L)).as("n_toks"))
+    val ranked = RelationalQueries.globalRank(
+      base, Seq(col("epoch_pos").asc, col("doc_id").asc), "rank")
+    val total = base.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total)) // 1-row total ride-along
+      .withColumn("shard", expr(s"((rank - 1) * $s) div n_total"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("rank")).as("first_rank"), max(col("rank")).as("last_rank"),
+        sum(expr("((doc_id % 67108864) * 2654435761) % 4294967296"))
+          .as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  private val t51Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL THEN 0
+      |         ELSE len(string_split(text, ' ')) END AS n_toks,
+      |    (((doc_id % 65536) + (((doc_id % 4294967296) // 65536 + 9109) * 2654435761) % 65536) % 65536) * 65536
+      |    + (((doc_id % 4294967296) // 65536
+      |        + (((doc_id % 65536) + (((doc_id % 4294967296) // 65536 + 9109) * 2654435761) % 65536 + 22093) * 2654435761) % 65536) % 65536)
+      |      AS epoch_pos
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_toks,
+      |    ROW_NUMBER() OVER (ORDER BY epoch_pos, doc_id) AS rank
+      |  FROM p),
+      |t AS (SELECT COUNT(*) AS n_total FROM p)
+      |SELECT CAST((rank - 1) * 8 // n_total AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(rank) AS BIGINT) AS first_rank,
+      |  CAST(MAX(rank) AS BIGINT) AS last_rank,
+      |  CAST(SUM(((doc_id % 67108864) * 2654435761) % 4294967296) AS BIGINT)
+      |    AS checksum
+      |FROM r CROSS JOIN t GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t51_shard_manifest" -> (t51 _),
     "t49_linear_classifier" -> (t49 _),
     "t46_wordpiece" -> (t46 _),
     "t45_pipeline_funnel" -> (t45 _),
@@ -2375,6 +2438,7 @@ object TextQueries {
     "t45_pipeline_funnel" -> t45Sql,
     "t44_gopher_rules" -> t44Sql,
     "t43_feistel_order" -> t43Sql,
+    "t51_shard_manifest" -> t51Sql,
     "t49_linear_classifier" -> t49Sql,
     "t48_weighted_sample" -> t48Sql,
     "t42_isotonic_pava" -> t42Sql,

@@ -90,7 +90,7 @@ object DumpPlans {
     // gates (d24 1.2s / t49 1.5s warm at sf0.1)
     "x66_band_sql", "d24_contam_run", "t49_linear_classifier",
     "sk9_kmv_setops", "q29_equidepth_hist", "x67_strict_attr_sql",
-    "v27_dp_release")
+    "v27_dp_release", "t51_shard_manifest")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

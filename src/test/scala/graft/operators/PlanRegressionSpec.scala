@@ -43,6 +43,7 @@ class PlanRegressionSpec extends SparkSpec {
                               // × per-side pivot (sketch set algebra)
     "sk9_kmv_setops" -> 2,    // 1-row frames: view-sketch × click-sketch
                               // × exact anchors (KMV set algebra)
+    "t51_shard_manifest" -> 1, // 1-row corpus-total ride-along (shard div)
     "q29_equidepth_hist" -> 1, // 1-row corpus-count aggregate (bucket div)
     "s15_ann_recall" -> 2,    // composes s1 + s7, inherits their two
                               // whitelisted bounded broadcasts
