@@ -90,7 +90,9 @@ object DumpPlans {
     // gates (d24 1.2s / t49 1.5s warm at sf0.1)
     "x66_band_sql", "d24_contam_run", "t49_linear_classifier",
     "sk9_kmv_setops", "q29_equidepth_hist", "x67_strict_attr_sql",
-    "v27_dp_release", "t51_shard_manifest")
+    "v27_dp_release", "t51_shard_manifest",
+    // round 7, final bench: gates that drifted over the 1s line
+    "q30_dpp_star", "t17_bpe_pairs", "t23_tfidf_topk")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
