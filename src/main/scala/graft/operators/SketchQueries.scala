@@ -517,7 +517,9 @@ object SketchQueries {
       .withColumn("u",
         slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, 256))
       .select(col("n_exact_union"), col("n_exact_inter"),
-        element_at(col("u"), -1).as("kth"),
+        // try_: ANSI element_at errors on an empty union (kk = 0); a
+        // NULL kth is only ever read under the kk >= 256 branch below
+        expr("try_element_at(u, -1)").as("kth"),
         size(col("u")).cast("long").as("kk"),
         expr("cast(size(filter(u, x -> array_contains(ka, x)" +
           " AND array_contains(kb, x))) as bigint)").as("rho"))
@@ -527,7 +529,11 @@ object SketchQueries {
       .select(col("n_exact_union"), col("n_exact_inter"), col("est_union"),
         when(col("kk") < 256L, col("rho"))
           .otherwise(expr("rho * est_union div kk")).as("est_inter"),
-        expr("rho * 1000000L div kk").as("jaccard_ppm"))
+        // kk = 0 (both populations empty) guard: Spark's non-ANSI div
+        // yields NULL on /0 while DuckDB's // errors — define the
+        // empty-sketch Jaccard as 0 explicitly on BOTH sides
+        when(col("kk") === 0L, lit(0L))
+          .otherwise(expr("rho * 1000000L div kk")).as("jaccard_ppm"))
   }
 
   private val sk9Sql =
@@ -544,8 +550,9 @@ object SketchQueries {
       |  ORDER BY hv LIMIT 256),
       |t AS (
       |  SELECT CAST(MAX(hv) AS BIGINT) AS kth, COUNT(*) AS kk,
-      |    CAST(SUM(CASE WHEN hv IN (SELECT hv FROM a)
-      |      AND hv IN (SELECT hv FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      |    CAST(COALESCE(SUM(CASE WHEN hv IN (SELECT hv FROM a)
+      |      AND hv IN (SELECT hv FROM b) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS rho
       |  FROM u),
       |x AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_union,
@@ -563,7 +570,8 @@ object SketchQueries {
       |  CAST(CASE WHEN kk < 256 THEN rho
       |    ELSE rho * ((kk - 1) * 4294967296 // kth) // kk END AS BIGINT)
       |    AS est_inter,
-      |  CAST(rho * 1000000 // kk AS BIGINT) AS jaccard_ppm
+      |  CAST(CASE WHEN kk = 0 THEN 0 ELSE rho * 1000000 // kk END
+      |    AS BIGINT) AS jaccard_ppm
       |FROM t CROSS JOIN x""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -60,4 +60,24 @@ class SketchQueriesSpec extends SparkSpec {
     val r2 = SketchQueries.sk1(spark, dir).collect().toSeq
     assert(r1 === r2)
   }
+
+  test("sk9 on empty view/click populations: kk = 0 defines jaccard 0, no ANSI error") {
+    // both sketched populations empty → union sketch is the empty
+    // array: element_at(-1) must not raise, and the kk = 0 Jaccard is
+    // defined 0 on both engine and oracle sides (ADVICE r7)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk9-empty")
+      .toFile.getAbsolutePath
+    Seq((1L, 1000000000000L, 5L, "scroll", 1.0, "{}"),
+        (2L, 2000000000000L, 6L, "scroll", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SketchQueries.sk9(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_exact_union") === 0L)
+    assert(r.getAs[Long]("est_union") === 0L)
+    assert(r.getAs[Long]("est_inter") === 0L)
+    assert(r.getAs[Long]("jaccard_ppm") === 0L)
+  }
 }
