@@ -153,6 +153,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ...and column pruning through the node (narrow projections must
     // reach both child scans' ReadSchema)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
+    // ...and the SQL auto-rewrite: the standard as-of idiom (equi +
+    // time-bound join topped by row_number() = 1 per left row)
+    // re-plans onto the native operator with no API change
+    // (conf-gated: spark.graft.asOfJoin.autoRewrite)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinAutoRewrite)
 
     // planner strategy: the native keyed point-in-interval join
     // (sort-merge active-set sweep; graft.operators.Interval also

@@ -16,6 +16,20 @@ import graft.plans.{AsOfBackward, AsOfDirection, AsOfForward, AsOfJoin, AsOfJoin
   */
 object AsOf {
 
+  /** Installs the SQL auto-rewrite on the session: after this, the
+    * standard `spark.sql` as-of idiom — inner/left join on
+    * `l.k = r.k AND r.t <= l.t` topped by `row_number() = 1` per left
+    * row — plans as the native [[graft.plans.AsOfJoin]] with no API
+    * change (see [[graft.plans.AsOfJoinAutoRewrite]] for the exact
+    * match conditions, including the partition-uniqueness proof).
+    * Also installed by `GraftExtensions`; disable per-session with
+    * `spark.graft.asOfJoin.autoRewrite=false`. */
+  def enableSqlRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.plans.SessionRegistration.ensure(spark, AsOfJoinStrategy,
+      Seq(graft.plans.AsOfJoinAutoRewrite,
+        graft.plans.AsOfJoinFilterPushdown,
+        graft.plans.AsOfJoinColumnPruning))
+
   /** Backward as-of join: every `left` row gains the `right` row with
     * the greatest `rightTime` ≤ `leftTime` for equal `keys`, or nulls.
     * Right columns keep their names; callers project/rename as usual.

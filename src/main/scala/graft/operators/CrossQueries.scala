@@ -747,6 +747,66 @@ object CrossQueries {
       |ORDER BY user_id, view_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x68_asof_sql — x54's attribution semantics written as the PLAIN SQL
+  // as-of idiom (equi + time-bound join topped by row_number() = 1 per
+  // left row) and re-planned onto the native operator by
+  // [[graft.plans.AsOfJoinAutoRewrite]] — the interval family's x63,
+  // for the as-of family: zero API change for spark.sql users. The
+  // left side pre-aggregates clicks to distinct (user, instant) so the
+  // window's PARTITION BY is STRUCTURALLY unique (the rewrite's
+  // soundness proof — without it, duplicate left rows would make the
+  // idiom and the operator genuinely differ, and the rule correctly
+  // falls back). The oracle is DuckDB's own native ASOF LEFT JOIN, so
+  // the gate pins the REWRITTEN plan against another engine's native
+  // as-of implementation. Plan shape (AsOfJoinAutoRewriteSpec +
+  // PlanRegressionSpec-pinned): the quadratic SMJ+window idiom plan is
+  // replaced by the two-exchange O(1)-state merge.
+  def x68(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.AsOf.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    ev.filter(col("event_type") === lit("click"))
+      .groupBy(col("user_id"), col("tsu"))
+      .agg(count(lit(1)).as("n_at"))
+      .createOrReplaceTempView("graft_x68_clicks")
+    ev.filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+      .createOrReplaceTempView("graft_x68_buys")
+    spark.sql(
+      """SELECT CASE WHEN v IS NULL THEN -1L
+        |            ELSE least((tsu - rtsu) div 60000000, 60L) END AS gap_min,
+        |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+        |  SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0L)) AS cents
+        |FROM (
+        |  SELECT l.tsu, l.n_at, r.rtsu, r.v,
+        |    row_number() OVER (PARTITION BY l.user_id, l.tsu
+        |                       ORDER BY r.rtsu DESC) AS rn
+        |  FROM graft_x68_clicks l LEFT JOIN graft_x68_buys r
+        |    ON l.user_id = r.user_id AND r.rtsu <= l.tsu)
+        |WHERE rn = 1
+        |GROUP BY 1 ORDER BY gap_min""".stripMargin)
+  }
+
+  private val x68Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+      |l AS (SELECT user_id, tsu, COUNT(*) AS n_at
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.tsu, l.n_at, r.rtsu, r.v
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.tsu >= r.rtsu)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE LEAST((tsu - rtsu) // 60000000, 60) END AS gap_min,
+      |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2408,6 +2468,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x68_asof_sql" -> (x68 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
@@ -2489,6 +2550,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x68_asof_sql" -> x68Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,

@@ -246,6 +246,16 @@ class PlanRegressionSpec extends SparkSpec {
       }
   }
 
+  test("the SQL as-of gate keeps the native operator (auto-rewrite pin)") {
+    // x68 reaches AsOfJoinExec/BroadcastAsOfJoinExec only through
+    // AsOfJoinAutoRewrite — a classifier (or uniqueness-proof)
+    // regression silently re-plans the idiom as SMJ + residual +
+    // window (per-key pair blowup through two buffers), so the node's
+    // presence is pinned.
+    val n = countNodes(plans("x68_asof_sql"), "AsOfJoin", "BroadcastAsOfJoin")
+    assert(n >= 1, "x68_asof_sql: no native as-of node in plan")
+  }
+
   test("unpartitioned windows only ever run over the offset table") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       val ws = unpartitionedWindows(p)
