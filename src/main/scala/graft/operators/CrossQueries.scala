@@ -807,6 +807,61 @@ object CrossQueries {
       |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x69_strict_ts_sql — x67's strict attribution window with
+  // TIMESTAMP-typed columns: clicks STRICTLY after a same-user view,
+  // within one hour, written as plain SQL over real TIMESTAMPs
+  // (`c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR`). This
+  // drives the r8 strict-TIMESTAMP normalization of
+  // [[graft.plans.IntervalJoinAutoRewrite]] end to end: the strict
+  // bound re-plans as `≥ micros(vts) + 1` through the zero-cost
+  // [[graft.plans.MicrosView]] reinterpret (micros are the type's full
+  // precision, so succession on the internal long is exact), and the
+  // inclusive upper bound is the surface-level interval arithmetic the
+  // analyzer already resolved. Before r8 any strict TIMESTAMP conjunct
+  // pushed the whole join back to SMJ + residual. Oracle: DuckDB
+  // computes the identical strict window over make_timestamp(micros).
+  def x69(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Interval.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(graft.streaming.Streaming.tsMicros(col("ts")))
+          .as("cts"),
+        col("event_type"))
+    ev.filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("cts"))
+      .createOrReplaceTempView("graft_x69_clicks")
+    ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("cts").as("vts"))
+      .createOrReplaceTempView("graft_x69_views")
+    spark.sql(
+      """SELECT c.user_id, v.view_id,
+        |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+        |FROM graft_x69_clicks c JOIN graft_x69_views v
+        |  ON c.user_id = v.user_id
+        | AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id, v.view_id
+        |ORDER BY c.user_id, v.view_id""".stripMargin)
+  }
+
+  private val x69Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS cts,
+      |    event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |c AS (SELECT user_id, event_id AS click_id, cts
+      |      FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, event_id AS view_id, cts AS vts
+      |      FROM e WHERE event_type = 'view')
+      |SELECT c.user_id AS user_id, v.view_id,
+      |  COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id, v.view_id
+      |ORDER BY user_id, view_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x61_scd2_effectivity — the SCD2 BACKFILL RE-KEY (the other half of
   // x7: after the dimension history exists, every fact row must be
   // re-keyed to the dimension VERSION whose validity interval contains
@@ -2468,6 +2523,7 @@ object CrossQueries {
       |FROM a ORDER BY segment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
@@ -2550,6 +2606,7 @@ object CrossQueries {
     "x3_intersect" -> x3Sql,
     "x4_skyline" -> x4Sql,
     "x5_asof_attribution" -> x5Sql,
+    "x69_strict_ts_sql" -> x69Sql,
     "x68_asof_sql" -> x68Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,

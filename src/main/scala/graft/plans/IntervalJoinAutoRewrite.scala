@@ -37,15 +37,17 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * no match, no rewrite. Ambiguity (two lower or two upper
   * candidates) falls back to the plain join — always correct.
   *
-  * STRICT bounds normalize when every bound column is LONG (the
-  * epoch-micros convention): `t > lo` ⇔ `t ≥ lo + 1` on integers, so
-  * the conjunct rewrites with a successor bound — guarded so
-  * `lo = Long.MaxValue` maps to NULL (an unsatisfiable `t > MAX` must
-  * never wrap to match-everything; a NULL bound is exactly
-  * "never matches" in the exec). Strict bounds on TIMESTAMP columns
-  * stay unrewritten: +1 on a timestamp is interval arithmetic, not
-  * integer succession, and the sweep's long view of the column cannot
-  * express it safely.
+  * STRICT bounds normalize whenever both sides are micros-backed:
+  * `t > lo` ⇔ `t ≥ lo + 1` on the integer view, so the conjunct
+  * rewrites with a successor bound — guarded so `lo = Long.MaxValue`
+  * maps to NULL (an unsatisfiable `t > MAX` must never wrap to
+  * match-everything; a NULL bound is exactly "never matches" in the
+  * exec). On LONG columns the ±1 is direct; on TIMESTAMP /
+  * TIMESTAMP_NTZ the bound is first reinterpreted as its internal
+  * epoch-micros long via the zero-cost [[MicrosView]] — micros are
+  * the type's FULL precision, so succession on that view is exact
+  * (surface-level `timestamp + 1` would be interval arithmetic, which
+  * is why the raw type is never incremented).
   * Remaining conjuncts stay as a Filter above (inner-join residuals
   * commute), where [[IntervalJoinFilterPushdown]] — same fixed-point
   * batch — pushes the single-sided ones back below the new node.
@@ -74,8 +76,23 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
   private def microsBacked(t: DataType): Boolean =
     t == LongType || t == TimestampNTZType || t.isInstanceOf[TimestampType]
 
+  /** Strict bounds normalize when BOTH sides are micros-backed: on
+    * LONG the ±1 is direct; on TIMESTAMP it goes through the
+    * [[MicrosView]] reinterpret (see [[strictMicros]]). */
+  private def strictOk(a: Expression, b: Expression): Boolean =
+    microsBacked(a.dataType) && microsBacked(b.dataType)
+
   private def allLong(es: Expression*): Boolean =
     es.forall(_.dataType == LongType)
+
+  /** The bound side of a STRICT conjunct, as epoch-micros LONG: a LONG
+    * column passes through (plans stay byte-identical to the pre-r8
+    * rewrite); a TIMESTAMP/TIMESTAMP_NTZ column is reinterpreted via
+    * the zero-cost [[MicrosView]] so the ±1 normalization is integer
+    * succession on the type's FULL precision — the exec sweeps the
+    * internal long either way. */
+  private def strictMicros(e: Expression): Expression =
+    if (e.dataType == LongType) e else MicrosView(e)
 
   /** `bound + 1`, with the unsatisfiable edge mapped to NULL: `t >
     * Long.MaxValue` admits nothing, and a NULL bound is exactly the
@@ -135,16 +152,16 @@ object IntervalJoinAutoRewrite extends Rule[LogicalPlan] {
           .orElse(pe(b).zip(ie(a)).map { case (t, lo) => Lower(t, lo) })
           .getOrElse(Rest(p))
       case p @ GreaterThan(a, b) => // t > lo (≥ lo+1) | hi > t (≤ hi−1)
-        pe(a).zip(ie(b)).filter(e => allLong(e._1, e._2))
-          .map { case (t, lo) => Lower(t, succ(lo)): Role }
-          .orElse(pe(b).zip(ie(a)).filter(e => allLong(e._1, e._2))
-            .map { case (t, hi) => Upper(t, pred(hi)) })
+        pe(a).zip(ie(b)).filter(e => strictOk(e._1, e._2))
+          .map { case (t, lo) => Lower(t, succ(strictMicros(lo))): Role }
+          .orElse(pe(b).zip(ie(a)).filter(e => strictOk(e._1, e._2))
+            .map { case (t, hi) => Upper(t, pred(strictMicros(hi))) })
           .getOrElse(Rest(p))
       case p @ LessThan(a, b) => // t < hi (≤ hi−1) | lo < t (≥ lo+1)
-        pe(a).zip(ie(b)).filter(e => allLong(e._1, e._2))
-          .map { case (t, hi) => Upper(t, pred(hi)): Role }
-          .orElse(pe(b).zip(ie(a)).filter(e => allLong(e._1, e._2))
-            .map { case (t, lo) => Lower(t, succ(lo)) })
+        pe(a).zip(ie(b)).filter(e => strictOk(e._1, e._2))
+          .map { case (t, hi) => Upper(t, pred(strictMicros(hi))): Role }
+          .orElse(pe(b).zip(ie(a)).filter(e => strictOk(e._1, e._2))
+            .map { case (t, lo) => Lower(t, succ(strictMicros(lo))) })
           .getOrElse(Rest(p))
       case p => Rest(p)
     }

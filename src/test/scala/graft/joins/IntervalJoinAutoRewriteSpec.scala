@@ -166,6 +166,44 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
         |  ON p.k = s.k AND s.lo < p.t AND s.hi > p.t""".stripMargin))
   }
 
+  test("strict bounds on TIMESTAMP columns normalize through the micros view") {
+    // `t > lo` on timestamps is t_micros >= lo_micros + 1 — integer
+    // succession on the internal representation (the type's full
+    // precision), applied via the zero-cost MicrosView reinterpret.
+    // Micros-adjacent timestamps pin the boundary exactly.
+    Interval.enableSqlRewrite(spark)
+    val ss = spark; import ss.implicits._
+    def ts(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(micros / 1000)
+      t.setNanos(((micros % 1000000) * 1000).toInt)
+      t
+    }
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    Seq((1L, Some(ts(base + 5)), 1L), (1L, Some(ts(base + 6)), 2L),
+      (1L, None, 3L), (2L, Some(ts(base + 5)), 4L))
+      .toDF("k", "t", "lid").repartition(2)
+      .createOrReplaceTempView("graft_arw_pts2")
+    Seq((Some(1L), Some(ts(base + 5)), Some(ts(base + 9)), 11L),
+      (Some(1L), Some(ts(base + 4)), Some(ts(base + 5)), 12L),
+      (Some(1L), None, Some(ts(base + 9)), 13L),
+      (Some(2L), Some(ts(base)), None, 14L))
+      .toDF("k", "lo", "hi", "rid").repartition(2)
+      .createOrReplaceTempView("graft_arw_sts2")
+    // every strict/inclusive combination must rewrite AND match Spark
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_pts2 p JOIN graft_arw_sts2 s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_pts2 p JOIN graft_arw_sts2 s
+        |  ON p.k = s.k AND p.t >= s.lo AND p.t < s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_pts2 p JOIN graft_arw_sts2 s
+        |  ON p.k = s.k AND p.t > s.lo AND p.t < s.hi""".stripMargin))
+    parity(spark.sql(
+      """SELECT p.lid, s.rid FROM graft_arw_pts2 p JOIN graft_arw_sts2 s
+        |  ON p.k = s.k AND s.lo < p.t AND s.hi > p.t""".stripMargin))
+  }
+
   test("strict MaxValue/MinValue bounds cannot wrap (overflow guard)") {
     Interval.enableSqlRewrite(spark)
     val ss = spark; import ss.implicits._
@@ -187,18 +225,14 @@ class IntervalJoinAutoRewriteSpec extends SparkSpec {
     Interval.enableSqlRewrite(spark)
     pointsDf.createOrReplaceTempView("graft_arw_p")
     spansDf.createOrReplaceTempView("graft_arw_s")
-    // strict bound on TIMESTAMP columns: +1 would be interval
-    // arithmetic, not integer succession — no rewrite
+    // inclusive timestamp form rewrites (and so does strict — see the
+    // dedicated micros-view test)
     val ss = spark; import ss.implicits._
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 1L))
       .toDF("k", "t", "lid").createOrReplaceTempView("graft_arw_pts")
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
       java.sql.Timestamp.valueOf("2024-01-01 00:00:09"), 2L))
       .toDF("k", "lo", "hi", "rid").createOrReplaceTempView("graft_arw_sts")
-    assert(!hasIntervalExec(spark.sql(
-      """SELECT * FROM graft_arw_pts p JOIN graft_arw_sts s
-        |  ON p.k = s.k AND p.t > s.lo AND p.t <= s.hi""".stripMargin)))
-    // …while the inclusive timestamp form still rewrites
     assert(hasIntervalExec(spark.sql(
       """SELECT * FROM graft_arw_pts p JOIN graft_arw_sts s
         |  ON p.k = s.k AND p.t >= s.lo AND p.t <= s.hi""".stripMargin)))

@@ -238,7 +238,8 @@ class PlanRegressionSpec extends SparkSpec {
     // only through IntervalJoinAutoRewrite — a classifier regression
     // silently re-plans them as SMJ + residual (per-key pair blowup),
     // so the node's presence is pinned per written shape.
-    Seq("x63_interval_sql", "x66_band_sql", "x67_strict_attr_sql")
+    Seq("x63_interval_sql", "x66_band_sql", "x67_strict_attr_sql",
+        "x69_strict_ts_sql") // r8: strict TIMESTAMP bounds (MicrosView)
       .foreach { name =>
         val n = countNodes(plans(name), "IntervalJoin",
           "BroadcastIntervalJoin")
