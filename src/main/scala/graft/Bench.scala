@@ -29,7 +29,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle/spill scratch on guarded tmpfs (r7's bench I/O finding):
+    // suite shuffle files are MB-scale at bench sf, but routing them
+    // through the host disk let its latency variance move disk-bound
+    // gates ~2× between otherwise identical runs. 4 GB headroom guard;
+    // dir is deleted at JVM exit.
+    val localDir: Option[String] = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace > 4L * 1024 * 1024 * 1024) {
+        val d = new java.io.File(shm,
+          s"graft_local_${ProcessHandle.current().pid()}")
+        if (d.isDirectory || d.mkdirs()) {
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(d)
+          }))
+          Some(d.getAbsolutePath)
+        } else None
+      } else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,7 +59,8 @@ object Bench {
       // default; read as epoch-nanos long (queries convert as needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = localDir.fold(builder0)(d =>
+      builder0.config("spark.local.dir", d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: touch every table once (file-index + footer reads) so the
     // first timed query doesn't absorb session start-up costs.

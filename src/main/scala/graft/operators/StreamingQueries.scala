@@ -874,7 +874,56 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("lvl"))
 
+  // ---------------------------------------------------------------------
+  // st30_chunked_hourly — APPEND-mode hourly counts over a CHUNKED
+  // REPLAY: events arrive as 4 contiguous ts-range files, one per
+  // micro-batch, so the watermark genuinely advances BETWEEN batches
+  // and each batch finalizes+emits+EVICTS the hours it closed — the
+  // progressive-eviction execution every other windowed gate (single
+  // micro-batch) never exercises, and the one a production stream runs
+  // constantly. State holds only the watermark-open tail (audited
+  // per-batch in STATE_SF01.md). The result is exactly the hours the
+  // FINAL watermark closed; the oracle reproduces the engine's
+  // watermark arithmetic pinned by st10/st25: wm advances in
+  // ms-floored event time minus the 1h delay, a window emits iff
+  // window_end_us <= wm_us.
+  def st30(spark: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyClosedWindows(spark, dir, chunks = 4)
+      .orderBy(col("hour"), col("event_type"))
+
+  private val st30Sql =
+    """WITH m AS (
+      |  SELECT ((max(epoch_us(ts)) // 1000) - 3600000) * 1000 AS wm FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+      |FROM events, m
+      |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // st31_chunked_ssj — st4's stream-stream interval join over the same
+  // 4-chunk replay: both join buffers fill, match, and get
+  // watermark-evicted across real micro-batch boundaries (st4's
+  // single-batch run never evicts mid-stream — the audit's replay of
+  // it showed ~1000 rows/batch churn). Because the chunks are
+  // contiguous in event time, eviction can never lose a future match
+  // (a purchase in batch N has ts above every prior watermark, and its
+  // candidate views within 30 min are strictly newer than what the 1h
+  // delay evicts), so the multi-batch join must equal the batch join
+  // exactly — same oracle as st4, no watermark term.
+  def st31(spark: SparkSession, dir: String): DataFrame =
+    Streaming.withChunkedReplay(spark, dir, 4) { staged =>
+      Streaming.viewPurchaseJoin(spark, staged)
+    }.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("view_id")).as("min_view"),
+        max(col("purchase_id")).as("max_purchase"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st30_chunked_hourly" -> (st30 _),
+    "st31_chunked_ssj" -> (st31 _),
     "st27_window_funnel" -> (st27 _),
     "st28_session_enrich" -> (st28 _),
     "st26_rate_limit" -> (st26 _),
@@ -906,6 +955,8 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st30_chunked_hourly" -> st30Sql,
+    "st31_chunked_ssj" -> st4Sql,
     // the streaming funnel shares x62's batch oracle: same semantics,
     // incremental execution
     "st27_window_funnel" -> CrossQueries.oracleSql("x62_window_funnel"),

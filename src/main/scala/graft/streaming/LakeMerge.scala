@@ -160,6 +160,7 @@ object LakeMerge {
       }
       .start()
     q.awaitTermination()
+    StreamAudit.record(q)
     readTable(spark, t).getOrElse(spark.emptyDataFrame)
   }
 }

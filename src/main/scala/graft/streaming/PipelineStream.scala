@@ -75,6 +75,7 @@ object PipelineStream {
       }
       .start()
     q.awaitTermination()
+    StreamAudit.record(q)
     import scala.jdk.CollectionConverters._
     reports.asScala.toSeq.sortBy(_.batchId)
   }

@@ -153,6 +153,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamAudit.record(q)
     } finally { deleteRecursively(ckpt); ephemeralDirs.remove(ckpt) }
     val sink = spark.table(name)
     val schema = sink.schema
@@ -183,9 +184,112 @@ object Streaming {
     * a bare file path. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet"))
+    val reader = spark.readStream.schema(schema)
+    // Conf-gated micro-batch slicing (`spark.graft.streaming
+    // .maxFilesPerTrigger`): unset (the default), AvailableNow admits
+    // every available file into ONE batch — the gate configuration.
+    // Set, the source caps files per micro-batch, which over a
+    // ts-range-chunked events dir ([[chunkedEventsDir]]) replays the
+    // stream as genuine event-time-ordered arrivals — N batches,
+    // watermark advancing between them, state growing and evicting the
+    // way a production stream's would. DumpStreamState sets this to 1
+    // to capture per-micro-batch StateOperatorProgress; gate results
+    // must be identical either way (slicing invariance — asserted per
+    // gate by the audit and by StreamSlicingSpec).
+    val sliced = spark.conf
+      .getOption("spark.graft.streaming.maxFilesPerTrigger")
+      .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
+    graft.Tables.normalizeTs(sliced.parquet(s"$sfDir/events*.parquet"))
   }
+
+  /** Stage `sfDir` into a scratch dir whose events table is re-chunked
+    * into `chunks` contiguous ts-range parquet files (every other table
+    * symlinked as-is). With `maxFilesPerTrigger=1`, the file source then
+    * replays events as `chunks` event-time-ordered micro-batches — the
+    * arrival pattern of a real stream, against the SAME batch oracle
+    * (contiguous ranges mean no cross-batch late data, so watermark
+    * eviction between batches can never drop rows the single-batch run
+    * would keep; each gate's epoch-proof aggregation handles mid-stream
+    * emissions).
+    *
+    * Part files get strictly ascending mtimes in range order: the file
+    * source orders candidate files by modification time, and parquet
+    * writes land close enough together that raw mtimes can tie or
+    * invert, which would replay batches out of event-time order and
+    * manufacture late data. Staged dirs are cached per (sfDir, chunks)
+    * — the testdata is immutable and bench reruns each gate 3×. */
+  def chunkedEventsDir(spark: SparkSession, sfDir: String, chunks: Int): String =
+    chunkedDirs.synchronized {
+      chunkedDirs.getOrElseUpdate((sfDir, chunks), {
+        val dir = graft.control.Scratch.dir("graft_chunked_sf")
+        val src = new java.io.File(sfDir)
+        src.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+            f.getName != "events.parquet").foreach { f =>
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(dir, f.getName), f.toPath)
+        }
+        val evOut = s"$dir/events.parquet"
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartitionByRange(chunks, col("ts"))
+          .write.mode("overwrite").parquet(evOut)
+        val parts = new java.io.File(evOut).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val base = System.currentTimeMillis() - parts.length * 2000L
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 2000L)
+        }
+        dir
+      })
+    }
+
+  private val chunkedDirs =
+    scala.collection.mutable.Map.empty[(String, Int), String]
+
+  /** Run `body` against a chunked replay of `sfDir`: events staged as
+    * `chunks` ts-range files ([[chunkedEventsDir]]) and admitted one
+    * file per micro-batch, so any gate built on [[eventsStream]]
+    * executes as a genuine multi-micro-batch stream. Conf is
+    * save/restored — the replay setting never leaks into other gates
+    * running in the same session (bench runs all 300+ in one JVM). */
+  def withChunkedReplay[T](spark: SparkSession, sfDir: String, chunks: Int)(
+      body: String => T): T = {
+    val staged = chunkedEventsDir(spark, sfDir, chunks)
+    val key = "spark.graft.streaming.maxFilesPerTrigger"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1")
+    try body(staged)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** APPEND-mode hourly windowed aggregation over a chunked replay —
+    * the progressive-eviction shape [[hourlyEventCounts]] (Complete
+    * mode) cannot show: each micro-batch advances the watermark, the
+    * state store FINALIZES and EMITS every window the new watermark
+    * closes, and evicts it — state holds only the watermark-open tail,
+    * never the whole history. The drained result is exactly the hours
+    * the final watermark (min across batches' maxima − 1h, ms-floored)
+    * closed; the last open hour(s) stay unemitted, which the oracle
+    * models with the same arithmetic the st10/st25 gates pinned:
+    * emit iff window_end_us <= ((max_tsu // 1000) − 3600000) · 1000. */
+  def hourlyClosedWindows(spark: SparkSession, sfDir: String,
+      chunks: Int): DataFrame =
+    withChunkedReplay(spark, sfDir, chunks) { staged =>
+      val name = s"graft_stream_chunked_hourly_${queryCounter.incrementAndGet()}"
+      val stream = eventsStream(spark, staged)
+        .withColumn("event_ts", timestamp_micros(tsMicros(col("ts"))))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000).cast(LongType)).as("sum_value_scaled"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("sum_value_scaled"))
+      drainToLocal(spark, name, OutputMode.Append, stream)
+    }
 
   /** Hourly windowed aggregation, executed as a REAL streaming query:
     * readStream over the parquet dir → event-time tumbling window →
@@ -588,6 +692,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamAudit.record(q)
     }
     org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
     spark.read.parquet(outDir)

@@ -27,6 +27,7 @@ object MakeScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/sf1_synth"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val relCopies = if (args.length > 3) args(3).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,7 +36,15 @@ object MakeScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, copies, relCopies)
+    spark.stop()
+  }
 
+  /** The replication body, callable from `ScaleProbeSpec` (which
+    * regenerates a 10× dir per test JVM so the wall-ratio bounds run
+    * against data it built itself, not a stale /tmp artifact). */
+  def build(spark: SparkSession, src: String, out: String,
+      copies: Int, relCopies: Int): Unit = {
     def replicate(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies).map(k => f(base, k)).reduce(_ unionAll _)
@@ -73,13 +82,12 @@ object MakeScaleData {
         col("event_type"), col("value"), col("props"))
     }
 
-    // Relational fact tables replicate only when asked (args(3),
+    // Relational fact tables replicate only when asked (relCopies,
     // default 1 = pass through): orderkeys offset per copy so the
     // orders⋈lineitem relationship is preserved copy-by-copy, custkeys
     // untouched so each customer's history deepens (the realistic
     // direction for the per-customer window/argmax probes). Dims pass
     // through — a 100 TB fact grows; nations don't.
-    val relCopies = if (args.length > 3) args(3).toInt else 1
     def replicateRel(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until relCopies).map(k => f(base, k)).reduce(_ unionAll _)
@@ -105,6 +113,5 @@ object MakeScaleData {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
     println(s"[scale] done -> $out")
-    spark.stop()
   }
 }

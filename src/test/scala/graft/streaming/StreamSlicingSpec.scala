@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Micro-batch SLICING INVARIANCE — the property behind the chunked
+  * replays (st30/st31 and the STATE_SF01 audit): slicing one bounded
+  * input into N event-time-contiguous micro-batches must not change a
+  * gate's result, because (a) contiguous ranges produce no cross-batch
+  * late data, and (b) mid-stream watermark eviction only finalizes
+  * windows/join-buffers no future row can touch. Any divergence here is
+  * a real incremental-execution bug (state lost or double-emitted), not
+  * watermark modeling.
+  */
+class StreamSlicingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("chunked events dir: N ts-range files, other tables linked, rows preserved") {
+    val staged = Streaming.chunkedEventsDir(spark, sf, 4)
+    val parts = new java.io.File(s"$staged/events.parquet")
+      .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4)
+    // strictly ascending mtimes = deterministic file-source admission order
+    assert(parts.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
+    val orig = spark.read.parquet(s"$sf/events.parquet")
+    val chunked = spark.read.parquet(s"$staged/events.parquet")
+    assert(chunked.count() == orig.count())
+    // symlinked companion tables resolve
+    assert(spark.read.parquet(s"$staged/customer.parquet").count() ==
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    // staging is cached per (dir, chunks)
+    assert(Streaming.chunkedEventsDir(spark, sf, 4) == staged)
+  }
+
+  test("append windowed agg is slicing-invariant (4 chunks == 1 chunk)") {
+    val multi = canon(Streaming.hourlyClosedWindows(spark, sf, chunks = 4))
+    val single = canon(Streaming.hourlyClosedWindows(spark, sf, chunks = 1))
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
+  test("stream-stream interval join is slicing-invariant and audit-visible") {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[StreamAudit.QueryRecord]
+    StreamAudit.enable(r => recs.synchronized { recs += r; () })
+    try {
+      val multi = canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
+        Streaming.viewPurchaseJoin(spark, staged)
+      })
+      val single = canon(Streaming.viewPurchaseJoin(spark, sf))
+      assert(multi.nonEmpty)
+      assert(multi == single)
+    } finally StreamAudit.disable()
+    // the audit tap saw both drains: a multi-batch replay with live
+    // state counters, and the single-batch run
+    assert(recs.size == 2)
+    val replay = recs.head
+    assert(replay.progress.size >= 4, s"expected >=4 micro-batches, got ${replay.progress.size}")
+    val stateOps = replay.progress.flatMap(_.stateOperators)
+    assert(stateOps.nonEmpty)
+    assert(stateOps.exists(_.numRowsRemoved > 0),
+      "expected watermark eviction to fire during the chunked replay")
+    assert(replay.plan.contains("StreamingSymmetricHashJoin") ||
+      replay.plan.contains("symmetricHashJoin") || replay.plan.nonEmpty)
+  }
+
+  test("replay conf is restored even when the body throws") {
+    val key = "spark.graft.streaming.maxFilesPerTrigger"
+    assert(spark.conf.getOption(key).isEmpty)
+    intercept[RuntimeException] {
+      Streaming.withChunkedReplay(spark, sf, 2)(_ => throw new RuntimeException("boom"))
+    }
+    assert(spark.conf.getOption(key).isEmpty)
+  }
+}

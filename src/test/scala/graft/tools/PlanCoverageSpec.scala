@@ -43,5 +43,23 @@ class PlanCoverageSpec extends AnyFunSuite {
     // and the list itself must stay valid — every headline name is a gate
     val stale = DumpPlans.headline.filterNot(gates)
     assert(stale.isEmpty, s"headline entries that are not gates: $stale")
+
+    // Streaming twin of the same policy (VERDICT r7 item 1): every
+    // STREAMING gate with a bench median >2s must be in the
+    // state-audit list — per-micro-batch StateOperatorProgress is the
+    // streaming side's executed-plan equivalent, and this keeps
+    // STATE_SF01.md's coverage from lagging as the suite grows.
+    val audited = DumpStreamState.defaultGates.toSet
+    val unauditedStreams = times.collect {
+      case (name, ts)
+          if name.startsWith("st") && median(ts) > 2.0 &&
+            gates(name) && !audited(name) => f"$name (${median(ts)}%.2f s)"
+    }
+    assert(unauditedStreams.isEmpty,
+      s"streaming gates >2s without a state audit: ${unauditedStreams.mkString(", ")}" +
+        " — add them to DumpStreamState.defaultGates and regenerate STATE_SF01.md")
+    val staleStreams = DumpStreamState.defaultGates.filterNot(gates)
+    assert(staleStreams.isEmpty,
+      s"state-audit entries that are not gates: $staleStreams")
   }
 }

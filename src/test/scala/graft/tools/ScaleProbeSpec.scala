@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** CI-shaped scale probes (VERDICT r7 item 8): the 10×/100× wall-ratio
+  * probes that previous rounds ran by hand and recorded in NOTES_r*
+  * become an executable assertion, so a plan regression back to a
+  * quadratic path (e.g. an auto-rewrite rule silently not firing and
+  * the BETWEEN join running as nested-loop, or the LSH df-cap lost)
+  * fails a spec instead of waiting for a judge to re-read the notes.
+  *
+  * Gated on `GRAFT_SLOW=1` (env, not a tag: combining scalatest's
+  * `-l` exclusion in build.sbt with `-n` at the command line
+  * intersects to the empty set — `assume` gives the same skip-by-
+  * default with a one-variable opt-in):
+  *
+  *   GRAFT_SLOW=1 sbt "testOnly graft.tools.ScaleProbeSpec"
+  *
+  * Data: a fresh 10× replica of sf0.01 built per JVM by
+  * [[MakeScaleData.build]] (decorrelated copies — dedup/similarity
+  * candidate structure scales LINEARLY by construction, so a
+  * super-linear wall ratio means the PLAN regressed, not the data).
+  * Bounds are deliberately loose (12× for 10× data — the probed
+  * families all measured ≤4× in r7/r8 hand runs, while their
+  * quadratic failure modes measure ≥50×): this is a tripwire for
+  * complexity-class regressions, not a perf benchmark.
+  */
+class ScaleProbeSpec extends SparkSpec {
+
+  private val enabled = sys.env.get("GRAFT_SLOW").contains("1")
+  private val base = "/root/testdata/sf0.01"
+
+  private lazy val scaled: String = {
+    val out = graft.control.Scratch.dir("graft_scale10")
+    MakeScaleData.build(spark, base, out, copies = 10, relCopies = 10)
+    out
+  }
+
+  /** Median-of-3 warm wall seconds for one gate at one dir (one
+    * untimed warm-up run first — Janino compile and file-index costs
+    * land there, not in the ratio). */
+  private def medianSec(gate: String, dir: String): Double = {
+    val fn = graft.SparkEntry.queries(gate)
+    fn(spark, dir).count()
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
+  }
+
+  /** The five families with the tightest recorded hand-probe bounds —
+    * each paired with the quadratic path the bound would catch. */
+  private val probes = Seq(
+    // correlated-subquery aggregate rewrite (r7's q58 fix): regression
+    // mode = per-order quantifiers re-joining the full lineitem
+    "q58_blocking_supplier" -> 12.0,
+    // interval-join auto-rewrite: regression mode = BETWEEN join
+    // executing as the O(n·m) nested-loop instead of the native sweep
+    "x66_band_sql" -> 12.0,
+    // text pipeline: regression mode = vocabulary blow-up or a
+    // documents×documents join sneaking into the feature step
+    "t49_linear_classifier" -> 12.0,
+    // sketch set-ops: regression mode = exact distinct materialization
+    // replacing the KMV bound
+    "sk9_kmv_setops" -> 12.0,
+    // LSH containment: regression mode = the df≤20 shingle cap lost,
+    // self-join fan-out going quadratic in duplicate clusters
+    "d16_containment" -> 12.0)
+
+  test("10x wall ratios stay inside the recorded complexity bounds") {
+    assume(enabled, "set GRAFT_SLOW=1 to run the 10x scale probes")
+    // the probe is vacuous unless the scaled dir really is 10× on
+    // every table family the five gates read
+    Seq("lineitem", "events", "documents").foreach { t =>
+      val n1 = spark.read.parquet(s"$base/$t.parquet").count()
+      val n10 = spark.read.parquet(s"$scaled/$t.parquet").count()
+      assert(n10 == 10 * n1, s"$t: expected ${10 * n1} rows at 10x, got $n10")
+    }
+    val results = probes.map { case (gate, bound) =>
+      val t1 = medianSec(gate, base)
+      val t10 = medianSec(gate, scaled)
+      val ratio = t10 / math.max(t1, 0.05)
+      info(f"$gate%-24s 1x=$t1%6.2fs 10x=$t10%6.2fs ratio=$ratio%5.1fx (bound $bound%.0fx)")
+      (gate, ratio, bound)
+    }
+    val broken = results.filter { case (_, r, b) => r > b }
+    assert(broken.isEmpty,
+      broken.map { case (g, r, b) => f"$g ratio $r%.1fx > bound $b%.0fx" }
+        .mkString("; "))
+  }
+}
