@@ -921,7 +921,32 @@ object StreamingQueries {
         max(col("purchase_id")).as("max_purchase"))
       .orderBy(col("user_id"))
 
+  // ---------------------------------------------------------------------
+  // st32_stream_neardup — ONLINE MinHash-LSH dedup: documents replayed
+  // as 4 doc_id-range micro-batches; one long of flatMapGroupsWithState
+  // state per distinct LSH band key (the band's min doc_id); a doc is
+  // near-dup iff an earlier doc shares any of its 4 bands. Because
+  // arrival order is doc_id order, incremental admission equals the
+  // batch election — the oracle is d2's candidate-pair CTEs verbatim,
+  // projected to per-doc flags. A doc emits one flag per band; the
+  // wrapper max-aggregates to the per-doc verdict AFTER the drain
+  // (batch-side, so the stream stays single-stateful-operator).
+  def st32(spark: SparkSession, dir: String): DataFrame =
+    Streaming.streamingNearDup(spark, dir, chunks = 4)
+      .groupBy(col("doc_id"))
+      .agg(max(col("dup")).as("is_dup"))
+      .orderBy(col("doc_id"))
+
+  private val st32Sql =
+    s"""WITH ${DedupQueries.pairCtes},
+       |dup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT sig.doc_id,
+       |  CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM sig LEFT JOIN dup d ON sig.doc_id = d.doc_id
+       |ORDER BY sig.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st32_stream_neardup" -> (st32 _),
     "st30_chunked_hourly" -> (st30 _),
     "st31_chunked_ssj" -> (st31 _),
     "st27_window_funnel" -> (st27 _),
@@ -955,6 +980,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st32_stream_neardup" -> st32Sql,
     "st30_chunked_hourly" -> st30Sql,
     "st31_chunked_ssj" -> st4Sql,
     // the streaming funnel shares x62's batch oracle: same semantics,

@@ -2383,7 +2383,77 @@ object TextQueries {
       |    AS checksum
       |FROM r CROSS JOIN t GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t52_bm25 — BM25 ranked retrieval: top-20 documents for a fixed
+  // 3-term query, INTEGER-EXACT in the t23 discipline (no
+  // transcendental log, no float tolerance): the idf is BM25's exact
+  // rational core (N − df + ½)/(df + ½) ≡ (2(N−df)+1)/(2df+1) scaled
+  // to 1e6 — the log is monotone, so per-term doc ranking is
+  // unchanged and the swap back is one expression; the tf saturation
+  // and length normalization are the standard k1=1.2 / b=0.75 terms
+  // in scaled BIGINT floor division (operand order identical in both
+  // engines; max intermediate ≈7e15 — headroom to N≈5e6 docs before
+  // the pre-divided idf·sat product nears Long range).
+  // Scale shape: tf is one map-side-combined (doc, term) aggregate;
+  // the 3-term query filter prunes the df/scoring joins to
+  // query-matched postings BEFORE any exchange (a real engine's
+  // postings fetch); avgdl/N are two driver scalars (the CMS-anchor
+  // pattern); top-20 is TakeOrderedAndProject, never a global sort.
+  def t52(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("stream", "join", "query")
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
+    val avgdlScaled = sumDl * 1000000L / nDocs
+    val qtf = tf.filter(col("t").isin(queryTerms: _*))
+    val dfx = qtf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfx), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("idf_scaled",
+        expr(s"((2 * (${nDocs}L - df) + 1) * 1000000L) div (2 * df + 1)"))
+      .withColumn("k_scaled",
+        expr(s"250000L + (750000L * dl * 1000000L) div ${avgdlScaled}L"))
+      .withColumn("term_score",
+        expr("((idf_scaled div 1000L) * ((tf * 2200000L * 1000000L) div" +
+          " (tf * 1000000L + (1200000L * k_scaled) div 1000000L))) div 1000L"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("bm25_scaled"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val t52Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tf AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d) u
+      |  WHERE len(t) >= 2 GROUP BY doc_id, t),
+      |dlx AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |s AS (SELECT (SELECT COUNT(*) FROM d) AS n,
+      |             (SELECT CAST((SUM(dl) * 1000000) // COUNT(*) AS BIGINT) FROM dlx) AS avgdl_scaled),
+      |q(t) AS (VALUES ('stream'), ('join'), ('query')),
+      |dfx AS (SELECT t, COUNT(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.tf, dlx.dl, dfx.df, s.n, s.avgdl_scaled
+      |  FROM tf JOIN dfx USING (t) JOIN dlx USING (doc_id) CROSS JOIN s),
+      |ts AS (
+      |  SELECT doc_id,
+      |    ((((2 * (n - df) + 1) * 1000000) // (2 * df + 1)) // 1000)
+      |      * ((tf * 2200000 * 1000000) //
+      |         (tf * 1000000 +
+      |          (1200000 * (250000 + (750000 * dl * 1000000) // avgdl_scaled)) // 1000000))
+      |      // 1000 AS term_score
+      |  FROM sc)
+      |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled
+      |FROM ts GROUP BY doc_id
+      |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t52_bm25" -> (t52 _),
     "t51_shard_manifest" -> (t51 _),
     "t49_linear_classifier" -> (t49 _),
     "t46_wordpiece" -> (t46 _),
@@ -2459,6 +2529,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t52_bm25" -> t52Sql,
     "t23_tfidf_topk" -> t23Sql,
     "t22_stratified_sample" -> t22Sql,
     "t21_bpe_encode" -> t21Sql,

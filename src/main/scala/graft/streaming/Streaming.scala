@@ -291,6 +291,89 @@ object Streaming {
       drainToLocal(spark, name, OutputMode.Append, stream)
     }
 
+  /** Stage one table of `sfDir` re-chunked into `chunks` contiguous
+    * `sortCol`-range parquet files with ascending mtimes — the
+    * [[chunkedEventsDir]] mechanics for an arbitrary (table, order)
+    * pair. st32 replays documents in doc_id order: admission order IS
+    * the dedup survivorship order, so "first arrival wins" equals the
+    * batch min-doc_id election. Cached per (sfDir, table, chunks). */
+  def chunkedTableDir(spark: SparkSession, sfDir: String, table: String,
+      sortCol: String, chunks: Int): String =
+    chunkedTableDirs.synchronized {
+      chunkedTableDirs.getOrElseUpdate((sfDir, table, chunks), {
+        val dir = graft.control.Scratch.dir(s"graft_chunked_$table")
+        val out = s"$dir/$table.parquet"
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .repartitionByRange(chunks, col(sortCol))
+          .write.mode("overwrite").parquet(out)
+        val parts = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val base = System.currentTimeMillis() - parts.length * 2000L
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 2000L)
+        }
+        dir
+      })
+    }
+
+  private val chunkedTableDirs =
+    scala.collection.mutable.Map.empty[(String, String, Int), String]
+
+  final case class BandDoc(band_key: String, doc_id: Long)
+  final case class BandMin(minId: Long)
+  final case class DocDupFlag(doc_id: Long, dup: Long)
+
+  /** STREAMING MinHash-LSH near-dup admission — the online form of the
+    * d2 batch dedup: documents arrive in doc_id-order micro-batches
+    * (`chunks` range files, one per batch), each doc's 8-slot MinHash
+    * signature comes from the map-side codegen kernel
+    * ([[graft.dedup.Dedup.minhashSigExpr]] — zero shuffle, no HOF),
+    * explodes into 4 LSH band keys, and flatMapGroupsWithState keyed
+    * by band key holds ONE long of state per distinct band key: the
+    * smallest doc_id ever seen in that band. A doc is flagged dup in a
+    * band iff an earlier (smaller-id) doc shares the band — because
+    * arrival order is doc_id order, the incremental flag equals the
+    * batch rule "∃ doc' < doc sharing a band", i.e. exactly d2's
+    * candidate-pair relation projected onto the right column, which is
+    * what the oracle states (reusing d2's CTEs verbatim).
+    *
+    * Scale shape: state is |distinct band keys| longs — ≤ bands·|docs|
+    * and SHRINKING with dup density (dup docs add no new keys); at
+    * 100 TB the band-min table outgrows executor state and becomes a
+    * lake-merge-style keyed table (st13's machinery) or gets a TTL
+    * timeout — both change the store, not the algorithm. Docs too
+    * short to shingle have a null signature and are dropped, exactly
+    * as d2's explode plan drops them. */
+  def streamingNearDup(spark: SparkSession, sfDir: String,
+      chunks: Int): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_neardup_${queryCounter.incrementAndGet()}"
+    val staged = chunkedTableDir(spark, sfDir, "documents", "doc_id", chunks)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val banded = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/documents*.parquet")
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        graft.dedup.Dedup.minhashSigExpr(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.lshBandKeys(col("sig"), 4, 2)).as("band_key"))
+      .as[BandDoc]
+    val flags = banded.groupByKey(_.band_key)
+      .flatMapGroupsWithState[BandMin, DocDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BandMin]) =>
+          val ids = rows.map(_.doc_id).toArray
+          val batchMin = ids.min
+          val newMin = state.getOption.fold(batchMin)(s => math.min(s.minId, batchMin))
+          state.update(BandMin(newMin))
+          // newMin is the global band min: arrival is doc_id-ordered,
+          // so no future batch can introduce a smaller id
+          ids.iterator.map(id => DocDupFlag(id, if (id > newMin) 1L else 0L))
+      }
+    drainToLocal(spark, name, OutputMode.Append, flags.toDF())
+  }
+
   /** Hourly windowed aggregation, executed as a REAL streaming query:
     * readStream over the parquet dir → event-time tumbling window →
     * complete-mode memory sink; AvailableNow drains and terminates.

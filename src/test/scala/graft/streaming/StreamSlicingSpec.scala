@@ -67,6 +67,15 @@ class StreamSlicingSpec extends SparkSpec {
       replay.plan.contains("symmetricHashJoin") || replay.plan.nonEmpty)
   }
 
+  test("streaming near-dup admission is chunking-invariant (4 == 1)") {
+    // any doc_id-range chunking yields the same flags: the band-min
+    // election only depends on ids being non-decreasing across batches
+    val multi = canon(Streaming.streamingNearDup(spark, sf, chunks = 4))
+    val single = canon(Streaming.streamingNearDup(spark, sf, chunks = 1))
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
   test("replay conf is restored even when the body throws") {
     val key = "spark.graft.streaming.maxFilesPerTrigger"
     assert(spark.conf.getOption(key).isEmpty)
