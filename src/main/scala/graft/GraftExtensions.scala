@@ -158,6 +158,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // re-plans onto the native operator with no API change
     // (conf-gated: spark.graft.asOfJoin.autoRewrite)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinAutoRewrite)
+    // ...and the AGGREGATE spelling of the same idiom: max_by/min_by
+    // over the equi + time-bound join, grouped by a provably-unique
+    // left key, re-plans onto the same native node
+    e.injectOptimizerRule(_ => graft.plans.AsOfAggregateRewrite)
 
     // planner strategy: the native keyed point-in-interval join
     // (sort-merge active-set sweep; graft.operators.Interval also

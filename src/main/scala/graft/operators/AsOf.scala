@@ -27,6 +27,7 @@ object AsOf {
   def enableSqlRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.plans.SessionRegistration.ensure(spark, AsOfJoinStrategy,
       Seq(graft.plans.AsOfJoinAutoRewrite,
+        graft.plans.AsOfAggregateRewrite,
         graft.plans.AsOfJoinFilterPushdown,
         graft.plans.AsOfJoinColumnPruning))
 

@@ -807,6 +807,45 @@ object CrossQueries {
       |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x70_asof_maxby_sql — x68's attribution semantics in the OTHER
+  // textbook SQL spelling: `max_by(payload, r.t)` grouped by the left
+  // key, instead of `row_number() = 1` — re-planned onto the same
+  // native as-of node by [[graft.plans.AsOfAggregateRewrite]]. Both
+  // spellings now execute identically; the quadratic join+aggregate
+  // never materializes. The left side pre-aggregates clicks so the
+  // GROUP BY is structurally unique (the rewrite's soundness proof);
+  // the right side pre-aggregates purchases per (user, instant) so
+  // max_by's ordering has no ties and every payload is deterministic.
+  // Oracle: DuckDB's native ASOF LEFT JOIN, same as x68 — two engines,
+  // two idioms, one result.
+  def x70(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.AsOf.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    ev.filter(col("event_type") === lit("click"))
+      .groupBy(col("user_id"), col("tsu"))
+      .agg(count(lit(1)).as("n_at"))
+      .createOrReplaceTempView("graft_x70_clicks")
+    ev.filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+      .createOrReplaceTempView("graft_x70_buys")
+    spark.sql(
+      """SELECT CASE WHEN mv IS NULL THEN -1L
+        |            ELSE least((tsu - mrt) div 60000000, 60L) END AS gap_min,
+        |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+        |  SUM(COALESCE(CAST(floor(mv * 100) AS BIGINT), 0L)) AS cents
+        |FROM (
+        |  SELECT l.user_id, l.tsu, l.n_at,
+        |    max_by(r.rtsu, r.rtsu) AS mrt, max_by(r.v, r.rtsu) AS mv
+        |  FROM graft_x70_clicks l LEFT JOIN graft_x70_buys r
+        |    ON l.user_id = r.user_id AND r.rtsu <= l.tsu
+        |  GROUP BY l.user_id, l.tsu, l.n_at)
+        |GROUP BY 1 ORDER BY gap_min""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // x69_strict_ts_sql — x67's strict attribution window with
   // TIMESTAMP-typed columns: clicks STRICTLY after a same-user view,
   // within one hour, written as plain SQL over real TIMESTAMPs
@@ -2525,6 +2564,7 @@ object CrossQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
+    "x70_asof_maxby_sql" -> (x70 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
@@ -2608,6 +2648,9 @@ object CrossQueries {
     "x5_asof_attribution" -> x5Sql,
     "x69_strict_ts_sql" -> x69Sql,
     "x68_asof_sql" -> x68Sql,
+    // two idioms, one oracle: the aggregate spelling must reproduce the
+    // window spelling's ASOF LEFT JOIN result exactly
+    "x70_asof_maxby_sql" -> x68Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,

@@ -127,6 +127,74 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       direction: AsOfDirection) extends Role
   private case class Rest(e: Expression) extends Role
 
+  /** A join condition classified as as-of-join-shaped: equi key pairs
+    * plus exactly ONE time bound (strict bounds already normalized to
+    * inclusive on the LONG view), nothing else. Shared by this rule
+    * and [[AsOfAggregateRewrite]] — the two SQL idioms differ only in
+    * what sits ABOVE the join. */
+  private[plans] final case class AsOfShape(
+      equi: Seq[(AttributeReference, AttributeReference)],
+      lt: Expression, rt: AttributeReference, dir: AsOfDirection)
+
+  /** Classify `cond` against the chosen as-of sides. None unless the
+    * condition is EXACTLY equi-keys AND one time bound, both micros-
+    * backed, with the right time not an equi key (it must survive into
+    * the node's output — the restoration projects test it for NULL). */
+  private[plans] def classifyCondition(cond: Expression,
+      asofL: LogicalPlan, asofR: LogicalPlan): Option[AsOfShape] = {
+    def la(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if asofL.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def ra(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if asofR.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def le(e: Expression): Option[Expression] =
+      if (e.deterministic && e.references.nonEmpty &&
+        e.references.subsetOf(asofL.outputSet)) Some(e) else None
+    def bound(lt: Expression, rt: AttributeReference,
+        dir: AsOfDirection): Role =
+      TimeBound(lt, rt, dir)
+    def strictOk(lt: Expression, rt: AttributeReference): Boolean =
+      lt.dataType == LongType && rt.dataType == LongType
+
+    val roles: Seq[Role] = conjuncts(cond).map {
+      case p @ EqualTo(a, b) =>
+        la(a).zip(ra(b)).orElse(la(b).zip(ra(a)))
+          .map { case (lk, rk) => Equi(lk, rk) }.getOrElse(Rest(p))
+      case p @ LessThanOrEqual(a, b) => // r.t <= l.t | l.t <= r.t
+        ra(a).flatMap(rt => le(b).map(lt => bound(lt, rt, AsOfBackward)))
+          .orElse(ra(b).flatMap(rt => le(a).map(lt => bound(lt, rt, AsOfForward))))
+          .getOrElse(Rest(p))
+      case p @ GreaterThanOrEqual(a, b) => // r.t >= l.t | l.t >= r.t
+        ra(a).flatMap(rt => le(b).map(lt => bound(lt, rt, AsOfForward)))
+          .orElse(ra(b).flatMap(rt => le(a).map(lt => bound(lt, rt, AsOfBackward))))
+          .getOrElse(Rest(p))
+      case p @ LessThan(a, b) => // r.t < l.t (≤ lt−1) | l.t < r.t (≥ lt+1)
+        ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
+            .map(lt => bound(predE(lt), rt, AsOfBackward)))
+          .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
+            .map(lt => bound(succE(lt), rt, AsOfForward))))
+          .getOrElse(Rest(p))
+      case p @ GreaterThan(a, b) => // r.t > l.t (≥ lt+1) | l.t > r.t (≤ lt−1)
+        ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
+            .map(lt => bound(succE(lt), rt, AsOfForward)))
+          .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
+            .map(lt => bound(predE(lt), rt, AsOfBackward))))
+          .getOrElse(Rest(p))
+      case p => Rest(p)
+    }
+    val equi = roles.collect { case e: Equi => e }
+    val bounds = roles.collect { case t: TimeBound => t }
+    if (equi.isEmpty || bounds.size != 1 ||
+      roles.exists(_.isInstanceOf[Rest])) return None
+    val TimeBound(lt, rt, dir) = bounds.head
+    if (!microsBacked(lt.dataType) || !microsBacked(rt.dataType)) return None
+    if (equi.exists(_.r.exprId == rt.exprId)) return None
+    Some(AsOfShape(equi.map(e => (e.l, e.r)), lt, rt, dir))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(
         "spark.graft.asOfJoin.autoRewrite", "true") != "true") return plan
@@ -189,56 +257,8 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       else return None
     if (j.joinType == LeftOuter && (asofL ne j.left)) return None
 
-    def la(e: Expression): Option[AttributeReference] = e match {
-      case a: AttributeReference if asofL.outputSet.contains(a) => Some(a)
-      case _ => None
-    }
-    def ra(e: Expression): Option[AttributeReference] = e match {
-      case a: AttributeReference if asofR.outputSet.contains(a) => Some(a)
-      case _ => None
-    }
-    // left time: deterministic, references entirely on the as-of left
-    def le(e: Expression): Option[Expression] =
-      if (e.deterministic && e.references.nonEmpty &&
-        e.references.subsetOf(asofL.outputSet)) Some(e) else None
-    def bound(lt: Expression, rt: AttributeReference,
-        dir: AsOfDirection): Role =
-      TimeBound(lt, rt, dir)
-    def strictOk(lt: Expression, rt: AttributeReference): Boolean =
-      lt.dataType == LongType && rt.dataType == LongType
-
-    val roles: Seq[Role] = conjuncts(cond).map {
-      case p @ EqualTo(a, b) =>
-        la(a).zip(ra(b)).orElse(la(b).zip(ra(a)))
-          .map { case (lk, rk) => Equi(lk, rk) }.getOrElse(Rest(p))
-      case p @ LessThanOrEqual(a, b) => // r.t <= l.t | l.t <= r.t
-        ra(a).flatMap(rt => le(b).map(lt => bound(lt, rt, AsOfBackward)))
-          .orElse(ra(b).flatMap(rt => le(a).map(lt => bound(lt, rt, AsOfForward))))
-          .getOrElse(Rest(p))
-      case p @ GreaterThanOrEqual(a, b) => // r.t >= l.t | l.t >= r.t
-        ra(a).flatMap(rt => le(b).map(lt => bound(lt, rt, AsOfForward)))
-          .orElse(ra(b).flatMap(rt => le(a).map(lt => bound(lt, rt, AsOfBackward))))
-          .getOrElse(Rest(p))
-      case p @ LessThan(a, b) => // r.t < l.t (≤ lt−1) | l.t < r.t (≥ lt+1)
-        ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
-            .map(lt => bound(predE(lt), rt, AsOfBackward)))
-          .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
-            .map(lt => bound(succE(lt), rt, AsOfForward))))
-          .getOrElse(Rest(p))
-      case p @ GreaterThan(a, b) => // r.t > l.t (≥ lt+1) | l.t > r.t (≤ lt−1)
-        ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
-            .map(lt => bound(succE(lt), rt, AsOfForward)))
-          .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
-            .map(lt => bound(predE(lt), rt, AsOfBackward))))
-          .getOrElse(Rest(p))
-      case p => Rest(p)
-    }
-    val equi = roles.collect { case e: Equi => e }
-    val bounds = roles.collect { case t: TimeBound => t }
-    if (equi.isEmpty || bounds.size != 1 ||
-      roles.exists(_.isInstanceOf[Rest])) return None
-    val TimeBound(lt, rt, dir) = bounds.head
-    if (!microsBacked(lt.dataType) || !microsBacked(rt.dataType)) return None
+    val AsOfShape(equi, lt, rt, dir) =
+      classifyCondition(cond, asofL, asofR).getOrElse(return None)
     // window ORDER BY must be the right time, directed so rank 1 IS
     // the as-of pick: max preceding (DESC) / min following (ASC)
     if (!so.child.semanticEquals(rt)) return None
@@ -248,8 +268,6 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!dirOk) return None
-    // the right time must survive into the node's output (not a key)
-    if (equi.exists(_.r.exprId == rt.exprId)) return None
     // partition columns must identify ONE left row (see scaladoc)
     val assume = conf.getConfString(
       "spark.graft.asOfJoin.autoRewrite.assumeUniquePartition",
@@ -258,9 +276,9 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       return None
 
     val node = AsOfJoin(asofL, asofR,
-      equi.map(_.l), equi.map(_.r), lt, rt, dir, None)
+      equi.map(_._1), equi.map(_._2), lt, rt, dir, None)
     val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
-    val elided = equi.map(e => e.r.exprId -> e.l).toMap
+    val elided = equi.map(e => e._2.exprId -> e._1).toMap
     // original output = the window child's output ++ rn, in that order;
     // elided right keys re-derive from their left counterpart, whether
     // referenced bare or through a rename
@@ -349,5 +367,152 @@ object PartitionUniqueness {
         provablyUnique(keys -- w.windowOutputSet, w.child)
       case _ => false
     }
+  }
+}
+
+/** The AGGREGATE spelling of the SQL as-of idiom — the other textbook
+  * form (`max_by` / `min_by` instead of `row_number() = 1`):
+  *
+  * {{{ SELECT l.id, max_by(r.v, r.t) AS v
+  *     FROM l [LEFT] JOIN r ON l.k = r.k AND r.t <= l.t
+  *     GROUP BY l.id }}}
+  *
+  * Same quadratic execution as the window spelling (every candidate
+  * pair materializes through the join, then a hash aggregate buffers
+  * per group), same native target: when the grouping keys provably
+  * identify one left row, each group IS one left row and
+  * `max_by(v, r.t)` is exactly the backward as-of payload (`min_by`
+  * with `r.t >= l.t` is the forward pair). Match conditions, reusing
+  * [[AsOfJoinAutoRewrite.classifyCondition]] for the join condition:
+  *
+  *  - grouping expressions are bare left-side attributes, proved
+  *    unique on the left input ([[PartitionUniqueness]], same opt-in
+  *    conf as the window rule);
+  *  - every aggregate-list entry is a grouping attribute (bare or
+  *    renamed) or `max_by`/`min_by` (no DISTINCT, no FILTER clause)
+  *    whose ordering is EXACTLY the join's right-time column and
+  *    whose value is a deterministic right-side expression not
+  *    touching the elided right equi keys — at least one such entry,
+  *    else there is nothing as-of about the query;
+  *  - the agg direction must pair with the bound's direction
+  *    (backward↔max_by, forward↔min_by): the opposite pairing picks
+  *    the OLDEST match, which the operator cannot express.
+  *
+  * Tie behavior matches by construction: on equal right times both
+  * `max_by` and the as-of merge keep an unspecified single row — the
+  * idiom never promised an order among ties.
+  *
+  * Join-type mapping mirrors the window rule: INNER loses matchless
+  * left rows (no group forms), restored as `IsNotNull(r.t)` above the
+  * node; LEFT OUTER's all-null group (`max_by` ignores null-ordering
+  * rows) is the node's null-extended row. Payload restoration guards
+  * with the same `IF(r.t IS NOT NULL, v, NULL)` — a payload expression
+  * could otherwise evaluate non-null over the null-extended row
+  * (e.g. `coalesce(r.v, 0)`), which the aggregate would never emit. */
+object AsOfAggregateRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, MaxBy, MinBy}
+  import AsOfJoinAutoRewrite.{AsOfShape, classifyCondition}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(
+        "spark.graft.asOfJoin.autoRewrite", "true") != "true") return plan
+    plan.transform {
+      case a: Aggregate if !a.isStreaming =>
+        tryRewrite(a).getOrElse(a)
+    }
+  }
+
+  private def tryRewrite(a: Aggregate): Option[LogicalPlan] = {
+    // the join, seen through attribute-only Projects (column pruning
+    // leaves them; aliasing projects would re-map exprIds — bail)
+    val j = a.child match {
+      case j @ Join(_, _, Inner | LeftOuter, Some(_), _) if !j.isStreaming => j
+      case Project(pl, j @ Join(_, _, Inner | LeftOuter, Some(_), _))
+          if !j.isStreaming && pl.forall(_.isInstanceOf[Attribute]) => j
+      case _ => return None
+    }
+    val ge = a.groupingExpressions.map {
+      case at: AttributeReference => at
+      case _ => return None
+    }
+    val geSet = AttributeSet(ge)
+    if (geSet.isEmpty) return None
+    val (asofL, asofR) =
+      if (geSet.subsetOf(j.left.outputSet)) (j.left, j.right)
+      else if (j.joinType == Inner && geSet.subsetOf(j.right.outputSet))
+        (j.right, j.left)
+      else return None
+    if (j.joinType == LeftOuter && (asofL ne j.left)) return None
+    val AsOfShape(equi, lt, rt, dir) =
+      classifyCondition(j.condition.get, asofL, asofR).getOrElse(return None)
+    val elidedKeys = AttributeSet(equi.map(_._2))
+
+    def payloadOk(v: Expression): Boolean =
+      v.deterministic && v.references.subsetOf(asofR.outputSet) &&
+        v.references.intersect(elidedKeys).isEmpty
+
+    // an aggregate call is restorable iff it is max_by/min_by (no
+    // DISTINCT, no FILTER) whose ordering is EXACTLY the join's right
+    // time, paired with the bound's direction, over a restorable
+    // payload; its per-group value is then the payload of the as-of
+    // pick, null for matchless groups (max_by ignores null-ordering
+    // rows, so the LEFT OUTER all-null group agrees)
+    def restorable(ag: AggregateExpression): Option[Expression] = ag match {
+      case AggregateExpression(
+          MaxBy(v, ord: AttributeReference), _, false, None, _)
+          if dir == AsOfBackward && ord.exprId == rt.exprId && payloadOk(v) =>
+        Some(v)
+      case AggregateExpression(
+          MinBy(v, ord: AttributeReference), _, false, None, _)
+          if dir == AsOfForward && ord.exprId == rt.exprId && payloadOk(v) =>
+        Some(v)
+      case _ => None
+    }
+    // every aggregate call in every output entry must be restorable
+    // (output entries are otherwise arbitrary expressions — the
+    // optimizer collapses downstream CASE/arithmetic INTO the
+    // aggregate list, so matching only bare `Alias(max_by(...))`
+    // would miss every real query); at least one call overall, else
+    // there is nothing as-of about the aggregate
+    val allAggs = a.aggregateExpressions.flatMap(_.collect {
+      case ag: AggregateExpression => ag
+    })
+    if (allAggs.isEmpty || !allAggs.forall(restorable(_).isDefined))
+      return None
+
+    val assume = conf.getConfString(
+      "spark.graft.asOfJoin.autoRewrite.assumeUniquePartition",
+      "false") == "true"
+    if (!assume && !PartitionUniqueness.provablyUnique(geSet, asofL))
+      return None
+
+    val node = AsOfJoin(asofL, asofR,
+      equi.map(_._1), equi.map(_._2), lt, rt, dir, None)
+    val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
+    val base: LogicalPlan =
+      if (j.joinType == Inner) Filter(IsNotNull(rtOut), node) else node
+    // substitute each aggregate call with its guarded payload; the
+    // group has exactly one as-of row, so every surrounding expression
+    // (restored verbatim, exprIds intact) evaluates to the same value
+    // it had over the one-row group
+    val restored: Seq[NamedExpression] = a.aggregateExpressions.map { ne =>
+      val sub = ne.transform {
+        case ag: AggregateExpression =>
+          If(IsNotNull(rtOut), restorable(ag).get,
+            Literal(null, ag.dataType))
+      }
+      sub match {
+        case n: NamedExpression => n
+        case other => Alias(other, ne.name)(exprId = ne.exprId,
+          qualifier = ne.toAttribute.qualifier,
+          explicitMetadata = Some(ne.toAttribute.metadata))
+      }
+    }
+    // post-substitution sanity: everything the project needs must come
+    // out of the node (group attrs + right payload columns)
+    if (!restored.forall(_.references.subsetOf(node.outputSet)))
+      return None
+    Some(Project(restored, base))
   }
 }

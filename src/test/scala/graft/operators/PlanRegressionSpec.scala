@@ -255,6 +255,11 @@ class PlanRegressionSpec extends SparkSpec {
     // presence is pinned.
     val n = countNodes(plans("x68_asof_sql"), "AsOfJoin", "BroadcastAsOfJoin")
     assert(n >= 1, "x68_asof_sql: no native as-of node in plan")
+    // ...and the AGGREGATE spelling (max_by/min_by over the join,
+    // AsOfAggregateRewrite) — same failure mode, same pin
+    val m = countNodes(plans("x70_asof_maxby_sql"),
+      "AsOfJoin", "BroadcastAsOfJoin")
+    assert(m >= 1, "x70_asof_maxby_sql: no native as-of node in plan")
   }
 
   test("unpartitioned windows only ever run over the offset table") {
