@@ -92,7 +92,11 @@ object DumpPlans {
     "sk9_kmv_setops", "q29_equidepth_hist", "x67_strict_attr_sql",
     "v27_dp_release", "t51_shard_manifest",
     // round 7, final bench: gates that drifted over the 1s line
-    "q30_dpp_star", "t17_bpe_pairs", "t23_tfidf_topk")
+    "q30_dpp_star", "t17_bpe_pairs", "t23_tfidf_topk",
+    // round 8: both SQL as-of idioms (window + max_by spelling), the
+    // BM25 retrieval gate, and the Derby round trip (1.4s bench)
+    "x68_asof_sql", "x70_asof_maxby_sql", "t52_bm25",
+    "v28_jdbc_roundtrip", "x69_strict_ts_sql")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

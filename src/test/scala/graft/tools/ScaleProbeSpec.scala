@@ -67,7 +67,12 @@ class ScaleProbeSpec extends SparkSpec {
     "sk9_kmv_setops" -> 12.0,
     // LSH containment: regression mode = the df≤20 shingle cap lost,
     // self-join fan-out going quadratic in duplicate clusters
-    "d16_containment" -> 12.0)
+    "d16_containment" -> 12.0,
+    // as-of SQL auto-rewrites (both idioms): regression mode = the
+    // classifier or uniqueness proof silently failing and the idiom
+    // re-planning as the per-key-quadratic SMJ+window / join+aggregate
+    "x68_asof_sql" -> 12.0,
+    "x70_asof_maxby_sql" -> 12.0)
 
   test("10x wall ratios stay inside the recorded complexity bounds") {
     assume(enabled, "set GRAFT_SLOW=1 to run the 10x scale probes")
