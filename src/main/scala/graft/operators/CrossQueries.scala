@@ -846,6 +846,64 @@ object CrossQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x71_asof_strict_sql — the as-of idiom with a STRICT bound on real
+  // TIMESTAMP columns (`r.rts < l.ets`): the r8 micros-view
+  // normalization of [[graft.plans.AsOfJoinAutoRewrite]] end to end.
+  // Strictness on timestamps is NOT interval arithmetic — the rewrite
+  // reinterprets both sides as their internal epoch-micros longs
+  // (zero-cost MicrosView) and applies the −1 there, so "latest
+  // purchase strictly before the click" excludes the equal instant
+  // exactly. Oracle: DuckDB's native strict ASOF (`ON l.ets > r.rts`)
+  // — both engines' native as-of, strict form, must agree.
+  def x71(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.AsOf.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        timestamp_micros(graft.streaming.Streaming.tsMicros(col("ts"))).as("ets"))
+    ev.filter(col("event_type") === lit("click"))
+      .groupBy(col("user_id"), col("ets"))
+      .agg(count(lit(1)).as("n_at"))
+      .createOrReplaceTempView("graft_x71_clicks")
+    ev.filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"), col("ets").as("rts"))
+      .agg(max(col("value")).as("v"))
+      .createOrReplaceTempView("graft_x71_buys")
+    spark.sql(
+      """SELECT CASE WHEN v IS NULL THEN -1L
+        |            ELSE least((unix_micros(ets) - unix_micros(rts)) div 60000000, 60L)
+        |       END AS gap_min,
+        |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+        |  SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0L)) AS cents
+        |FROM (
+        |  SELECT l.ets, l.n_at, r.rts, r.v,
+        |    row_number() OVER (PARTITION BY l.user_id, l.ets
+        |                       ORDER BY r.rts DESC) AS rn
+        |  FROM graft_x71_clicks l LEFT JOIN graft_x71_buys r
+        |    ON l.user_id = r.user_id AND r.rts < l.ets)
+        |WHERE rn = 1
+        |GROUP BY 1 ORDER BY gap_min""".stripMargin)
+  }
+
+  private val x71Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    make_timestamp(epoch_us(ts)) AS ets FROM events),
+      |l AS (SELECT user_id, ets, COUNT(*) AS n_at
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |r AS (SELECT user_id, ets AS rts, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.ets, l.n_at, r.rts, r.v
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.ets > r.rts)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE LEAST((epoch_us(ets) - epoch_us(rts)) // 60000000, 60)
+      |       END AS gap_min,
+      |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x69_strict_ts_sql — x67's strict attribution window with
   // TIMESTAMP-typed columns: clicks STRICTLY after a same-user view,
   // within one hour, written as plain SQL over real TIMESTAMPs
@@ -2565,6 +2623,7 @@ object CrossQueries {
     "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
     "x70_asof_maxby_sql" -> (x70 _),
+    "x71_asof_strict_sql" -> (x71 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
@@ -2651,6 +2710,7 @@ object CrossQueries {
     // two idioms, one oracle: the aggregate spelling must reproduce the
     // window spelling's ASOF LEFT JOIN result exactly
     "x70_asof_maxby_sql" -> x68Sql,
+    "x71_asof_strict_sql" -> x71Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,

@@ -54,9 +54,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   *    left time may be any deterministic single-sided expression; the
   *    right time must be a bare column (the window orders by it and
   *    the inner-join restoration tests it for NULL). STRICT bounds
-  *    normalize when both sides are LONG epoch-micros — `r.t < l.t`
-  *    is `r.t <= l.t - 1` on integers, with the `l.t = Long.MinValue`
-  *    edge mapped to NULL (never-matches) rather than wrapping. Any
+  *    normalize on ANY micros-backed type — `r.t < l.t` is
+  *    `r.t <= l.t - 1` on the epoch-micros LONG view, TIMESTAMP /
+  *    TIMESTAMP_NTZ reinterpreted via the zero-cost [[MicrosView]]
+  *    (r8, mirroring the interval rewrite; ±1 is integer succession
+  *    on the internal representation, not interval arithmetic), with
+  *    the `l.t = Long.MinValue` edge mapped to NULL (never-matches)
+  *    rather than wrapping. When a strict bound normalizes, the node
+  *    compares BOTH times on the LONG view. Any
   *    other conjunct disables the rewrite: a residual join predicate
   *    changes WHICH candidate wins (the idiom picks the best row
   *    satisfying all conjuncts; as-of picks the best time match and a
@@ -122,19 +127,26 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
 
   private sealed trait Role
   private case class Equi(l: AttributeReference, r: AttributeReference) extends Role
-  /** One time bound: adjusted left-time expression + direction. */
+  /** One time bound: adjusted left-time expression + direction.
+    * `normalized` marks a strict bound rewritten through the micros
+    * view — the node must then compare BOTH times on the LONG view. */
   private case class TimeBound(lt: Expression, rt: AttributeReference,
-      direction: AsOfDirection) extends Role
+      direction: AsOfDirection, normalized: Boolean = false) extends Role
   private case class Rest(e: Expression) extends Role
 
   /** A join condition classified as as-of-join-shaped: equi key pairs
     * plus exactly ONE time bound (strict bounds already normalized to
     * inclusive on the LONG view), nothing else. Shared by this rule
     * and [[AsOfAggregateRewrite]] — the two SQL idioms differ only in
-    * what sits ABOVE the join. */
+    * what sits ABOVE the join. `rt` is the right time ATTRIBUTE (for
+    * ORDER BY / key / restoration checks); `rtExpr` is what the node
+    * compares — `rt` itself, or `MicrosView(rt)` when a strict bound
+    * normalized the left side onto the LONG view (both sides must
+    * then live on the same view). */
   private[plans] final case class AsOfShape(
       equi: Seq[(AttributeReference, AttributeReference)],
-      lt: Expression, rt: AttributeReference, dir: AsOfDirection)
+      lt: Expression, rt: AttributeReference, rtExpr: Expression,
+      dir: AsOfDirection)
 
   /** Classify `cond` against the chosen as-of sides. None unless the
     * condition is EXACTLY equi-keys AND one time bound, both micros-
@@ -156,8 +168,19 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
     def bound(lt: Expression, rt: AttributeReference,
         dir: AsOfDirection): Role =
       TimeBound(lt, rt, dir)
+    // strict bounds: ±1 is integer succession, legal on the micros
+    // view of any micros-backed type ([[MicrosView]] — the interval
+    // rewrite's r8 normalization, mirrored here). A TIMESTAMP left
+    // time reinterprets as its internal epoch-micros long first;
+    // `Add(timestamp, 1)` would be interval arithmetic, which is why
+    // the pre-r8 rule required LONG on both sides.
     def strictOk(lt: Expression, rt: AttributeReference): Boolean =
-      lt.dataType == LongType && rt.dataType == LongType
+      microsBacked(lt.dataType) && microsBacked(rt.dataType)
+    def micros(e: Expression): Expression =
+      if (e.dataType == LongType) e else MicrosView(e)
+    def strictBound(lt: Expression, rt: AttributeReference,
+        dir: AsOfDirection, adjust: Expression => Expression): Role =
+      TimeBound(adjust(micros(lt)), rt, dir, normalized = true)
 
     val roles: Seq[Role] = conjuncts(cond).map {
       case p @ EqualTo(a, b) =>
@@ -173,15 +196,15 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
           .getOrElse(Rest(p))
       case p @ LessThan(a, b) => // r.t < l.t (≤ lt−1) | l.t < r.t (≥ lt+1)
         ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
-            .map(lt => bound(predE(lt), rt, AsOfBackward)))
+            .map(lt => strictBound(lt, rt, AsOfBackward, predE)))
           .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
-            .map(lt => bound(succE(lt), rt, AsOfForward))))
+            .map(lt => strictBound(lt, rt, AsOfForward, succE))))
           .getOrElse(Rest(p))
       case p @ GreaterThan(a, b) => // r.t > l.t (≥ lt+1) | l.t > r.t (≤ lt−1)
         ra(a).flatMap(rt => le(b).filter(strictOk(_, rt))
-            .map(lt => bound(succE(lt), rt, AsOfForward)))
+            .map(lt => strictBound(lt, rt, AsOfForward, succE)))
           .orElse(ra(b).flatMap(rt => le(a).filter(strictOk(_, rt))
-            .map(lt => bound(predE(lt), rt, AsOfBackward))))
+            .map(lt => strictBound(lt, rt, AsOfBackward, predE))))
           .getOrElse(Rest(p))
       case p => Rest(p)
     }
@@ -189,10 +212,11 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
     val bounds = roles.collect { case t: TimeBound => t }
     if (equi.isEmpty || bounds.size != 1 ||
       roles.exists(_.isInstanceOf[Rest])) return None
-    val TimeBound(lt, rt, dir) = bounds.head
+    val TimeBound(lt, rt, dir, normalized) = bounds.head
     if (!microsBacked(lt.dataType) || !microsBacked(rt.dataType)) return None
     if (equi.exists(_.r.exprId == rt.exprId)) return None
-    Some(AsOfShape(equi.map(e => (e.l, e.r)), lt, rt, dir))
+    val rtExpr = if (normalized && rt.dataType != LongType) MicrosView(rt) else rt
+    Some(AsOfShape(equi.map(e => (e.l, e.r)), lt, rt, rtExpr, dir))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -257,7 +281,7 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       else return None
     if (j.joinType == LeftOuter && (asofL ne j.left)) return None
 
-    val AsOfShape(equi, lt, rt, dir) =
+    val AsOfShape(equi, lt, rt, rtExpr, dir) =
       classifyCondition(cond, asofL, asofR).getOrElse(return None)
     // window ORDER BY must be the right time, directed so rank 1 IS
     // the as-of pick: max preceding (DESC) / min following (ASC)
@@ -276,7 +300,7 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       return None
 
     val node = AsOfJoin(asofL, asofR,
-      equi.map(_._1), equi.map(_._2), lt, rt, dir, None)
+      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, None)
     val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
     val elided = equi.map(e => e._2.exprId -> e._1).toMap
     // original output = the window child's output ++ rn, in that order;
@@ -444,7 +468,7 @@ object AsOfAggregateRewrite extends Rule[LogicalPlan] {
         (j.right, j.left)
       else return None
     if (j.joinType == LeftOuter && (asofL ne j.left)) return None
-    val AsOfShape(equi, lt, rt, dir) =
+    val AsOfShape(equi, lt, rt, rtExpr, dir) =
       classifyCondition(j.condition.get, asofL, asofR).getOrElse(return None)
     val elidedKeys = AttributeSet(equi.map(_._2))
 
@@ -488,7 +512,7 @@ object AsOfAggregateRewrite extends Rule[LogicalPlan] {
       return None
 
     val node = AsOfJoin(asofL, asofR,
-      equi.map(_._1), equi.map(_._2), lt, rt, dir, None)
+      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, None)
     val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
     val base: LogicalPlan =
       if (j.joinType == Inner) Filter(IsNotNull(rtOut), node) else node

@@ -127,6 +127,38 @@ class AsOfJoinAutoRewriteSpec extends SparkSpec {
         |WHERE rn = 1""".stripMargin))
   }
 
+  test("strict TIMESTAMP bound normalizes through the micros view (r8)") {
+    // timestamp-typed times on BOTH sides: `r.rt < l.t` must
+    // reinterpret as epoch-micros longs (MicrosView), apply the -1,
+    // and compare both sides on the LONG view — pre-r8 this shape
+    // fell back to the quadratic plan
+    AsOf.enableSqlRewrite(spark)
+    val ss = spark; import ss.implicits._
+    Seq((1L, 10L, 100L), (2L, 10L, 150L), (3L, 20L, 150L), (4L, 10L, 151L))
+      .toDF("lid", "k", "tu")
+      .groupBy($"lid").agg(max($"k").as("k"),
+        expr("timestamp_micros(max(tu))").as("t"))
+      .createOrReplaceTempView("graft_asof_lts")
+    Seq((10L, 50L, 21L), (10L, 150L, 22L), (20L, 150L, 23L), (10L, 151L, 24L))
+      .toDF("k", "rtu", "rid")
+      .select($"k", expr("timestamp_micros(rtu)").as("rt"), $"rid")
+      .createOrReplaceTempView("graft_asof_rts")
+    def make = spark.sql(
+      """SELECT lid, k, t, rt FROM (
+        |  SELECT l.*, r.rt,
+        |    row_number() OVER (PARTITION BY l.lid ORDER BY r.rt DESC) rn
+        |  FROM graft_asof_lts l LEFT JOIN graft_asof_rts r
+        |    ON l.k = r.k AND r.rt < l.t)
+        |WHERE rn = 1""".stripMargin)
+    parity(make)
+    // strictness on the boundary: lid=2 (t=150) must match rt=50, not
+    // the equal-instant rt=150; lid=4 (t=151) matches rt=150
+    val byLid = make.collect().map(r => r.getLong(0) ->
+      Option(r.get(3)).map(_.toString)).toMap
+    assert(byLid(2L).exists(_.contains("00:00:00.00005")))
+    assert(byLid(4L).exists(_.contains("00:00:00.00015")))
+  }
+
   test("strict MinValue left time cannot wrap (underflow guard)") {
     AsOf.enableSqlRewrite(spark)
     val ss = spark; import ss.implicits._
@@ -305,7 +337,9 @@ class AsOfJoinAutoRewriteSpec extends SparkSpec {
         |  FROM graft_asof_l l JOIN graft_asof_r r
         |    ON l.k <=> r.k AND r.rt <= l.t)
         |WHERE rn = 1""".stripMargin)))
-    // strict bound on a TIMESTAMP pair: no integer succession
+    // strict bound on a TIMESTAMP pair: rewrites SINCE r8 (micros-view
+    // normalization — see the dedicated strict-TIMESTAMP parity test);
+    // kept here inverted so a regression back to the fallback is loud
     val ss = spark; import ss.implicits._
     Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")))
       .toDF("lid", "k", "t")
@@ -313,14 +347,14 @@ class AsOfJoinAutoRewriteSpec extends SparkSpec {
       .createOrReplaceTempView("graft_asof_lts")
     Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L))
       .toDF("k", "rt", "rid").createOrReplaceTempView("graft_asof_rts")
-    assert(!hasAsOfExec(plan(
+    assert(hasAsOfExec(plan(
       """SELECT * FROM (
         |  SELECT l.*, r.rt,
         |    row_number() OVER (PARTITION BY l.lid ORDER BY r.rt DESC) rn
         |  FROM graft_asof_lts l JOIN graft_asof_rts r
         |    ON l.k = r.k AND r.rt < l.t)
         |WHERE rn = 1""".stripMargin)))
-    // …while the inclusive TIMESTAMP form rewrites
+    // …and the inclusive TIMESTAMP form rewrites
     assert(hasAsOfExec(plan(
       """SELECT * FROM (
         |  SELECT l.*, r.rt,

@@ -260,6 +260,10 @@ class PlanRegressionSpec extends SparkSpec {
     val m = countNodes(plans("x70_asof_maxby_sql"),
       "AsOfJoin", "BroadcastAsOfJoin")
     assert(m >= 1, "x70_asof_maxby_sql: no native as-of node in plan")
+    // ...and the strict-TIMESTAMP form (MicrosView normalization)
+    val s = countNodes(plans("x71_asof_strict_sql"),
+      "AsOfJoin", "BroadcastAsOfJoin")
+    assert(s >= 1, "x71_asof_strict_sql: no native as-of node in plan")
   }
 
   test("unpartitioned windows only ever run over the offset table") {
