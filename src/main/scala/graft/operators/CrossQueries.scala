@@ -846,6 +846,66 @@ object CrossQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x72_asof_tolerance_sql — BOUNDED as-of in plain SQL: the idiom's
+  // join carries BOTH the time bound and a lower bound offset by a
+  // constant (`r.t <= l.t AND r.t >= l.t − 2h`), which the classifier
+  // maps onto the node's native toleranceMicros (pandas merge_asof's
+  // `tolerance`; the exec's |lt−rt| ≤ tol is inclusive, exactly the
+  // SQL `>=`). Attribution beyond the 2-hour window becomes NULL
+  // instead of matching a stale purchase. Oracle: DuckDB has no
+  // tolerance ASOF, so it computes the quadratic window idiom
+  // literally — the rewritten O(1)-state plan must agree with the
+  // brute-force form row for row.
+  def x72(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.AsOf.enableSqlRewrite(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    ev.filter(col("event_type") === lit("click"))
+      .groupBy(col("user_id"), col("tsu"))
+      .agg(count(lit(1)).as("n_at"))
+      .createOrReplaceTempView("graft_x72_clicks")
+    ev.filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+      .createOrReplaceTempView("graft_x72_buys")
+    spark.sql(
+      """SELECT CASE WHEN v IS NULL THEN -1L
+        |            ELSE least((tsu - rtsu) div 60000000, 60L) END AS gap_min,
+        |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+        |  SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0L)) AS cents
+        |FROM (
+        |  SELECT l.tsu, l.n_at, r.rtsu, r.v,
+        |    row_number() OVER (PARTITION BY l.user_id, l.tsu
+        |                       ORDER BY r.rtsu DESC) AS rn
+        |  FROM graft_x72_clicks l LEFT JOIN graft_x72_buys r
+        |    ON l.user_id = r.user_id AND r.rtsu <= l.tsu
+        |       AND r.rtsu >= l.tsu - 7200000000L)
+        |WHERE rn = 1
+        |GROUP BY 1 ORDER BY gap_min""".stripMargin)
+  }
+
+  private val x72Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+      |l AS (SELECT user_id, tsu, COUNT(*) AS n_at
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.tsu, l.n_at, r.rtsu, r.v,
+      |        ROW_NUMBER() OVER (PARTITION BY l.user_id, l.tsu
+      |                           ORDER BY r.rtsu DESC) AS rn
+      |      FROM l LEFT JOIN r
+      |        ON l.user_id = r.user_id AND r.rtsu <= l.tsu
+      |           AND r.rtsu >= l.tsu - 7200000000)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE LEAST((tsu - rtsu) // 60000000, 60) END AS gap_min,
+      |  COUNT(*) AS n, CAST(SUM(n_at) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY gap_min""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x71_asof_strict_sql — the as-of idiom with a STRICT bound on real
   // TIMESTAMP columns (`r.rts < l.ets`): the r8 micros-view
   // normalization of [[graft.plans.AsOfJoinAutoRewrite]] end to end.
@@ -2624,6 +2684,7 @@ object CrossQueries {
     "x68_asof_sql" -> (x68 _),
     "x70_asof_maxby_sql" -> (x70 _),
     "x71_asof_strict_sql" -> (x71 _),
+    "x72_asof_tolerance_sql" -> (x72 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
     "x64_twap" -> (x64 _),
@@ -2711,6 +2772,7 @@ object CrossQueries {
     // window spelling's ASOF LEFT JOIN result exactly
     "x70_asof_maxby_sql" -> x68Sql,
     "x71_asof_strict_sql" -> x71Sql,
+    "x72_asof_tolerance_sql" -> x72Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,
     "x64_twap" -> x64Sql,

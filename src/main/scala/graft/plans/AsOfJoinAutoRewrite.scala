@@ -61,7 +61,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   *    on the internal representation, not interval arithmetic), with
   *    the `l.t = Long.MinValue` edge mapped to NULL (never-matches)
   *    rather than wrapping. When a strict bound normalizes, the node
-  *    compares BOTH times on the LONG view. Any
+  *    compares BOTH times on the LONG view. A SECOND, opposite bound
+  *    on the same right time whose left side is the primary bound
+  *    offset by a non-negative LONG constant (`r.t <= l.t AND
+  *    r.t >= l.t - c`) is the BOUNDED as-of — it maps to the node's
+  *    native inclusive `toleranceMicros` instead of disabling the
+  *    rewrite. Any
   *    other conjunct disables the rewrite: a residual join predicate
   *    changes WHICH candidate wins (the idiom picks the best row
   *    satisfying all conjuncts; as-of picks the best time match and a
@@ -146,7 +151,7 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
   private[plans] final case class AsOfShape(
       equi: Seq[(AttributeReference, AttributeReference)],
       lt: Expression, rt: AttributeReference, rtExpr: Expression,
-      dir: AsOfDirection)
+      dir: AsOfDirection, toleranceMicros: Option[Long] = None)
 
   /** Classify `cond` against the chosen as-of sides. None unless the
     * condition is EXACTLY equi-keys AND one time bound, both micros-
@@ -210,13 +215,43 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
     }
     val equi = roles.collect { case e: Equi => e }
     val bounds = roles.collect { case t: TimeBound => t }
-    if (equi.isEmpty || bounds.size != 1 ||
-      roles.exists(_.isInstanceOf[Rest])) return None
-    val TimeBound(lt, rt, dir, normalized) = bounds.head
+    if (equi.isEmpty || roles.exists(_.isInstanceOf[Rest])) return None
+    // ONE bound = plain as-of. TWO opposite bounds on the same right
+    // time where the secondary is the primary's left time offset by a
+    // non-negative LONG constant = BOUNDED as-of (pandas merge_asof's
+    // `tolerance`, the node's native toleranceMicros — its comparison
+    // `|lt − rt| <= tol` is inclusive, exactly the SQL `>=`/`<=`
+    // secondary bound). The constant is already folded by the time
+    // this rule runs (user rules follow the optimizer batches).
+    // Strict-normalized bounds don't participate: their ±1 has
+    // already moved the left time, so offset matching would be
+    // off-by-one in disguise. Non-constant offsets (a per-row
+    // tolerance column) are not expressible on the node — bail.
+    val (lt, rt, dir, normalized, tol) = bounds match {
+      case Seq(TimeBound(lt1, rt1, d1, n1)) => (lt1, rt1, d1, n1, None)
+      case Seq(b1, b2)
+          if b1.rt.exprId == b2.rt.exprId && b1.direction != b2.direction &&
+            !b1.normalized && !b2.normalized =>
+        val (bk, fw) = if (b1.direction == AsOfBackward) (b1, b2) else (b2, b1)
+        fw.lt match {
+          // r.t <= L AND r.t >= L − c  ⇒  backward within c
+          case Subtract(base, Literal(c: Long, LongType), _)
+              if c >= 0 && base.semanticEquals(bk.lt) =>
+            (bk.lt, bk.rt, AsOfBackward, false, Some(c))
+          case _ => bk.lt match {
+            // r.t >= L AND r.t <= L + c  ⇒  forward within c
+            case Add(base, Literal(c: Long, LongType), _)
+                if c >= 0 && base.semanticEquals(fw.lt) =>
+              (fw.lt, fw.rt, AsOfForward, false, Some(c))
+            case _ => return None
+          }
+        }
+      case _ => return None
+    }
     if (!microsBacked(lt.dataType) || !microsBacked(rt.dataType)) return None
     if (equi.exists(_.r.exprId == rt.exprId)) return None
     val rtExpr = if (normalized && rt.dataType != LongType) MicrosView(rt) else rt
-    Some(AsOfShape(equi.map(e => (e.l, e.r)), lt, rt, rtExpr, dir))
+    Some(AsOfShape(equi.map(e => (e.l, e.r)), lt, rt, rtExpr, dir, tol))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -281,7 +316,7 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       else return None
     if (j.joinType == LeftOuter && (asofL ne j.left)) return None
 
-    val AsOfShape(equi, lt, rt, rtExpr, dir) =
+    val AsOfShape(equi, lt, rt, rtExpr, dir, tol) =
       classifyCondition(cond, asofL, asofR).getOrElse(return None)
     // window ORDER BY must be the right time, directed so rank 1 IS
     // the as-of pick: max preceding (DESC) / min following (ASC)
@@ -300,7 +335,7 @@ object AsOfJoinAutoRewrite extends Rule[LogicalPlan] {
       return None
 
     val node = AsOfJoin(asofL, asofR,
-      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, None)
+      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, tol)
     val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
     val elided = equi.map(e => e._2.exprId -> e._1).toMap
     // original output = the window child's output ++ rn, in that order;
@@ -468,7 +503,7 @@ object AsOfAggregateRewrite extends Rule[LogicalPlan] {
         (j.right, j.left)
       else return None
     if (j.joinType == LeftOuter && (asofL ne j.left)) return None
-    val AsOfShape(equi, lt, rt, rtExpr, dir) =
+    val AsOfShape(equi, lt, rt, rtExpr, dir, tol) =
       classifyCondition(j.condition.get, asofL, asofR).getOrElse(return None)
     val elidedKeys = AttributeSet(equi.map(_._2))
 
@@ -512,7 +547,7 @@ object AsOfAggregateRewrite extends Rule[LogicalPlan] {
       return None
 
     val node = AsOfJoin(asofL, asofR,
-      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, None)
+      equi.map(_._1), equi.map(_._2), lt, rtExpr, dir, tol)
     val rtOut = node.output.find(_.exprId == rt.exprId).getOrElse(return None)
     val base: LogicalPlan =
       if (j.joinType == Inner) Filter(IsNotNull(rtOut), node) else node

@@ -96,7 +96,8 @@ object DumpPlans {
     // round 8: both SQL as-of idioms (window + max_by spelling), the
     // BM25 retrieval gate, and the Derby round trip (1.4s bench)
     "x68_asof_sql", "x70_asof_maxby_sql", "t52_bm25",
-    "v28_jdbc_roundtrip", "x69_strict_ts_sql", "x71_asof_strict_sql")
+    "v28_jdbc_roundtrip", "x69_strict_ts_sql", "x71_asof_strict_sql",
+    "x72_asof_tolerance_sql")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

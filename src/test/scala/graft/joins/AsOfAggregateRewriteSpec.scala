@@ -133,6 +133,63 @@ class AsOfAggregateRewriteSpec extends SparkSpec {
         |  ON l.k = r.k AND r.rt <= l.t GROUP BY l.lid""".stripMargin))
   }
 
+  test("tolerance pair (r.rt <= l.t AND r.rt >= l.t - c) maps to toleranceMicros") {
+    leftView(); rightView()
+    // backward within 100: lid=2 (t=200) must match rt=150 (gap 50),
+    // lid=6 (t=500) must NOT match rt=250 (gap 250 > 100) → null
+    parity(spark.sql(
+      """SELECT l.lid, max_by(r.rt, r.rt) AS mrt
+        |FROM graft_asofagg_l l LEFT JOIN graft_asofagg_r r
+        |  ON l.k = r.k AND r.rt <= l.t AND r.rt >= l.t - 100
+        |GROUP BY l.lid""".stripMargin))
+    // forward within 100, INNER. This shape is ALSO a band interval
+    // join (`rt BETWEEN t AND t+100`), and in a session where the
+    // interval-family rules registered first (any shared session that
+    // ran an interval gate) IntervalJoinAutoRewrite claims the INNER
+    // join before this rule sees the Aggregate above it — the
+    // aggregate then runs over the native interval join, which is the
+    // same result through a different native operator. Either native
+    // node is acceptable; what must never survive is the quadratic
+    // SMJ+aggregate, so assert native-or-native and value parity.
+    // Register the interval family explicitly so the interaction is
+    // exercised deterministically, not only when suite order happens
+    // to have run an interval gate first in the shared session.
+    graft.operators.Interval.enableSqlRewrite(spark)
+    AsOf.enableSqlRewrite(spark)
+    def fwd = spark.sql(
+      """SELECT l.lid, min_by(r.rt, r.rt) AS mrt
+        |FROM graft_asofagg_l l JOIN graft_asofagg_r r
+        |  ON l.k = r.k AND r.rt >= l.t AND r.rt <= l.t + 100
+        |GROUP BY l.lid""".stripMargin)
+    val nativeNodes = fwd.queryExecution.sparkPlan.collect {
+      case e: AsOfJoinExec => e.nodeName
+      case e: BroadcastAsOfJoinExec => e.nodeName
+      case e if e.nodeName.contains("IntervalJoin") => e.nodeName
+    }
+    assert(nativeNodes.nonEmpty, fwd.queryExecution.sparkPlan.toString)
+    val a = fwd.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    spark.conf.set("spark.graft.asOfJoin.autoRewrite", "false")
+    spark.conf.set("spark.graft.intervalJoin.autoRewrite", "false")
+    val b = try fwd.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    finally {
+      spark.conf.unset("spark.graft.asOfJoin.autoRewrite")
+      spark.conf.unset("spark.graft.intervalJoin.autoRewrite")
+    }
+    assert(a.toSeq == b.toSeq)
+    // a NON-constant secondary offset is not expressible on the node
+    noRewrite(spark.sql(
+      """SELECT l.lid, max_by(r.rt, r.rt) AS mrt
+        |FROM graft_asofagg_l l JOIN graft_asofagg_r r
+        |  ON l.k = r.k AND r.rt <= l.t AND r.rt >= l.t - l.lid
+        |GROUP BY l.lid""".stripMargin))
+    // two bounds in the SAME direction are a range, not a tolerance
+    noRewrite(spark.sql(
+      """SELECT l.lid, max_by(r.rt, r.rt) AS mrt
+        |FROM graft_asofagg_l l JOIN graft_asofagg_r r
+        |  ON l.k = r.k AND r.rt <= l.t AND r.rt <= l.t - 100
+        |GROUP BY l.lid""".stripMargin))
+  }
+
   test("unprovable grouping uniqueness: no rewrite by default, conf opts in") {
     val ss = spark; import ss.implicits._
     // raw view: lid unique in the DATA but not provably so

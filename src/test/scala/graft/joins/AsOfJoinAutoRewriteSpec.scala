@@ -159,6 +159,17 @@ class AsOfJoinAutoRewriteSpec extends SparkSpec {
     assert(byLid(4L).exists(_.contains("00:00:00.00015")))
   }
 
+  test("tolerance pair rewrites in the window idiom too (shared classifier)") {
+    leftView(); rightView()
+    parity(spark.sql(
+      """SELECT lid, k, t, rt FROM (
+        |  SELECT l.*, r.rt,
+        |    row_number() OVER (PARTITION BY l.lid ORDER BY r.rt DESC) rn
+        |  FROM graft_asof_l l LEFT JOIN graft_asof_r r
+        |    ON l.k = r.k AND r.rt <= l.t AND r.rt >= l.t - 100)
+        |WHERE rn = 1""".stripMargin))
+  }
+
   test("strict MinValue left time cannot wrap (underflow guard)") {
     AsOf.enableSqlRewrite(spark)
     val ss = spark; import ss.implicits._

@@ -264,6 +264,10 @@ class PlanRegressionSpec extends SparkSpec {
     val s = countNodes(plans("x71_asof_strict_sql"),
       "AsOfJoin", "BroadcastAsOfJoin")
     assert(s >= 1, "x71_asof_strict_sql: no native as-of node in plan")
+    // ...and the tolerance pair (two bounds -> toleranceMicros)
+    val t = countNodes(plans("x72_asof_tolerance_sql"),
+      "AsOfJoin", "BroadcastAsOfJoin")
+    assert(t >= 1, "x72_asof_tolerance_sql: no native as-of node in plan")
   }
 
   test("unpartitioned windows only ever run over the offset table") {
