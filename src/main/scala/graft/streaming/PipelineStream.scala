@@ -44,11 +44,18 @@ object PipelineStream {
       inputDir: String,
       outputDir: String,
       checkpointDir: String,
-      activeOpcos: Seq[String]): Seq[BatchReport] = {
+      activeOpcos: Seq[String],
+      maxFilesPerTrigger: Option[Int] = None): Seq[BatchReport] = {
     val reports = new java.util.concurrent.ConcurrentLinkedQueue[BatchReport]()
-    val raw = spark.readStream
+    // maxFilesPerTrigger caps files per micro-batch — with one file per
+    // arrival unit this replays the reference's one-Glue-job-per-file
+    // cadence exactly (v29 uses 1 so each opco's file is its own
+    // batch); unset, AvailableNow drains everything in one batch
+    val reader0 = spark.readStream
       .schema(rawSchema)
       .option("header", "true")
+    val raw = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
       .csv(inputDir)
     val q = raw.writeStream
       .queryName(s"graft_pz_stream_${counter.incrementAndGet()}")

@@ -97,7 +97,7 @@ object DumpPlans {
     // BM25 retrieval gate, and the Derby round trip (1.4s bench)
     "x68_asof_sql", "x70_asof_maxby_sql", "t52_bm25",
     "v28_jdbc_roundtrip", "x69_strict_ts_sql", "x71_asof_strict_sql",
-    "x72_asof_tolerance_sql")
+    "x72_asof_tolerance_sql", "v29_stream_pipeline")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
