@@ -1362,7 +1362,87 @@ object DedupQueries {
       |  CAST(SUM(run_len) AS BIGINT) AS n_matched
       |FROM runs GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d25_maximal_spans — MAXIMAL duplicated-substring detection, the
+  // suffix-array pass of Lee et al. 2022 ("Deduplicating Training Data
+  // Makes Language Models Better") re-expressed distributively: instead
+  // of one giant suffix array (inherently sequential to build), hash
+  // every OVERLAPPING 10-token shingle (stride 1 — d8/d13 use stride 10
+  // and so can only see duplication aligned to their grid), mark the
+  // positions whose shingle repeats corpus-wide, and coalesce
+  // overlapping/adjacent duplicated windows into maximal spans per doc
+  // with a gaps-and-islands pass (an island breaks when the next
+  // duplicated start is > k past the previous — the two windows no
+  // longer touch). A shared duplicated region of length L ≥ k yields
+  // L − k + 1 consecutive duplicated starts that coalesce back to
+  // exactly [s, s + L) — the maximal span, same answer the suffix
+  // array gives, built from embarrassingly parallel pieces.
+  // Scale shape: the explode is O(total tokens) rows of (doc_id, p, h)
+  // — 16-byte hash, never text; ONE exchange on h scores global
+  // multiplicity (count window, map-side combinable), duplicated
+  // positions (a small fraction of the corpus) re-shuffle on doc_id for
+  // the islands window; output is O(spans). No self-join, no pair
+  // space, no suffix sort.
+  def d25(spark: SparkSession, dir: String): DataFrame = {
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) >= 10)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1L), (size(col("toks")) - 9).cast("long"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(TextFunctions.windowSlice(col("toks"), col("p").cast("int"), 10), " "))
+          .as("h"))
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .filter(col("cnt") >= 2)
+      .withColumn("is_new",
+        when(col("p") - lag(col("p"), 1).over(wd) <= 10, 0L).otherwise(1L))
+      .withColumn("island", sum(col("is_new")).over(wd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + 10L).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"),
+        max(col("e") - col("s")).as("max_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d25Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 10),
+      |st AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - 9 + 1)) AS p, toks
+      |  FROM t),
+      |sp AS (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(list_slice(toks, p, p + 9), ' ')) AS h
+      |  FROM st),
+      |dup AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS cnt FROM sp)
+      |  WHERE cnt >= 2),
+      |brk AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 10
+      |         THEN 0 ELSE 1 END AS is_new
+      |  FROM dup),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      |  FROM brk),
+      |spans AS (
+      |  SELECT doc_id, island, MIN(p) AS s, MAX(p) + 10 AS e
+      |  FROM isl GROUP BY doc_id, island)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+      |  CAST(MAX(e - s) AS BIGINT) AS max_span
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_maximal_spans" -> (d25 _),
     "d24_contam_run" -> (d24 _),
     "d23_paragraph_dedup" -> (d23 _),
     "d22_contamination_ratio" -> (d22 _),
@@ -1389,6 +1469,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d25_maximal_spans" -> d25Sql,
     "d24_contam_run" -> d24Sql,
     "d23_paragraph_dedup" -> d23Sql,
     "d22_contamination_ratio" -> d22Sql,
