@@ -176,5 +176,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AND hi` inner joins re-plan onto the native sweep with no API
     // change (conf-gated: spark.graft.intervalJoin.autoRewrite)
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinAutoRewrite)
+    // ...and runtime Bloom-filter injection for BOTH native joins:
+    // Spark's InjectRuntimeFilter pattern-matches Join and never sees
+    // the custom nodes, so the selective-small-side pruning it gives
+    // equi-joins is re-planted here (size-gated, conf-killable:
+    // spark.graft.runtimeFilter.enabled)
+    e.injectOptimizerRule(_ => graft.plans.NativeJoinRuntimeFilter)
   }
 }

@@ -29,7 +29,8 @@ object AsOf {
       Seq(graft.plans.AsOfJoinAutoRewrite,
         graft.plans.AsOfAggregateRewrite,
         graft.plans.AsOfJoinFilterPushdown,
-        graft.plans.AsOfJoinColumnPruning))
+        graft.plans.AsOfJoinColumnPruning,
+        graft.plans.NativeJoinRuntimeFilter))
 
   /** Backward as-of join: every `left` row gains the `right` row with
     * the greatest `rightTime` ≤ `leftTime` for equal `keys`, or nulls.
@@ -55,7 +56,8 @@ object AsOf {
     val spark = left.sparkSession
     graft.plans.SessionRegistration.ensure(spark, AsOfJoinStrategy,
       Seq(graft.plans.AsOfJoinFilterPushdown,
-        graft.plans.AsOfJoinColumnPruning))
+        graft.plans.AsOfJoinColumnPruning,
+        graft.plans.NativeJoinRuntimeFilter))
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-as-of (same scan on both sides) stays unambiguous

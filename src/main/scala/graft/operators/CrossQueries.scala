@@ -2679,11 +2679,82 @@ object CrossQueries {
       |    AS BIGINT) AS resid_micro
       |FROM a ORDER BY segment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x73_asof_rtfilter — the native as-of join under RUNTIME BLOOM
+  // PRUNING ([[graft.plans.NativeJoinRuntimeFilter]]): a selective
+  // probe (purchases of the ~10 "VIP" users) as-of joins the full
+  // click stream, and the rule plants a Bloom filter of the probe's
+  // user ids BELOW the click side's exchange — at cluster scale the
+  // non-VIP ~93% of clicks never shuffle. Spark's own
+  // InjectRuntimeFilter can't do this (it pattern-matches Join, never
+  // the custom node). The size gates are conf-forced here because
+  // sf-scale inputs are all below the 1 GB application default — the
+  // conf scope covers the eager localCheckpoint that executes the
+  // join, then restores, so no other gate sees the thresholds; result
+  // equality with the unfiltered plan is the rule's contract
+  // (false positives only ADMIT rows the merge re-checks), spec-pinned
+  // in NativeJoinRuntimeFilterSpec and oracle-checked here against
+  // DuckDB's native ASOF (which does no such pruning — same answer).
+  def x73(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val vipBuys = ev
+      .filter(col("event_type") === "purchase" && col("user_id") % 15 === 0)
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    val keys = Seq(
+      "spark.graft.runtimeFilter.applicationSideThreshold",
+      "spark.graft.runtimeFilter.creationSideThreshold",
+      "spark.graft.asOfJoin.broadcastThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "0")
+    spark.conf.set(keys(1), Long.MaxValue.toString)
+    spark.conf.set(keys(2), "-1") // SMJ path: the exchange is what's pruned
+    val joined =
+      try AsOf.joinBackward(vipBuys, clicks, Seq("user_id"), "tsu", "rtsu")
+        .select(col("user_id"), col("tsu"), col("rtsu"))
+        .localCheckpoint() // executes the pruned plan INSIDE the conf scope
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    joined
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_buys"),
+        sum(when(col("rtsu").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        max(when(col("rtsu").isNotNull, expr("(tsu - rtsu) div 60000000")))
+          .as("max_gap_min"))
+      .orderBy(col("user_id"))
+  }
+
+  private val x73Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e
+      |      WHERE event_type = 'purchase' AND user_id % 15 = 0),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(event_id) AS click_id
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |j AS (SELECT l.user_id, l.tsu, r.rtsu
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.tsu >= r.rtsu)
+      |SELECT user_id, COUNT(*) AS n_buys,
+      |  CAST(SUM(CASE WHEN rtsu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(MAX(CASE WHEN rtsu IS NOT NULL
+      |                THEN (tsu - rtsu) // 60000000 END) AS BIGINT)
+      |    AS max_gap_min
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
     "x70_asof_maxby_sql" -> (x70 _),
     "x71_asof_strict_sql" -> (x71 _),
+    "x73_asof_rtfilter" -> (x73 _),
     "x72_asof_tolerance_sql" -> (x72 _),
     "x67_strict_attr_sql" -> (x67 _),
     "x66_band_sql" -> (x66 _),
@@ -2772,6 +2843,7 @@ object CrossQueries {
     // window spelling's ASOF LEFT JOIN result exactly
     "x70_asof_maxby_sql" -> x68Sql,
     "x71_asof_strict_sql" -> x71Sql,
+    "x73_asof_rtfilter" -> x73Sql,
     "x72_asof_tolerance_sql" -> x72Sql,
     "x67_strict_attr_sql" -> x67Sql,
     "x66_band_sql" -> x66Sql,

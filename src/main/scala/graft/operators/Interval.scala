@@ -27,7 +27,8 @@ object Interval {
     graft.plans.SessionRegistration.ensure(spark, IntervalJoinStrategy,
       Seq(graft.plans.IntervalJoinAutoRewrite,
         graft.plans.IntervalJoinFilterPushdown,
-        graft.plans.IntervalJoinColumnPruning))
+        graft.plans.IntervalJoinColumnPruning,
+        graft.plans.NativeJoinRuntimeFilter))
 
   /** Inner point-in-interval join: every `left` row (keys, `leftTime`)
     * is joined with each `right` row (keys, `rightLo`, `rightHi`)
@@ -42,7 +43,8 @@ object Interval {
     val spark = left.sparkSession
     graft.plans.SessionRegistration.ensure(spark, IntervalJoinStrategy,
       Seq(graft.plans.IntervalJoinFilterPushdown,
-        graft.plans.IntervalJoinColumnPruning))
+        graft.plans.IntervalJoinColumnPruning,
+        graft.plans.NativeJoinRuntimeFilter))
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
     // fresh ids so self-joins (same scan on both sides) stay unambiguous
