@@ -85,6 +85,17 @@ object TextFunctions {
         GraftColumnBridge.expression(c)))
   }
 
+  /** `[n_words, n_tokens, score]` of the Viterbi-OPTIMAL segmentation
+    * against the same vocabulary [[wordpieceTokens]] walks greedily —
+    * the SentencePiece unigram-LM inference rule as one codegen DP
+    * kernel (see [[graft.functions.expressions.UnigramKernel]]). */
+  def unigramViterbi(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.expressions.UnigramViterbi(
+        GraftColumnBridge.expression(c)))
+  }
+
   /** The pre-kernel formulation of [[languageId]] — equivalence-spec
     * oracle only; do not use in query paths (codegen size). */
   private[graft] def languageIdReference(c: Column): Column = {

@@ -63,6 +63,13 @@ object WordPieceKernel {
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
   @inline private def lower(b: Int): Int = if (b <= 'Z') b + 32 else b
 
+  /** Shared piece lookup for this kernel and [[UnigramKernel]]: is the
+    * packed lowercase key a vocabulary piece of this length? */
+  private[expressions] def hasPiece(len: Int, key: Int): Boolean = {
+    val set = if (len == 4) set4 else if (len == 3) set3 else set2
+    java.util.Arrays.binarySearch(set, key) >= 0
+  }
+
   def tokenCount(s: UTF8String): Long = {
     val n = s.numBytes
     var toks = 0L

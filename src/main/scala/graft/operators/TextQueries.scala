@@ -2452,7 +2452,101 @@ object TextQueries {
       |FROM ts GROUP BY doc_id
       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t53_unigram_viterbi — SentencePiece-style unigram-LM tokenizer
+  // INFERENCE (Kudo 2018): the Viterbi-OPTIMAL segmentation over the
+  // SAME fixed vocabulary t46 walks greedily, so the pair of gates pins
+  // the classic greedy-vs-optimal tokenizer gap on one corpus. The
+  // additive objective (1024·len² − 1 per piece) is integer-exact and
+  // encodes "maximize Σlen², tie-break fewest tokens" in one number —
+  // see [[graft.functions.expressions.UnigramKernel]] for the proof
+  // sketch. Spark runs the codegen DP kernel map-side (O(4·chars) per
+  // doc, two small reused DP arrays); the oracle replays the identical
+  // DP per DISTINCT word as a recursive-CTE reachability closure over
+  // (position, score, tokens) states and weights by occurrence — two
+  // engines, two DP encodings, one argmax. Scale shape: kernel is
+  // map-side; only per-source partial sums cross the exchange, and the
+  // oracle-side closure is bounded by distinct words × achievable
+  // score states (small: words are short).
+  def t53(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), unigramViterbi(col("text")).as("st"),
+        wordpieceTokens(col("text")).as("greedy"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(element_at(col("st"), 1)).as("n_words"),
+        sum(element_at(col("st"), 2)).as("n_tokens"),
+        sum(element_at(col("st"), 3)).as("score"),
+        sum(col("greedy")).as("greedy_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("score"), col("greedy_tokens"),
+        // tokens the optimal segmentation saves over greedy, in ppm of
+        // greedy — the measurable quality gap between the two rules.
+        // Clamped at 0: a higher-Σlen² optimum with MORE pieces is
+        // theoretically reachable, and a negative numerator would pit
+        // Spark's truncating div against DuckDB's floor //
+        expr("""CASE WHEN greedy_tokens = 0 OR n_tokens >= greedy_tokens THEN 0L
+               |ELSE (greedy_tokens - n_tokens) * 1000000 div greedy_tokens
+               |END""".stripMargin).as("saved_ppm"))
+      .orderBy(col("source"))
+
+  private val t53Sql = {
+    val vocabLit = graft.functions.expressions.WordPieceKernel.allPieces
+      .map(p => s"'$p'").mkString(", ")
+    val greedyVocabLit = vocabLit // one vocabulary, two inference rules
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT source, text FROM documents WHERE text IS NOT NULL),
+       |words AS (
+       |  SELECT source, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+       |  FROM docs),
+       |wc AS (SELECT source, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM wc),
+       |vocab AS (SELECT unnest([$vocabLit]) AS v),
+       |tok AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c,
+       |    CAST(0 AS BIGINT) AS tk FROM dw
+       |  UNION
+       |  SELECT t.w, t.p + len(v), t.c + 1024 * len(v) * len(v) - 1, t.tk + 1
+       |  FROM tok t JOIN vocab ON substr(t.w, t.p + 1, len(v)) = v),
+       |best AS (SELECT w, MAX(c) AS c FROM tok WHERE p = len(w) GROUP BY w),
+       |seg AS (SELECT t.w, b.c, MIN(t.tk) AS tk
+       |        FROM tok t JOIN best b ON b.w = t.w AND t.c = b.c
+       |        WHERE t.p = len(t.w) GROUP BY 1, 2),
+       |gadv AS (SELECT pos.w, pos.p, MAX(len(v)) AS adv
+       |         FROM (SELECT w, unnest(range(1, len(w) + 1)) AS p FROM dw) pos
+       |         JOIN (SELECT unnest([$greedyVocabLit]) AS v) gv
+       |           ON substr(pos.w, pos.p, len(v)) = v
+       |         GROUP BY 1, 2),
+       |gtok AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks FROM dw
+       |  UNION ALL
+       |  SELECT t.w, t.p + a.adv, t.toks + 1
+       |  FROM gtok t JOIN gadv a ON a.w = t.w AND a.p = t.p),
+       |gt AS (SELECT w, toks FROM gtok WHERE p = len(w) + 1),
+       |agg AS (SELECT wc.source,
+       |          CAST(SUM(wc.cnt) AS BIGINT) AS n_words,
+       |          CAST(SUM(wc.cnt * seg.tk) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(wc.cnt * seg.c) AS BIGINT) AS score,
+       |          CAST(SUM(wc.cnt * gt.toks) AS BIGINT) AS greedy_tokens
+       |        FROM wc JOIN seg ON seg.w = wc.w JOIN gt ON gt.w = wc.w
+       |        GROUP BY 1),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY 1)
+       |SELECT nd.source, nd.n_docs,
+       |  COALESCE(agg.n_words, 0) AS n_words,
+       |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |  COALESCE(agg.score, 0) AS score,
+       |  COALESCE(agg.greedy_tokens, 0) AS greedy_tokens,
+       |  CAST(CASE WHEN COALESCE(agg.greedy_tokens, 0) = 0
+       |              OR agg.n_tokens >= agg.greedy_tokens THEN 0
+       |    ELSE (agg.greedy_tokens - agg.n_tokens) * 1000000 // agg.greedy_tokens
+       |    END AS BIGINT) AS saved_ppm
+       |FROM nd LEFT JOIN agg ON agg.source = nd.source
+       |ORDER BY nd.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t53_unigram_viterbi" -> (t53 _),
     "t52_bm25" -> (t52 _),
     "t51_shard_manifest" -> (t51 _),
     "t49_linear_classifier" -> (t49 _),
@@ -2529,6 +2623,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t53_unigram_viterbi" -> t53Sql,
     "t52_bm25" -> t52Sql,
     "t23_tfidf_topk" -> t23Sql,
     "t22_stratified_sample" -> t22Sql,
