@@ -1441,7 +1441,72 @@ object DedupQueries {
       |  CAST(MAX(e - s) AS BIGINT) AS max_span
       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d26_prefix_filter — EXACT-threshold set-similarity self-join via
+  // PREFIX FILTERING (Bayardo et al. WWW'07 AllPairs / Xiao et al.
+  // PPJoin), the lossless alternative to the LSH family: two token
+  // sets with Jaccard ≥ t MUST share a token inside their
+  // (|s| − ⌈t|s|⌉ + 1)-length prefixes under ANY shared global token
+  // order — so candidates come from an equi-join on prefix tokens
+  // only, with zero false negatives (d2/d4 trade recall for blocking;
+  // this trades nothing). Order: ascending document frequency, rarest
+  // first — common tokens land in suffixes, so candidate groups are
+  // the df≈1 tail, not the stopword head. At t = 19/20 a ~50-token doc
+  // exposes a 3-token prefix: the candidate join touches ~6% of the
+  // token occurrences and the quadratic verify runs on survivors only.
+  // Integer-exact: threshold check inter·20 ≥ uni·19, prefix length
+  // sz − (19·sz + 19) div 20 + 1, similarity in ppm by floor division.
+  // Scale shape: df is a token-keyed aggregate (broadcast-joined
+  // back); per-doc ordering is a local array sort (no global rank, no
+  // single-partition window); the only pair-bearing exchange carries
+  // prefix-token collision groups, each bounded by that token's df.
+  def d26(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val occ = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = occ.join(broadcast(dfreq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+        .as("stoks"))
+      .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
+      .withColumn("plen",
+        col("sz") - expr("(19 * sz + 19) div 20").cast("int") + 1)
+    val prefixes = ordered.select(col("doc_id"), col("stoks"), col("sz"),
+      explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.stoks")).as("ta"), first(col("b.stoks")).as("tb"),
+        first(col("a.sz")).as("sa"), first(col("b.sz")).as("sb"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("sa").cast("long") + col("sb") - col("inter"))
+      .filter(col("inter") * 20 >= col("uni") * 19)
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000000 div uni").as("jac_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // the oracle is the definition: brute-force every pair — losslessness
+  // IS the gate (a single missed pair hash-mismatches)
+  private val d26Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    CAST(len(a.toks) + len(b.toks)
+      |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(inter * 1000000 // uni AS BIGINT) AS jac_ppm
+      |FROM p WHERE inter * 20 >= uni * 19
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_prefix_filter" -> (d26 _),
     "d25_maximal_spans" -> (d25 _),
     "d24_contam_run" -> (d24 _),
     "d23_paragraph_dedup" -> (d23 _),
@@ -1469,6 +1534,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d26_prefix_filter" -> d26Sql,
     "d25_maximal_spans" -> d25Sql,
     "d24_contam_run" -> d24Sql,
     "d23_paragraph_dedup" -> d23Sql,
