@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Native backward AS-OF join — the whole-operator extension path the
@@ -121,6 +122,13 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // UI/observability parity with the built-in joins: row volume plus
+  // the as-of-specific match rate (unmatched left rows null-extend
+  // silently — the metric is how a mis-keyed join gets NOTICED)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -134,6 +142,8 @@ case class AsOfJoinExec(
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val rt = rightTime
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -161,6 +171,7 @@ case class AsOfJoinExec(
       // right rows sort FIRST within their run, so consuming them off
       // the buffered iterator preserves the merge order.
       lIter.map { l =>
+        numOutputRows += 1
         val lKey = lKeyProj(l)
         val lTimeRow = lTimeProj(l)
         if (lKey.anyNull || lTimeRow.isNullAt(0)) {
@@ -202,6 +213,7 @@ case class AsOfJoinExec(
             if (forward) cand != null && candTm - lTm <= tol && candTm >= lTm
             else cand != null && lTm - candTm <= tol
           val matched = gapOk && keyOrd.compare(candKey, lKey) == 0
+          if (matched) numMatched += 1
           outProj(joined(l, if (matched) cand else nullRight))
         }
       }
@@ -252,6 +264,10 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -264,6 +280,8 @@ case class BroadcastAsOfJoinExec(
     val outAttrs = output
     val tol = toleranceMicros.getOrElse(Long.MaxValue)
     val forward = direction == AsOfForward
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -327,6 +345,8 @@ case class BroadcastAsOfJoinExec(
             }
           }
         }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         outProj(joined(l, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Native keyed point-in-interval join — the second whole-operator
@@ -127,12 +128,24 @@ case class IntervalJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // observability for the sweep's central claim — state is the ACTIVE
+  // SET, admitted once and evicted for good: admissions ≈ evictions
+  // (+ whatever is open at end-of-key) in a healthy run, and
+  // admissions ≫ output means low-selectivity intervals
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numAdmitted" -> SQLMetrics.createMetric(sparkContext, "intervals admitted to the active set"),
+    "numEvicted" -> SQLMetrics.createMetric(sparkContext, "intervals evicted from the active set"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val lo = rightLo; val hi = rightHi
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numAdmitted = longMetric("numAdmitted")
+    val numEvicted = longMetric("numEvicted")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -161,6 +174,7 @@ case class IntervalJoinExec(
         else {
           val lTm = lTimeRow.getLong(0)
           if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
+            numEvicted += active.length // key change closes every open interval
             active.clear()
             activeKey = lKey.copy()
           }
@@ -181,14 +195,21 @@ case class IntervalJoinExec(
                   // a null hi never matches; an interval already closed
                   // before this point can never match a later one either
                   // (times ascend) — drop, not admit
-                  if (!hiRow.isNullAt(0) && hiRow.getLong(0) >= lTm)
+                  if (!hiRow.isNullAt(0) && hiRow.getLong(0) >= lTm) {
                     active += ((r, hiRow.getLong(0)))
+                    numAdmitted += 1
+                  }
                 } else scanning = false
               }
             }
           }
+          val before = active.length
           active.filterInPlace(_._2 >= lTm)
-          active.iterator.map { case (r, _) => outProj(joined(l, r)) }
+          numEvicted += before - active.length
+          active.iterator.map { case (r, _) =>
+            numOutputRows += 1
+            outProj(joined(l, r))
+          }
         }
       }
     }
@@ -240,6 +261,9 @@ case class BroadcastIntervalJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
     copy(left = newLeft, right = newRight)
@@ -277,6 +301,7 @@ case class BroadcastIntervalJoinExec(
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val lo = rightLo; val hi = rightHi
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -331,6 +356,7 @@ case class BroadcastIntervalJoinExec(
           else {
             hits.clear()
             idx.probe(lTimeRow.getLong(0), hits)
+            numOutputRows += hits.length
             hits.iterator.map(r => outProj(joined(l, r)))
           }
         }
