@@ -959,7 +959,60 @@ object TpchQueries {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24.0""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q73_division — RELATIONAL DIVISION (Codd's ÷, the "for all"
+  // operator): customers whose orders span EVERY order priority in the
+  // corpus, tallied per market segment. Two formulations, one answer:
+  // Spark computes division the DISTRIBUTIVE way — distinct
+  // (custkey, priority) pairs, per-customer distinct count equals the
+  // corpus-wide divisor cardinality (a 1-row broadcast scalar
+  // ride-along, not a correlated probe) — while the oracle states the
+  // TEXTBOOK double negation (NOT EXISTS a priority with NOT EXISTS a
+  // matching order), so the gate pins the set-theoretic rewrite
+  // against another engine's literal ∀-as-¬∃¬ evaluation. Scale
+  // shape: one exchange on (custkey, priority) for the distinct, one
+  // on custkey for the count; the divisor is an aggregate scalar;
+  // customers who never ordered fall out of the division (empty
+  // dividend ÷ nonempty divisor = ∅) via the left join's null branch.
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val divisor = orders.agg(
+      countDistinct(col("o_orderpriority")).as("ndiv"))
+    val omni = orders.select(col("o_custkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nm"))
+      .crossJoin(broadcast(divisor)) // 1-row scalar ride-along
+      .filter(col("nm") === col("ndiv"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(omni.withColumn("omni", lit(1L)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("omni"), lit(0L))).as("n_omni"),
+        min(when(col("omni").isNotNull, col("c_custkey"))).as("min_omni"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q73Sql =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN NOT EXISTS (
+      |      SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS m FROM orders) p
+      |      WHERE NOT EXISTS (
+      |        SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = p.m))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_omni,
+      |  CAST(MIN(CASE WHEN NOT EXISTS (
+      |      SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS m FROM orders) p
+      |      WHERE NOT EXISTS (
+      |        SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = p.m))
+      |    THEN c_custkey END) AS BIGINT) AS min_omni
+      |FROM customer c
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_division" -> (q73 _),
     "q72_forecast_revenue" -> (q72 _),
     "q66_mincost_supplier" -> (q66 _),
     "q67_important_parts" -> (q67 _),
@@ -983,6 +1036,7 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q73_division" -> q73Sql,
     "q72_forecast_revenue" -> q72Sql,
     "q66_mincost_supplier" -> q66Sql,
     "q67_important_parts" -> q67Sql,
