@@ -945,7 +945,49 @@ object StreamingQueries {
        |FROM sig LEFT JOIN dup d ON sig.doc_id = d.doc_id
        |ORDER BY sig.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st33_stream_asof — the NATIVE as-of operator inside a streaming
+  // pipeline (see [[Streaming.streamAsOfEnriched]]): clicks arrive one
+  // ts-range chunk per micro-batch and each batch as-of joins the
+  // once-materialized static purchase history through the custom
+  // AsOfJoinExec in foreachBatch, landing exactly-once batchId-scoped
+  // parquet. x54 proves the operator; this gate proves it COMPOSES —
+  // with Structured Streaming's replay/idempotency machinery and the
+  // stream-static materialization rule — while the oracle stays
+  // DuckDB's native ASOF over the same attribution arithmetic (x54's),
+  // because as-of against a static right side is chunking-invariant.
+  def st33(spark: SparkSession, dir: String): DataFrame =
+    Streaming.streamAsOfEnriched(spark, dir, chunks = 4)
+      .select(
+        when(col("v").isNull, lit(-1L))
+          .otherwise(least(expr("(tsu - rtsu) div 60000000"), lit(60L)))
+          .as("gap_min"),
+        col("v"))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(floor(col("v") * 100).cast("long"), lit(0L)))
+          .as("cents"))
+      .orderBy(col("gap_min"))
+
+  private val st33Sql = // x54's oracle: the streamed pipeline must equal it
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.tsu, r.rtsu, r.v
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.tsu >= r.rtsu)
+      |SELECT CASE WHEN v IS NULL THEN -1
+      |            ELSE LEAST((tsu - rtsu) // 60000000, 60) END AS gap_min,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(COALESCE(CAST(floor(v * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st33_stream_asof" -> (st33 _),
     "st32_stream_neardup" -> (st32 _),
     "st30_chunked_hourly" -> (st30 _),
     "st31_chunked_ssj" -> (st31 _),
@@ -980,6 +1022,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st33_stream_asof" -> st33Sql,
     "st32_stream_neardup" -> st32Sql,
     "st30_chunked_hourly" -> st30Sql,
     "st31_chunked_ssj" -> st4Sql,
