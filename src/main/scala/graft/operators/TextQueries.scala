@@ -2545,7 +2545,102 @@ object TextQueries {
        |ORDER BY nd.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t54_ngram_precision — MODIFIED (clipped) n-gram precision, the BLEU
+  // core (Papineni et al. 2002) every eval/decontamination pipeline
+  // computes between candidate and reference texts: for each MinHash
+  // candidate pair (d2's LSH machinery — the pairing a production run
+  // would score), p_n = Σ_g min(cnt_cand(g), cnt_ref(g)) / #n-grams of
+  // the candidate, for n = 1, 2, plus the brevity ratio — all integer
+  // ppm (BLEU's geometric mean + exp is one monotone float transform
+  // away; the rankable core is exact here). Clipping is the part naive
+  // overlap gets wrong: a candidate repeating one reference word can't
+  // farm precision — min() caps each gram at its reference count.
+  // Scale shape: per-doc gram counts build map-side and shuffle by
+  // (doc, gram) once per n; each pair's clipped sum is two
+  // gram-keyed equi-joins bounded by the docs' gram counts — never a
+  // doc×doc or gram×gram product; pairs themselves are LSH-bounded.
+  def t54(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4)
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    def gramCounts(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) explode(col("toks"))
+        else explode(expr(
+          """transform(
+            |  CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+            |       ELSE array() END,
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin))
+      toks.select(col("doc_id"), grams.as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    def clipped(n: Int, out: String): DataFrame = {
+      val cs = gramCounts(n)
+      pairs
+        .join(cs.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")),
+          Seq("doc_a"))
+        .join(cs.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
+          Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as(out))
+    }
+    pairs
+      .join(lens.select(col("doc_id").as("doc_a"), col("n").as("la")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("n").as("lb")), Seq("doc_b"))
+      .join(clipped(1, "m1"), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(2, "m2"), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        expr("coalesce(m1, 0L) * 1000000 div la").as("p1_ppm"),
+        expr("""CASE WHEN la <= 1 THEN 0L
+               |ELSE coalesce(m2, 0L) * 1000000 div (la - 1) END""".stripMargin)
+          .as("p2_ppm"),
+        least(lit(1000000L), expr("la * 1000000 div lb")).as("bp_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val t54Sql =
+    s"""WITH ${graft.operators.DedupQueries.pairCtes},
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |c1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+       |g1 AS (SELECT doc_id, g, COUNT(*) AS c FROM c1 GROUP BY 1, 2),
+       |c2 AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |       FROM t),
+       |g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM c2 GROUP BY 1, 2),
+       |m1 AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(a.c, b.c)) AS m
+       |       FROM pairs p
+       |       JOIN g1 a ON a.doc_id = p.doc_a
+       |       JOIN g1 b ON b.doc_id = p.doc_b AND b.g = a.g
+       |       GROUP BY 1, 2),
+       |m2 AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(a.c, b.c)) AS m
+       |       FROM pairs p
+       |       JOIN g2 a ON a.doc_id = p.doc_a
+       |       JOIN g2 b ON b.doc_id = p.doc_b AND b.g = a.g
+       |       GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(COALESCE(m1.m, 0) * 1000000 // la.n AS BIGINT) AS p1_ppm,
+       |  CAST(CASE WHEN la.n <= 1 THEN 0
+       |    ELSE COALESCE(m2.m, 0) * 1000000 // (la.n - 1) END AS BIGINT)
+       |    AS p2_ppm,
+       |  CAST(LEAST(1000000, la.n * 1000000 // lb.n) AS BIGINT) AS bp_ppm
+       |FROM pairs p
+       |JOIN l la ON la.doc_id = p.doc_a
+       |JOIN l lb ON lb.doc_id = p.doc_b
+       |LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+       |LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t54_ngram_precision" -> (t54 _),
     "t53_unigram_viterbi" -> (t53 _),
     "t52_bm25" -> (t52 _),
     "t51_shard_manifest" -> (t51 _),
@@ -2623,6 +2718,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t54_ngram_precision" -> t54Sql,
     "t53_unigram_viterbi" -> t53Sql,
     "t52_bm25" -> t52Sql,
     "t23_tfidf_topk" -> t23Sql,

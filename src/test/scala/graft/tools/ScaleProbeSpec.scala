@@ -72,7 +72,20 @@ class ScaleProbeSpec extends SparkSpec {
     // classifier or uniqueness proof silently failing and the idiom
     // re-planning as the per-key-quadratic SMJ+window / join+aggregate
     "x68_asof_sql" -> 12.0,
-    "x70_asof_maxby_sql" -> 12.0)
+    "x70_asof_maxby_sql" -> 12.0,
+    // maximal-span dedup: regression mode = the overlapping-shingle
+    // count window re-aggregating via self-join (two span scans)
+    "d25_maximal_spans" -> 12.0,
+    // prefix-filter similarity join: regression mode = candidate
+    // generation losing the prefix bound and verifying all pairs
+    "d26_prefix_filter" -> 12.0,
+    // Viterbi tokenizer: regression mode = the DP leaving the map side
+    // (any exchange carrying per-position state instead of doc sums)
+    "t53_unigram_viterbi" -> 12.0,
+    // runtime-filtered as-of: regression mode = the bloom injection
+    // breaking the plan (double filters, or a non-pruned right side
+    // re-sorting the full click stream per probe)
+    "x73_asof_rtfilter" -> 12.0)
 
   test("10x wall ratios stay inside the recorded complexity bounds") {
     assume(enabled, "set GRAFT_SLOW=1 to run the 10x scale probes")
