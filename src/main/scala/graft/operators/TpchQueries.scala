@@ -1011,7 +1011,72 @@ object TpchQueries {
       |FROM customer c
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q74_recursive_bom — BOM EXPLOSION (the recursive-CTE workload class:
+  // bill-of-materials / org-chart / account-hierarchy rollups). The
+  // hierarchy is derived deterministically from `part` so both engines
+  // see the identical edge set: parent(c) = c div 10 (a radix tree over
+  // the key space, depth = digits(maxkey) − 1), per-edge quantity
+  // (p_size % 5) + 1. The closure carries the MULTIPLICATIVE path
+  // quantity (qty of the child within each transitive assembly — the
+  // part a recursive join gets wrong if it sums instead of multiplies).
+  // Spark has no recursive CTE, and the Spark-first answer is NOT a
+  // driver loop over collect(): it is an O(depth) sequence of equi-join
+  // rounds — frontier ⋈ edges, each round one shuffle bounded by the
+  // closure slice, lineage truncated by a lazy localCheckpoint exactly
+  // like the label-prop/BFS fixpoints (s12/s16); the driver sees one
+  // emptiness boolean per round. The oracle states the same closure as
+  // DuckDB's literal WITH RECURSIVE — two recursion engines, one
+  // fixpoint. Rounds are bounded by construction (≤ ⌈log10(maxkey)⌉,
+  // 4 at sf0.01) and path quantities by 5^depth, so the LONG products
+  // never near overflow.
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.part(spark, dir)
+      .select(col("p_partkey").as("child"),
+        expr("p_partkey div 10").as("parent"),
+        expr("CAST((p_size % 5) + 1 AS BIGINT)").as("qty"))
+      .filter(col("child") >= 1 && col("parent") >= 1)
+      .localCheckpoint(eager = false) // reused every round — truncate lineage once
+    var frontier = edges.select(col("child"), col("parent").as("anc"),
+      col("qty").as("pq"), lit(1L).as("depth"))
+    val slices = scala.collection.mutable.ArrayBuffer(frontier)
+    val up = edges.select(col("child").as("jc"), col("parent").as("jp"),
+      col("qty").as("jq"))
+    var open = true
+    while (open) {
+      val next = frontier.join(up, frontier("anc") === col("jc"))
+        .select(col("child"), col("jp").as("anc"),
+          (col("pq") * col("jq")).as("pq"), (col("depth") + 1L).as("depth"))
+        .localCheckpoint() // eager: materializes the round, truncates lineage
+      if (next.isEmpty) open = false
+      else { slices += next; frontier = next }
+    }
+    slices.reduce(_ unionByName _)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("pq")).as("sum_pq"),
+        countDistinct(col("anc")).as("n_anc"),
+        countDistinct(col("child")).as("n_children"),
+        max(col("pq")).as("max_pq"))
+      .orderBy(col("depth"))
+  }
+
+  private val q74Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT p_partkey AS child, p_partkey // 10 AS parent,
+      |    CAST((p_size % 5) + 1 AS BIGINT) AS qty
+      |  FROM part WHERE p_partkey >= 1 AND p_partkey // 10 >= 1),
+      |cl AS (
+      |  SELECT child, parent AS anc, qty AS pq, CAST(1 AS BIGINT) AS depth FROM e
+      |  UNION ALL
+      |  SELECT cl.child, e.parent, cl.pq * e.qty, cl.depth + 1
+      |  FROM cl JOIN e ON e.child = cl.anc)
+      |SELECT depth, COUNT(*) AS n_pairs, CAST(SUM(pq) AS BIGINT) AS sum_pq,
+      |  COUNT(DISTINCT anc) AS n_anc, COUNT(DISTINCT child) AS n_children,
+      |  CAST(MAX(pq) AS BIGINT) AS max_pq
+      |FROM cl GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_recursive_bom" -> (q74 _),
     "q73_division" -> (q73 _),
     "q72_forecast_revenue" -> (q72 _),
     "q66_mincost_supplier" -> (q66 _),
@@ -1036,6 +1101,7 @@ object TpchQueries {
     "x40_acf" -> (x40 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q74_recursive_bom" -> q74Sql,
     "q73_division" -> q73Sql,
     "q72_forecast_revenue" -> q72Sql,
     "q66_mincost_supplier" -> q66Sql,
