@@ -2749,7 +2749,96 @@ object CrossQueries {
       |    AS max_gap_min
       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x74_rrf_fusion — HYBRID RETRIEVAL with Reciprocal-Rank Fusion
+  // (Cormack et al. 2009, the standard RAG-era way to combine a lexical
+  // and a dense ranking without score calibration): BM25 top-50 (t52's
+  // scoring core, shared code AND shared oracle CTEs) fused with
+  // embedding-cosine top-50 against the vec_id=0 query vector, score =
+  // Σ floor(1e12 / (60 + rank)) over the arms that ranked the doc.
+  // INTEGER-EXACT throughout: the dense arm never materializes a float
+  // cosine — it ranks by the monotone surrogate sign(dot)·⌊⌊|dot|/1e6⌋²
+  // / max(⌊nrm/1e6⌋,1)⌋ (cos² ∝ dot²/nrm for a fixed query vector, sign
+  // restores direction; the 1e-6 truncation only reshuffles within-
+  // 1e-6 ties, which both engines then break identically by vec_id).
+  // Scale shape: the lexical arm prunes to query-term postings BEFORE
+  // any exchange (t52); both arms end in orderBy+limit(50) =
+  // TakeOrderedAndProject, with rank assignment a 50-row window AFTER
+  // the limit (never a global window); the fusion is a full-outer join
+  // of two ≤50-row frames. Docs matched by one arm only score with the
+  // other contribution 0 — the whole point of RRF.
+  def x74(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val lex = TextQueries.bm25Scaled(spark, dir, Seq("stream", "join", "query"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id")).limit(k)
+      .withColumn("lex_rnk", row_number()
+        .over(Window.orderBy(col("bm25_scaled").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rnk"))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val qv = v.filter(col("vec_id") === 0).select(col("sv").as("qsv"))
+    val dense = v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv)) // 1-row scalar ride-along: the query vector
+      .withColumn("dot", Similarity.dotScaled(col("sv"), col("qsv")))
+      .withColumn("skey", Similarity.surrogateCosKey("dot", "nrm"))
+      .orderBy(col("skey").desc, col("vec_id")).limit(k)
+      .withColumn("dense_rnk", row_number()
+        .over(Window.orderBy(col("skey").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rnk"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        coalesce(expr("1000000000000 div (60 + lex_rnk)"), lit(0L)) +
+          coalesce(expr("1000000000000 div (60 + dense_rnk)"), lit(0L)))
+      .orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
+  }
+
+  private val x74Sql =
+    s"""WITH ${TextQueries.bm25SqlCtes(Seq("stream", "join", "query"))},
+       |lexr AS (
+       |  SELECT doc_id, lex_rnk FROM (
+       |    SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |      (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS lex_rnk
+       |    FROM bm25) WHERE lex_rnk <= 50),
+       |v AS (SELECT vec_id,
+       |        list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, sv,
+       |        CAST(list_aggregate(list_transform(sv, x -> x * x), 'sum') AS BIGINT) AS nrm
+       |      FROM v),
+       |qvec AS (SELECT sv AS qsv FROM n WHERE vec_id = 0),
+       |scd AS (
+       |  SELECT a.vec_id,
+       |    CAST(list_aggregate(list_transform(range(1, len(a.sv) + 1),
+       |      i -> a.sv[i] * qvec.qsv[i]), 'sum') AS BIGINT) AS dot,
+       |    a.nrm
+       |  FROM n a CROSS JOIN qvec WHERE a.vec_id <> 0),
+       |ky AS (
+       |  SELECT vec_id,
+       |    CASE WHEN dot >= 0
+       |      THEN ((abs(dot) // 1000000) * (abs(dot) // 1000000))
+       |             // greatest(nrm // 1000000, 1)
+       |      ELSE -(((abs(dot) // 1000000) * (abs(dot) // 1000000))
+       |             // greatest(nrm // 1000000, 1)) END AS skey
+       |  FROM scd),
+       |denser AS (
+       |  SELECT vec_id AS doc_id, dense_rnk FROM (
+       |    SELECT vec_id, CAST(ROW_NUMBER() OVER
+       |      (ORDER BY skey DESC, vec_id) AS BIGINT) AS dense_rnk
+       |    FROM ky) WHERE dense_rnk <= 50),
+       |f AS (
+       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rnk, d.dense_rnk,
+       |    COALESCE(1000000000000 // (60 + l.lex_rnk), 0)
+       |      + COALESCE(1000000000000 // (60 + d.dense_rnk), 0) AS rrf_scaled
+       |  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, lex_rnk, dense_rnk, CAST(rrf_scaled AS BIGINT) AS rrf_scaled
+       |FROM f ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_rrf_fusion" -> (x74 _),
     "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
     "x70_asof_maxby_sql" -> (x70 _),
@@ -2803,6 +2892,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x74_rrf_fusion" -> x74Sql,
     "x57_cohort_ltv" -> x57Sql,
     "x55_asof_forward" -> x55Sql,
     "x54_asof_native" -> x54Sql,

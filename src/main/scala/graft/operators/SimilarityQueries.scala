@@ -2403,7 +2403,126 @@ object SimilarityQueries {
       |    ORDER BY l2_sq, cand_id) AS rnk FROM ex)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s35_graph_beam — GRAPH-BASED ANN (the NSW/HNSW-layer-0 search rule,
+  // Malkov & Yashunin 2016), the one ANN family the flat/IVF/PQ/SQ gates
+  // don't cover: greedy BEAM SEARCH over the s10 k-NN graph instead of
+  // scanning any bucket. The graph's edges come from same-LSH-bucket
+  // candidates, so its components are bucket-local by construction — a
+  // single entry point could never cross into the query's component;
+  // the searcher is therefore MULTI-ENTRY (min vec_id per bucket, the
+  // standard NSW answer to a fragmented graph). Three rounds of
+  // { candidates = beam ∪ neighbors(beam); beam = top-8 }, scored
+  // against the vec_id=0 query vector by the same INTEGER-EXACT
+  // surrogate key as x74 (no float cosine anywhere in the ranking
+  // path). The output beam carries an `exact_hit` flag vs the true
+  // top-8 under the identical key — recall@8 of the traversal,
+  // engine-checked (4/8 at sf0.01: the beam reaches the optimum's
+  // component and takes its head; the misses are real NSW behavior —
+  // greedy routing past low-degree nodes on a k=3 graph).
+  // Graph topology is knnEdges, shared with s10/s11/s21 (one edge
+  // definition, four gates). Scale shape: the beam is ≤8 ids, so each
+  // round is one broadcast-hash probe of the k-bounded edge list
+  // (frontier side broadcast, edges never move) plus one id-key join
+  // against the scored-nodes table; entries are one row per bucket
+  // (the s2 pruning geometry); rounds are a FIXED constant (3) — no
+  // data-dependent fixpoint, no collect. The oracle unrolls the
+  // identical three rounds as CTEs — a recursion-free restatement
+  // DuckDB evaluates literally.
+  def s35(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = knnEdges(spark, dir, k = 3)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"),
+        Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
+      .withColumn("nrm", Similarity.dotScaled(col("sv"), col("sv")))
+    val qv = v.filter(col("vec_id") === 0).select(col("sv").as("qsv"))
+    val scored = v.crossJoin(broadcast(qv)) // 1-row scalar ride-along: the query
+      .withColumn("dot", Similarity.dotScaled(col("sv"), col("qsv")))
+      .withColumn("skey", Similarity.surrogateCosKey("dot", "nrm"))
+      .select(col("vec_id"), col("skey"))
+    // multi-entry: one seed per LSH bucket (components are bucket-local)
+    var beam = v.groupBy(col("bucket")).agg(min(col("vec_id")).as("id"))
+      .select(col("id"))
+    for (_ <- 1 to 3) {
+      val cand = beam
+        .unionAll(und.join(broadcast(beam), col("a") === col("id"))
+          .select(col("b").as("id")))
+        .distinct()
+      beam = cand.filter(col("id") =!= 0)
+        .join(scored, col("id") === col("vec_id"))
+        .orderBy(col("skey").desc, col("id")).limit(8)
+        .select(col("id"))
+    }
+    val fin = beam.join(scored, col("id") === col("vec_id"))
+      .select(col("id"), col("skey"))
+      .orderBy(col("skey").desc, col("id")).limit(8)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("skey").desc, col("id"))).cast("long"))
+    val exact = scored.filter(col("vec_id") =!= 0)
+      .orderBy(col("skey").desc, col("vec_id")).limit(8)
+      .select(col("vec_id").as("xid"), lit(1L).as("hit"))
+    fin.join(broadcast(exact), col("id") === col("xid"), "left")
+      .select(col("rnk"), col("id").as("vec_id"), col("skey"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("rnk"))
+  }
+
+  private val s35Sql = {
+    val skeySql =
+      """CASE WHEN dot >= 0
+        |  THEN ((abs(dot) // 1000000) * (abs(dot) // 1000000))
+        |         // greatest(nrm // 1000000, 1)
+        |  ELSE -(((abs(dot) // 1000000) * (abs(dot) // 1000000))
+        |         // greatest(nrm // 1000000, 1)) END""".stripMargin
+    def round(i: Int): String =
+      s"""c$i AS (SELECT id FROM b${i - 1}
+         |  UNION SELECT und.b FROM und JOIN b${i - 1} ON und.a = b${i - 1}.id),
+         |b$i AS (SELECT id FROM (
+         |  SELECT c$i.id AS id, ROW_NUMBER() OVER
+         |    (ORDER BY sc2.skey DESC, c$i.id) AS rn
+         |  FROM c$i JOIN sc2 ON sc2.vec_id = c$i.id WHERE c$i.id <> 0)
+         |  WHERE rn <= 8)""".stripMargin
+    s"""WITH $scaledCteAdaptive,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    ${cosSql(dotSql, "a.nrm", "b.nrm")} AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT vec_id, cand_id FROM (
+       |  SELECT vec_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM pairs) WHERE rnk <= 3),
+       |und AS (SELECT vec_id AS a, cand_id AS b FROM knn
+       |        UNION SELECT cand_id, vec_id FROM knn),
+       |qs AS (SELECT sv AS qsv FROM n WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT a.vec_id,
+       |    CAST(list_aggregate(list_transform(range(1, len(a.sv) + 1),
+       |      i -> a.sv[i] * qs.qsv[i]), 'sum') AS BIGINT) AS dot,
+       |    CAST(a.nrm AS BIGINT) AS nrm
+       |  FROM n a CROSS JOIN qs),
+       |sc2 AS (SELECT vec_id, $skeySql AS skey FROM dots),
+       |b0 AS (SELECT MIN(vec_id) AS id FROM n GROUP BY bucket),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |fin AS (SELECT id, skey, rnk FROM (
+       |  SELECT b3.id AS id, sc2.skey AS skey, CAST(ROW_NUMBER() OVER
+       |    (ORDER BY sc2.skey DESC, b3.id) AS BIGINT) AS rnk
+       |  FROM b3 JOIN sc2 ON sc2.vec_id = b3.id) WHERE rnk <= 8),
+       |ex AS (SELECT vec_id FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY skey DESC, vec_id) AS rn
+       |  FROM sc2 WHERE vec_id <> 0) WHERE rn <= 8)
+       |SELECT rnk, id AS vec_id, CAST(skey AS BIGINT) AS skey,
+       |  CAST(CASE WHEN id IN (SELECT vec_id FROM ex) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS exact_hit
+       |FROM fin ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_graph_beam" -> (s35 _),
     "s32_ivfpq" -> (s32 _),
     "s33_sq8" -> (s33 _),
     "s31_jl_neighbors" -> (s31 _),
@@ -2439,6 +2558,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s35_graph_beam" -> s35Sql,
     "s32_ivfpq" -> s32Sql,
     "s33_sq8" -> s33Sql,
     "s31_jl_neighbors" -> s31Sql,

@@ -2399,8 +2399,11 @@ object TextQueries {
   // query-matched postings BEFORE any exchange (a real engine's
   // postings fetch); avgdl/N are two driver scalars (the CMS-anchor
   // pattern); top-20 is TakeOrderedAndProject, never a global sort.
-  def t52(spark: SparkSession, dir: String): DataFrame = {
-    val queryTerms = Seq("stream", "join", "query")
+  /** t52's scoring core, unordered (doc_id, bm25_scaled) — shared with
+    * the x74 hybrid-retrieval gate so the lexical arm of the fusion can
+    * never diverge from the standalone BM25 gate. */
+  private[operators] def bm25Scaled(
+      spark: SparkSession, dir: String, queryTerms: Seq[String]): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val nDocs = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -2422,35 +2425,47 @@ object TextQueries {
           " (tf * 1000000L + (1200000L * k_scaled) div 1000000L))) div 1000L"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("bm25_scaled"))
+  }
+
+  def t52(spark: SparkSession, dir: String): DataFrame =
+    bm25Scaled(spark, dir, Seq("stream", "join", "query"))
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
       .limit(20)
+
+  /** The BM25 scoring pipeline as a CTE chain ending in
+    * `bm25(doc_id, bm25_scaled)` — shared verbatim between t52's oracle
+    * and x74's lexical arm so the two oracles can never diverge. */
+  private[operators] def bm25SqlCtes(terms: Seq[String]): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    s"""d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d) u
+       |  WHERE len(t) >= 2 GROUP BY doc_id, t),
+       |dlx AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |s AS (SELECT (SELECT COUNT(*) FROM d) AS n,
+       |             (SELECT CAST((SUM(dl) * 1000000) // COUNT(*) AS BIGINT) FROM dlx) AS avgdl_scaled),
+       |q(t) AS (VALUES $vals),
+       |dfx AS (SELECT t, COUNT(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tf, dlx.dl, dfx.df, s.n, s.avgdl_scaled
+       |  FROM tf JOIN dfx USING (t) JOIN dlx USING (doc_id) CROSS JOIN s),
+       |tscore AS (
+       |  SELECT doc_id,
+       |    ((((2 * (n - df) + 1) * 1000000) // (2 * df + 1)) // 1000)
+       |      * ((tf * 2200000 * 1000000) //
+       |         (tf * 1000000 +
+       |          (1200000 * (250000 + (750000 * dl * 1000000) // avgdl_scaled)) // 1000000))
+       |      // 1000 AS term_score
+       |  FROM sc),
+       |bm25 AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled
+       |         FROM tscore GROUP BY doc_id)""".stripMargin
   }
 
   private val t52Sql =
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-      |tf AS (
-      |  SELECT doc_id, t, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d) u
-      |  WHERE len(t) >= 2 GROUP BY doc_id, t),
-      |dlx AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-      |s AS (SELECT (SELECT COUNT(*) FROM d) AS n,
-      |             (SELECT CAST((SUM(dl) * 1000000) // COUNT(*) AS BIGINT) FROM dlx) AS avgdl_scaled),
-      |q(t) AS (VALUES ('stream'), ('join'), ('query')),
-      |dfx AS (SELECT t, COUNT(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
-      |sc AS (
-      |  SELECT tf.doc_id, tf.tf, dlx.dl, dfx.df, s.n, s.avgdl_scaled
-      |  FROM tf JOIN dfx USING (t) JOIN dlx USING (doc_id) CROSS JOIN s),
-      |ts AS (
-      |  SELECT doc_id,
-      |    ((((2 * (n - df) + 1) * 1000000) // (2 * df + 1)) // 1000)
-      |      * ((tf * 2200000 * 1000000) //
-      |         (tf * 1000000 +
-      |          (1200000 * (250000 + (750000 * dl * 1000000) // avgdl_scaled)) // 1000000))
-      |      // 1000 AS term_score
-      |  FROM sc)
-      |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled
-      |FROM ts GROUP BY doc_id
-      |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+    s"""WITH ${bm25SqlCtes(Seq("stream", "join", "query"))}
+       |SELECT doc_id, bm25_scaled FROM bm25
+       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
   // t53_unigram_viterbi — SentencePiece-style unigram-LM tokenizer

@@ -81,6 +81,24 @@ object Similarity {
   def cosineWithNorms(dot: Column, normA: Column, normB: Column): Column =
     dot.cast(DoubleType) / (sqrt(normA.cast(DoubleType)) * sqrt(normB.cast(DoubleType)))
 
+  /** INTEGER-EXACT cosine-ranking surrogate for a FIXED query vector:
+    * sign(dot) · ⌊⌊|dot|/1e6⌋² / max(⌊nrm/1e6⌋, 1)⌋. For one query q,
+    * cos² ∝ dot²/nrm, the square is monotone in |cos| and the sign
+    * restores direction, so ordering by this LONG key is ordering by
+    * cosine up to the 1e-6 truncation — and ties the truncation creates
+    * are broken identically in both engines by the id column. Every
+    * operand is non-negative at the div sites, so Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree. Used by
+    * the ranking gates that must stay float-free end-to-end (x74, s35);
+    * the oracles restate the identical expression literally. */
+  def surrogateCosKey(dotCol: String, nrmCol: String): Column =
+    expr(s"""CASE WHEN $dotCol >= 0
+            |  THEN (abs($dotCol) div 1000000) * (abs($dotCol) div 1000000)
+            |         div greatest($nrmCol div 1000000, 1)
+            |  ELSE -((abs($dotCol) div 1000000) * (abs($dotCol) div 1000000)
+            |         div greatest($nrmCol div 1000000, 1))
+            |END""".stripMargin)
+
   /** Sign-LSH bucket over the first `bits` components: a static
     * hyperplane family that needs no fitting and prunes ~2^bits-fold. */
   def signBucket(c: Column, bits: Int): Column =
