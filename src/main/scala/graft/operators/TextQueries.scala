@@ -2654,7 +2654,93 @@ object TextQueries {
        |LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t55_rake — RAKE keyword extraction (Rose et al. 2010): candidate
+  // phrases are the maximal runs between stopword breaks, word score =
+  // degree/frequency over the candidate phrases, phrase score = Σ of
+  // its words' scores. The stoplist is LEARNED from term frequency
+  // (top-8 corpus words — the paper's §1.2.2 frequency-derived
+  // stoplist; a fixed English list would never break this corpus), so
+  // the whole gate is data-driven and deterministic (count desc, word
+  // asc). Runs are the classic gaps-and-islands id (pos − row_number
+  // per doc over non-stop tokens); phrases longer than 4 words are
+  // discarded (the standard max_words guard — unbounded runs make
+  // every long phrase unique and degenerate). INTEGER-EXACT: word
+  // score is degree·1e6 div freq; phrase score a BIGINT sum. Scale
+  // shape: one doc-keyed window for the islands, vocabulary-bounded
+  // word stats, phrase-keyed aggregate, top-15 =
+  // TakeOrderedAndProject; the stoplist is an 8-row broadcast.
+  def t55(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val stop = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(8)
+      .select(col("w").as("sw"))
+    val runs = toks.join(broadcast(stop), col("w") === col("sw"), "left_anti")
+      .withColumn("rid", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = runs.groupBy(col("doc_id"), col("rid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ws, x -> x.w), ' ')").as("phrase"),
+        size(col("ws")).cast("long").as("plen"))
+      .filter(col("plen") <= 4)
+    val occ = phrases.select(col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val wscore = occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("deg * 1000000 div freq"))
+      .select(col("w"), col("wscore"))
+    val nocc = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), max(col("plen")).as("n_words"))
+    val pscore = nocc.select(col("phrase"))
+      .withColumn("w", explode(split(col("phrase"), " ")))
+      .join(wscore, "w")
+      .groupBy(col("phrase")).agg(sum(col("wscore")).as("score_ppm"))
+    nocc.join(pscore, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase")).limit(15)
+  }
+
+  private val t55Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+      |    unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT * FROM tk WHERE w <> ''),
+      |stop AS (SELECT w AS sw FROM (
+      |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+      |  ORDER BY c DESC, w LIMIT 8)),
+      |nn AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+      |       LEFT JOIN stop s ON s.sw = t.w WHERE s.sw IS NULL),
+      |runs AS (SELECT doc_id, pos, w,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+      |  FROM nn),
+      |ph AS (SELECT doc_id, rid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |         COUNT(*) AS plen
+      |       FROM runs GROUP BY 1, 2),
+      |kept AS (SELECT doc_id, phrase, CAST(plen AS BIGINT) AS plen
+      |         FROM ph WHERE plen <= 4),
+      |occ AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+      |        FROM kept),
+      |ws AS (SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM occ GROUP BY w),
+      |wsc AS (SELECT w, deg * 1000000 // freq AS wscore FROM ws),
+      |nocc AS (SELECT phrase, COUNT(*) AS n_occur,
+      |           CAST(MAX(plen) AS BIGINT) AS n_words
+      |         FROM kept GROUP BY phrase),
+      |dw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      |       FROM (SELECT DISTINCT phrase FROM kept)),
+      |psc AS (SELECT dw.phrase, CAST(SUM(wsc.wscore) AS BIGINT) AS score_ppm
+      |        FROM dw JOIN wsc USING (w) GROUP BY 1)
+      |SELECT n.phrase, n.n_words, n.n_occur, p.score_ppm
+      |FROM nocc n JOIN psc p USING (phrase)
+      |ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t55_rake" -> (t55 _),
     "t54_ngram_precision" -> (t54 _),
     "t53_unigram_viterbi" -> (t53 _),
     "t52_bm25" -> (t52 _),
@@ -2733,6 +2819,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t55_rake" -> t55Sql,
     "t54_ngram_precision" -> t54Sql,
     "t53_unigram_viterbi" -> t53Sql,
     "t52_bm25" -> t52Sql,
