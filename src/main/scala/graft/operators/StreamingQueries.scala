@@ -986,7 +986,61 @@ object StreamingQueries {
       |    AS cents
       |FROM j GROUP BY 1 ORDER BY gap_min""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st34_stream_cusum — ONLINE drift detection: per-user one-sided CUSUM
+  // (S_t = max(0, S_{t−1} + x_t − k), x scaled 1e6, k = 50.0, alarm at
+  // h = 500.0) folded INCREMENTALLY in mapGroupsWithState — the
+  // streaming twin of the batch x36 gate and the anomaly-detection
+  // class the streaming table lacked. State is six longs per monitored
+  // user (prefix sum + clamped prefix min — the closed form — plus the
+  // latched alarm counters); the oracle restates the SAME closed form
+  // as two window passes (prefix sum, prefix min) — no recursive CTE
+  // needed, unlike x36's mean-centered variant. Update-mode emissions
+  // carry cumulative counters with strictly-increasing n_events, so
+  // the max-n_events row per user is the global answer under any
+  // micro-batch slicing (the chunked-replay recovery rule).
+  def st34(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Streaming.cusumDrift(spark, dir, kScaled = 50000000L, hScaled = 500000000L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
+  }
+
+  private val st34Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    CAST(floor(value * 1000000) AS BIGINT) - 50000000 AS d
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, tsu, event_id,
+      |    SUM(d) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS pt
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tsu, event_id, pt,
+      |    pt - LEAST(0, MIN(pt) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                                ROWS UNBOUNDED PRECEDING)) AS st
+      |  FROM p),
+      |fin AS (
+      |  SELECT user_id, st,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY tsu DESC, event_id DESC) AS rn
+      |  FROM s),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events, CAST(MAX(st) AS BIGINT) AS max_s,
+      |    CAST(SUM(CASE WHEN st >= 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_alarms,
+      |    MIN(CASE WHEN st >= 500000000 THEN tsu END) AS first_alarm_tsu
+      |  FROM s GROUP BY user_id)
+      |SELECT a.user_id, a.n_events, CAST(f.st AS BIGINT) AS final_s, a.max_s,
+      |  a.n_alarms, a.first_alarm_tsu
+      |FROM agg a JOIN fin f ON f.user_id = a.user_id AND f.rn = 1
+      |ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st34_stream_cusum" -> (st34 _),
     "st33_stream_asof" -> (st33 _),
     "st32_stream_neardup" -> (st32 _),
     "st30_chunked_hourly" -> (st30 _),
@@ -1022,6 +1076,7 @@ object StreamingQueries {
     "st12_stream_full_outer" -> (st12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st34_stream_cusum" -> st34Sql,
     "st33_stream_asof" -> st33Sql,
     "st32_stream_neardup" -> st32Sql,
     "st30_chunked_hourly" -> st30Sql,

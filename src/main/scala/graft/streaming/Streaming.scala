@@ -645,6 +645,16 @@ object Streaming {
     * to arm). */
   final case class SessionEventW(
       user_id: Long, event_id: Long, tsu: Long, event_ts: java.sql.Timestamp)
+  final case class CusumEventW(
+      user_id: Long, event_id: Long, tsu: Long, d: Long,
+      event_ts: java.sql.Timestamp)
+  // see SessState: state encoders need a public ctor
+  final case class CusumState(
+      p: Long, minp: Long, maxS: Long, nAlarms: Long, firstAlarmTsu: Long,
+      nEvents: Long)
+  final case class CusumRow(
+      user_id: Long, n_events: Long, final_s: Long, max_s: Long,
+      n_alarms: Long, first_alarm_tsu: Option[Long])
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   // NOT private: the state encoder's generated code constructs/reads
   // this class reflectively and cannot reach a private nested ctor
@@ -764,6 +774,56 @@ object Streaming {
       .withColumn("event_ts", timestamp_micros(col("tsu")))
       .withWatermark("event_ts", "0 seconds")
       .as[SessionEventW]
+  }
+
+  /** ONLINE CUSUM drift detection per monitored entity — the streaming
+    * twin of the batch x36 gate: one-sided S_t = max(0, S_{t−1} + x_t − k)
+    * folded incrementally, alarms latched when S_t ≥ h. The fold is the
+    * PREFIX-MIN closed form (S_t = P_t − min(0, min_{j≤t} P_j), all
+    * exact LONG arithmetic), so the per-key state is six longs — prefix
+    * sum, clamped prefix min, running max S, alarm count, first-alarm
+    * micros, event count — regardless of how many events stream past:
+    * state rows track the MONITORED-ENTITY registry (the per-user
+    * lifetime-monitoring contract, st9's bound class), never arrivals.
+    * Each data batch re-emits the user's cumulative summary (Update
+    * mode); n_events increases strictly per emission, so the final row
+    * per user is max-n_events — the epoch-proof recovery the multi-
+    * micro-batch replay relies on. Within a batch the group iterator is
+    * unordered → sorted by (tsu, event_id); across batches the chunked
+    * replay's contiguous ts-ranges preserve event-time order. */
+  def cusumDrift(
+      spark: SparkSession, sfDir: String,
+      kScaled: Long, hScaled: Long): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_cusum_${queryCounter.incrementAndGet()}"
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("tsu"),
+        (expr("CAST(floor(value * 1000000) AS BIGINT)") - lit(kScaled)).as("d"))
+      .withColumn("event_ts", timestamp_micros(col("tsu")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[CusumEventW]
+    val out = events.groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, CusumRow](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[CusumState]) =>
+          val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
+          var s = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val p = s.p + e.d
+            val minp = math.min(s.minp, p)
+            val st = p - minp
+            val alarmed = st >= hScaled
+            s = CusumState(p, minp, math.max(s.maxS, st),
+              s.nAlarms + (if (alarmed) 1L else 0L),
+              if (alarmed && s.firstAlarmTsu == Long.MinValue) e.tsu
+              else s.firstAlarmTsu,
+              s.nEvents + 1L)
+          }
+          state.update(s)
+          CusumRow(uid, s.nEvents, s.p - s.minp, s.maxS, s.nAlarms,
+            if (s.firstAlarmTsu == Long.MinValue) None else Some(s.firstAlarmTsu))
+      }
+    drainToLocal(spark, name, OutputMode.Update, out.toDF())
   }
 
   def statefulSessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {

@@ -43,6 +43,18 @@ class StreamSlicingSpec extends SparkSpec {
     assert(multi == single)
   }
 
+  test("online CUSUM fold is slicing-invariant (4 chunks == 1 chunk)") {
+    // the max-n_events recovery rule must absorb mid-replay Update
+    // emissions: every micro-batch re-emits cumulative counters, the
+    // gate keeps only each user's last epoch
+    val multi = canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
+      graft.operators.StreamingQueries.st34(spark, staged)
+    })
+    val single = canon(graft.operators.StreamingQueries.st34(spark, sf))
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
   test("stream-stream interval join is slicing-invariant and audit-visible") {
     val recs = scala.collection.mutable.ArrayBuffer.empty[StreamAudit.QueryRecord]
     StreamAudit.enable(r => recs.synchronized { recs += r; () })
