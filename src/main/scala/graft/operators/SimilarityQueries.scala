@@ -326,7 +326,10 @@ object SimilarityQueries {
   /** 64 literal in `range(1, 65)`: the embeddings table is fixed-dim by
     * contract (TESTDATA.md); the engine side reads the true array
     * length per row. */
-  private val s7Sql = {
+  /** s7's oracle, parameterized on the probe width so the s36 sweep
+    * reuses the IDENTICAL train/assign/probe SQL at every nprobe — one
+    * IVF definition across both gates. */
+  private def ivfSql(nprobe: Int): String = {
     def centDot(vec: String) =
       s"list_aggregate(list_transform(range(1, len($vec) + 1), i -> $vec[i] * c.cent[i]), 'sum')"
     s"""WITH $scaledCte,
@@ -351,7 +354,7 @@ object SimilarityQueries {
        |    SELECT b.vec_id AS query_id, b.sv AS qv, b.nrm AS qn, c.icell AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
        |        ${cosSql(centDot("b.sv"), "b.nrm", "c.cn2")} DESC, c.icell) AS rc
-       |    FROM n b CROSS JOIN cw c WHERE b.vec_id < 5) WHERE rc <= 2),
+       |    FROM n b CROSS JOIN cw c WHERE b.vec_id < 5) WHERE rc <= $nprobe),
        |pairs AS (
        |  SELECT p.query_id, a.vec_id AS cand_id,
        |    ${cosSql(
@@ -364,6 +367,8 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos FROM r
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
+
+  private val s7Sql = ivfSql(2)
 
   // ---------------------------------------------------------------------
   // s9_pq_codes — product quantization (the vector-store compression
@@ -2521,7 +2526,64 @@ object SimilarityQueries {
        |FROM fin ORDER BY rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s36_nprobe_sweep — the IVF TUNING CURVE: recall@10 vs nprobe ∈
+  // {1, 2, 4} against the s1 brute-force truth, the measurement an ANN
+  // deployment runs before picking its probe width (recall rises toward
+  // 1.0 as probes approach the full cell count — the cost/recall
+  // trade-off made visible in one 3-row table). One IVF definition
+  // everywhere: the Spark arm calls the same `Similarity.topKIvf` as s7
+  // at three widths; the oracle instantiates the same parameterized
+  // `ivfSql` (s7's SQL, probe width substituted) three times. Scale
+  // shape: each arm is s7's (trained centroid literals, map-side
+  // assign, probed-cell candidate join, top-10 per query); the sweep
+  // unions three 50-row frames and the recall join is against a 50-row
+  // broadcast — the sweep costs 3 probe passes, never 3 corpus scans
+  // of anything wider than the probed cells.
+  def s36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val exact = s1(spark, dir).select(col("query_id"), col("cand_id"))
+    val anns = Seq(1, 2, 4).map { np =>
+      Similarity.topKIvf(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, bits = 3, nprobe = np)
+        .select(lit(np.toLong).as("np"), col("query_id"), col("cand_id"))
+    }.reduce(_ unionByName _).withColumn("hit", lit(1L))
+    val nps = Seq(1L, 2L, 4L).toDF("np")
+    exact.crossJoin(broadcast(nps)) // 3-row sweep axis ride-along
+      .join(anns, Seq("np", "query_id", "cand_id"), "left")
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_exact"))
+      .orderBy(col("np"))
+  }
+
+  private val s36Sql =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM ($s1Sql)),
+       |a1 AS (SELECT query_id, cand_id FROM (${ivfSql(1)})),
+       |a2 AS (SELECT query_id, cand_id FROM (${ivfSql(2)})),
+       |a4 AS (SELECT query_id, cand_id FROM (${ivfSql(4)})),
+       |u AS (
+       |  SELECT CAST(1 AS BIGINT) AS np, query_id, cand_id FROM a1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), query_id, cand_id FROM a2
+       |  UNION ALL SELECT CAST(4 AS BIGINT), query_id, cand_id FROM a4),
+       |nps(np) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+       |                   (CAST(4 AS BIGINT)))
+       |SELECT n.np, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN u.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits,
+       |  CAST(SUM(CASE WHEN u.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact e CROSS JOIN nps n
+       |LEFT JOIN u ON u.np = n.np AND u.query_id = e.query_id
+       |            AND u.cand_id = e.cand_id
+       |GROUP BY n.np ORDER BY n.np""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_nprobe_sweep" -> (s36 _),
     "s35_graph_beam" -> (s35 _),
     "s32_ivfpq" -> (s32 _),
     "s33_sq8" -> (s33 _),
@@ -2558,6 +2620,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s36_nprobe_sweep" -> s36Sql,
     "s35_graph_beam" -> s35Sql,
     "s32_ivfpq" -> s32Sql,
     "s33_sq8" -> s33Sql,

@@ -98,9 +98,18 @@ class PlanRegressionSpec extends SparkSpec {
     "s33_sq8" -> 2,           // 5-row query-set broadcast × candidate
                               // stream (s1's shape): SQ scoring pass +
                               // exact rerank pass
-    "v25_column_profile" -> 1) // 1-row distincts × 1-row min/max frames
+    "v25_column_profile" -> 1, // 1-row distincts × 1-row min/max frames
                               // (the HashAggregate/SortAggregate plan
                               // split — see the gate's comment)
+    "x74_rrf_fusion" -> 1,    // 1-row query-vector ride-along (dense arm)
+    "s35_graph_beam" -> 9,    // the SAME 1-row query-vector broadcast,
+                              // re-expanded pre-execution across the 3
+                              // unrolled beam rounds + final/exact
+                              // branches (x40's re-expansion pattern —
+                              // each instance is the one bounded scalar)
+    "s36_nprobe_sweep" -> 5)  // s1's query broadcast + 3× s7's codebook
+                              // broadcast (2^bits rows) + the 3-row
+                              // sweep-axis ride-along
 
   /** Queries that MUST broadcast their dimension join. */
   private val mustBroadcast = Seq(
@@ -221,7 +230,13 @@ class PlanRegressionSpec extends SparkSpec {
     "v16_anomaly_mad" -> 6,      // median + MAD rank picks over day counts
                                  // (3 ranked branches × rank/count pair)
     "x41_stl" -> 2,              // trend + seasonal smoothing over days
-    "t41_mixture_apportion" -> 1) // remainder rank over #sources rows
+    "t41_mixture_apportion" -> 1, // remainder rank over #sources rows
+    "x74_rrf_fusion" -> 2,       // rank assignment AFTER limit(50): both
+                                 // arms' windows see ≤50 rows by
+                                 // construction (TakeOrderedAndProject
+                                 // feeds them), never the corpus
+    "s35_graph_beam" -> 1)       // final-beam rank over ≤8 rows (the
+                                 // beam width), post-limit like x74's
 
   test("q69 keeps the rank-filter pushdown (WindowGroupLimit)") {
     // InferWindowGroupLimit turns `row_number() <= k` into a per-group
