@@ -2837,7 +2837,82 @@ object CrossQueries {
        |SELECT doc_id, lex_rnk, dense_rnk, CAST(rrf_scaled AS BIGINT) AS rrf_scaled
        |FROM f ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x75_match_recognize — ROW-PATTERN RECOGNITION (the SQL:2016
+  // MATCH_RECOGNIZE class — Flink CEP / Trino MATCH_RECOGNIZE — which
+  // Spark has no surface for): detect `view+ click+ purchase+` with
+  // STRICT contiguity over each user's event-time sequence, AFTER MATCH
+  // SKIP PAST LAST ROW. Spark-first plan: the regex over rows collapses
+  // to a regex over RUNS — run-length-compress consecutive same-type
+  // events (the gaps-and-islands double-row_number), order runs, and
+  // the pattern V+C+P+ becomes exactly "three ADJACENT runs typed
+  // (view, click, purchase)" matched with two `lead`s — quantifiers
+  // absorbed by the compression, the match scan a per-user window pass
+  // (no self-join, no UDF automaton). Scale shape: two user-keyed
+  // window passes (one exchange) + a per-run aggregate; runs, not
+  // events, cross the second window. Output: per matched user, match
+  // count, events consumed, first match start — all exact micros.
+  def x75(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tsu"), col("event_id"))
+    val runs = e
+      .withColumn("rid",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("rid"))
+      .agg(count(lit(1)).as("run_len"), min(col("tsu")).as("start_tsu"),
+        min(col("event_id")).as("start_eid"))
+    val bySeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_tsu"), col("start_eid"))
+    val matches = runs
+      .withColumn("t1", lead(col("event_type"), 1).over(bySeq))
+      .withColumn("t2", lead(col("event_type"), 2).over(bySeq))
+      .withColumn("l1", lead(col("run_len"), 1).over(bySeq))
+      .withColumn("l2", lead(col("run_len"), 2).over(bySeq))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase")
+    matches.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("run_len") + col("l1") + col("l2")).as("events_consumed"),
+        min(col("start_tsu")).as("first_start_tsu"))
+      .orderBy(col("user_id"))
+  }
+
+  private val x75Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, event_type, tsu,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY tsu, event_id) AS rid
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, event_type, rid, COUNT(*) AS run_len,
+      |    MIN(tsu) AS start_tsu, MIN(event_id) AS start_eid
+      |  FROM r GROUP BY 1, 2, 3),
+      |seq AS (
+      |  SELECT user_id, event_type, run_len, start_tsu,
+      |    LEAD(event_type, 1) OVER w AS t1,
+      |    LEAD(event_type, 2) OVER w AS t2,
+      |    LEAD(run_len, 1) OVER w AS l1,
+      |    LEAD(run_len, 2) OVER w AS l2
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY start_tsu, start_eid))
+      |SELECT user_id, COUNT(*) AS n_matches,
+      |  CAST(SUM(run_len + l1 + l2) AS BIGINT) AS events_consumed,
+      |  MIN(start_tsu) AS first_start_tsu
+      |FROM seq
+      |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_match_recognize" -> (x75 _),
     "x74_rrf_fusion" -> (x74 _),
     "x69_strict_ts_sql" -> (x69 _),
     "x68_asof_sql" -> (x68 _),
@@ -2892,6 +2967,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x75_match_recognize" -> x75Sql,
     "x74_rrf_fusion" -> x74Sql,
     "x57_cohort_ltv" -> x57Sql,
     "x55_asof_forward" -> x55Sql,
