@@ -96,6 +96,16 @@ object TextFunctions {
         GraftColumnBridge.expression(c)))
   }
 
+  /** LCS length over two token arrays — the ROUGE-L core as one
+    * codegen'd rolling-row DP ([[graft.functions.expressions.LcsLength]]).
+    * O(n·m) per pair: callers must bound both sides. */
+  def lcsLength(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.expressions.LcsLength(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** The pre-kernel formulation of [[languageId]] — equivalence-spec
     * oracle only; do not use in query paths (codegen size). */
   private[graft] def languageIdReference(c: Column): Column = {

@@ -2739,7 +2739,71 @@ object TextQueries {
       |FROM nocc n JOIN psc p USING (phrase)
       |ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t56_rouge_lcs — ROUGE-L (Lin 2004), the SEQUENCE-ALIGNMENT metric
+  // family (t54's clipped n-gram precision is order-blind; LCS is the
+  // order-aware complement — "fast stream" vs "stream fast" tie on p1
+  // but separate here). Computed for every d2 MinHash candidate pair
+  // (pairCtes shared verbatim with the oracle, t54's discipline) over
+  // the first 12 tokens per side, via the [[LcsLength]] codegen kernel
+  // — one fused rolling-row Wagner–Fischer DP per pair, ≤144 cells,
+  // inside the WholeStageCodegen span. ROUGE-L F1 collapses exactly to
+  // 2·LCS/(n+m) when P and R share one LCS, so the score is integer
+  // ppm with no float path. The oracle replays the identical DP as a
+  // recursive-CTE reachability closure over (i, j, l) states — two
+  // engines, two DP encodings, one alignment (t53's proof shape).
+  // Scale shape: pairs are LSH-bounded (never all-pairs), token
+  // arrays ride the two doc-keyed joins pre-truncated to 12, and the
+  // O(n·m) kernel only ever runs on the bounded pair set.
+  def t56(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4)
+    val tk = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), slice(tokens(col("text")), 1, 12).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+    pairs
+      .join(tk.select(col("doc_id").as("doc_a"), col("tk").as("ta"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("tk").as("tb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("lcs_len",
+        graft.functions.TextFunctions.lcsLength(col("ta"), col("tb")))
+      .select(col("doc_a"), col("doc_b"), col("lcs_len"),
+        expr("2 * lcs_len * 1000000 div (na + nb)").as("rouge_l_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val t56Sql =
+    s"""WITH RECURSIVE ${graft.operators.DedupQueries.pairCtes},
+       |tt AS (SELECT doc_id, string_split(text, ' ')[1:12] AS tk
+       |       FROM documents WHERE text IS NOT NULL),
+       |pr AS (SELECT p.doc_a, p.doc_b, a.tk AS ta, b.tk AS tb,
+       |         CAST(len(a.tk) AS BIGINT) AS n, CAST(len(b.tk) AS BIGINT) AS m
+       |       FROM pairs p JOIN tt a ON a.doc_id = p.doc_a
+       |                    JOIN tt b ON b.doc_id = p.doc_b),
+       |mv(di, dj, mt) AS (VALUES (1, 0, false), (0, 1, false), (1, 1, true)),
+       |st AS (
+       |  SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+       |         CAST(0 AS BIGINT) AS l
+       |  FROM pr
+       |  UNION
+       |  SELECT s.doc_a, s.doc_b, s.i + mv.di, s.j + mv.dj,
+       |         s.l + CASE WHEN mv.mt THEN 1 ELSE 0 END
+       |  FROM st s JOIN pr p ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+       |  CROSS JOIN mv
+       |  WHERE s.i + mv.di <= p.n AND s.j + mv.dj <= p.m
+       |    AND (NOT mv.mt OR p.ta[CAST(s.i AS INT) + 1] = p.tb[CAST(s.j AS INT) + 1])),
+       |lcs AS (SELECT s.doc_a, s.doc_b, MAX(s.l) AS l
+       |        FROM st s JOIN pr p ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+       |        WHERE s.i = p.n AND s.j = p.m GROUP BY 1, 2)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, CAST(c.l AS BIGINT) AS lcs_len,
+       |  CAST(2 * c.l * 1000000 // (p.n + p.m) AS BIGINT) AS rouge_l_ppm
+       |FROM lcs c JOIN pr p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t56_rouge_lcs" -> (t56 _),
     "t55_rake" -> (t55 _),
     "t54_ngram_precision" -> (t54 _),
     "t53_unigram_viterbi" -> (t53 _),
@@ -2819,6 +2883,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t56_rouge_lcs" -> t56Sql,
     "t55_rake" -> t55Sql,
     "t54_ngram_precision" -> t54Sql,
     "t53_unigram_viterbi" -> t53Sql,
