@@ -97,7 +97,14 @@ object DumpPlans {
     // BM25 retrieval gate, and the Derby round trip (1.4s bench)
     "x68_asof_sql", "x70_asof_maxby_sql", "t52_bm25",
     "v28_jdbc_roundtrip", "x69_strict_ts_sql", "x71_asof_strict_sql",
-    "x72_asof_tolerance_sql", "v29_stream_pipeline")
+    "x72_asof_tolerance_sql", "v29_stream_pipeline",
+    // round 8, continued: the closing session's new gate families —
+    // recursive closure, hybrid retrieval, graph ANN + tuning curve,
+    // RAKE, ROUGE-L, row-pattern recognition (plans pinned regardless
+    // of bench medians: each demonstrates a distinct plan shape)
+    "q74_recursive_bom", "x74_rrf_fusion", "s35_graph_beam",
+    "s36_nprobe_sweep", "t55_rake", "t56_rouge_lcs",
+    "x75_match_recognize")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

@@ -85,7 +85,21 @@ class ScaleProbeSpec extends SparkSpec {
     // runtime-filtered as-of: regression mode = the bloom injection
     // breaking the plan (double filters, or a non-pruned right side
     // re-sorting the full click stream per probe)
-    "x73_asof_rtfilter" -> 12.0)
+    "x73_asof_rtfilter" -> 12.0,
+    // RRF hybrid retrieval: regression mode = a rank window slipping
+    // BEFORE the top-50 limit (single-reducer sort of the corpus) or
+    // the BM25 postings prune lost (scoring all terms, not the query's)
+    "x74_rrf_fusion" -> 12.0,
+    // recursive BOM closure: regression mode = the per-round
+    // localCheckpoint lost, every round re-executing the whole union
+    // lineage (depth also grows +1 at 10x keys — the bound absorbs it)
+    "q74_recursive_bom" -> 12.0,
+    // ROUGE-L: regression mode = the LSH pair bound lost, the O(n·m)
+    // LCS kernel running on all doc pairs instead of candidates
+    "t56_rouge_lcs" -> 12.0,
+    // row-pattern recognition: regression mode = the run-compression
+    // windows replaced by an event-level self-join pattern scan
+    "x75_match_recognize" -> 12.0)
 
   test("10x wall ratios stay inside the recorded complexity bounds") {
     assume(enabled, "set GRAFT_SLOW=1 to run the 10x scale probes")
