@@ -223,3 +223,70 @@ object SignProject {
     new GenericArrayData(out)
   }
 }
+
+/** Popcount of the bitwise AND of two equal-length `array<bigint>`
+  * BITSETS — the set-intersection cardinality for token sets packed
+  * into ⌈V/64⌉ words (V = vocabulary size). The verification primitive
+  * of the exact prefix-filter similarity join (d26): intersecting two
+  * packed sets is `words` AND+popcount steps instead of hashing two
+  * string arrays per pair, and the loop runs fused inside
+  * WholeStageCodegen. Same fail-fast malformed-input contract as the
+  * dot kernels (length mismatch / null word raise — a silent 0 would
+  * read as "disjoint sets" and pass unnoticed).
+  */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitset_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) FloatDotProduct.lengthMismatch(n, y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) FloatDotProduct.nullElement(i)
+      s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val cls = FloatDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) $cls.lengthMismatch($n, $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) $cls.nullElement($i);
+         |  $s += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitsetIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -1461,27 +1461,68 @@ object DedupQueries {
   // single-partition window); the only pair-bearing exchange carries
   // prefix-token collision groups, each bounded by that token's df.
   def d26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val occ = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // DENSE token ids in the global rarest-first order — the rank
+    // window runs over the VOCABULARY-sized df table (31 rows here;
+    // dimension cardinality at any corpus scale), so sorting a doc's
+    // tids IS the (df, tok) struct sort the prefix bound needs, and
+    // everything downstream ships ints, never strings.
     val dfreq = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = occ.join(broadcast(dfreq), "tok")
+    val ids = dfreq.select(col("tok"),
+      row_number().over(Window.orderBy(col("df"), col("tok"))).as("tid"))
+    // bitset width: ⌈V/64⌉ words, V from the vocab-sized aggregate (a
+    // driver scalar, the CMS-anchor pattern). A vocabulary too large to
+    // pack (millions) would switch this verify to sorted-int-array
+    // intersection; packing wins while V is dimension-like.
+    val words = ((ids.count() + 63L) / 64L).toInt
+    val ordered = occ.join(broadcast(ids), "tok")
       .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
-        .as("stoks"))
-      .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .select(col("doc_id"), col("tids"), size(col("tids")).as("sz"))
       .withColumn("plen",
         col("sz") - expr("(19 * sz + 19) div 20").cast("int") + 1)
-    val prefixes = ordered.select(col("doc_id"), col("stoks"), col("sz"),
-      explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
-    prefixes.as("a")
+      .withColumn("bits", expr(
+        s"""aggregate(tids, array_repeat(0L, $words),
+           |  (acc, t) -> transform(acc, (w, i) ->
+           |    CASE WHEN (t - 1) div 64 = i
+           |         THEN w | shiftleft(CAST(1 AS BIGINT), (t - 1) % 64)
+           |         ELSE w END))""".stripMargin))
+    // Candidate generation ships (int tid, id, size) ONLY — routing
+    // token arrays through the prefix join duplicated both full string
+    // arrays onto every collision row (measured 178s at sf0.1: this
+    // corpus's 31-word vocabulary makes even rarest-first prefix
+    // groups thousands deep, 3.4M collision rows). The PPJoin LENGTH
+    // FILTER prunes inside the join: J ≥ 19/20 forces
+    // 20·min(|a|,|b|) ≥ 19·max(|a|,|b|) (inter ≤ min, uni ≥ max) —
+    // lossless by the same containment argument as the prefix bound.
+    val prefixes = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
+    val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(first(col("a.stoks")).as("ta"), first(col("b.stoks")).as("tb"),
-        first(col("a.sz")).as("sa"), first(col("b.sz")).as("sb"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 20 >= col("b.sz") * 19 &&
+          col("b.sz") * 20 >= col("a.sz") * 19)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify once per DISTINCT candidate: two doc-keyed joins attach
+    // the ⌈V/64⌉-word bitsets, the intersection is the
+    // [[graft.functions.expressions.BitsetIntersectCount]] codegen
+    // kernel (AND+popcount per word — no per-pair string hashing)
+    def bitsetInter(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.expressions.BitsetIntersectCount(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    }
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("bits").as("ba"),
+        col("sz").as("sa")), Seq("doc_a"))
+      .join(ordered.select(col("doc_id").as("doc_b"), col("bits").as("bb"),
+        col("sz").as("sb")), Seq("doc_b"))
+      .withColumn("inter", bitsetInter(col("ba"), col("bb")))
       .withColumn("uni", col("sa").cast("long") + col("sb") - col("inter"))
       .filter(col("inter") * 20 >= col("uni") * 19)
       .select(col("doc_a"), col("doc_b"),

@@ -235,8 +235,11 @@ class PlanRegressionSpec extends SparkSpec {
                                  // arms' windows see ≤50 rows by
                                  // construction (TakeOrderedAndProject
                                  // feeds them), never the corpus
-    "s35_graph_beam" -> 1)       // final-beam rank over ≤8 rows (the
+    "s35_graph_beam" -> 1,       // final-beam rank over ≤8 rows (the
                                  // beam width), post-limit like x74's
+    "d26_prefix_filter" -> 1)    // dense-token-id rank over the
+                                 // VOCABULARY-sized df table (31 rows;
+                                 // dimension cardinality at any scale)
 
   test("q69 keeps the rank-filter pushdown (WindowGroupLimit)") {
     // InferWindowGroupLimit turns `row_number() <= k` into a per-group
