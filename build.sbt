@@ -32,5 +32,13 @@ scalacOptions ++= Seq("-Wunused:imports")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 345 gates × 3 runs the one-JVM bench suite left an
+  // 8g old-gen nearly full by the late-alphabet gates — the streaming
+  // tail measured ~3× its isolated wall purely from GC churn (r8
+  // closing-session finding; early-alphabet gates matched r7 at 1.03×).
+  // The machine budget is 128 GiB; 16g restores flat per-gate timing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // headroom for ~345 gates' worth of generated classes (no warning
+  // observed at 240m, but the suite sits close to the default ceiling)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -104,7 +104,10 @@ object DumpPlans {
     // of bench medians: each demonstrates a distinct plan shape)
     "q74_recursive_bom", "x74_rrf_fusion", "s35_graph_beam",
     "s36_nprobe_sweep", "t55_rake", "t56_rouge_lcs",
-    "x75_match_recognize")
+    "x75_match_recognize",
+    // round 8, closing session: the rewritten prefix-filter join
+    // (bitset verify — its 178s-at-sf0.1 lesson lives in the plan)
+    "d26_prefix_filter")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
