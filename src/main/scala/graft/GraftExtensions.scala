@@ -143,6 +143,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // levenshtein filters (see the rule's doc for soundness/idempotence)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
 
+    // optimizer rule: redundant self-join elimination — an inner join
+    // of the same relation on a provably-unique key collapses to one
+    // copy (conf-gated: spark.graft.selfJoin.eliminate)
+    e.injectOptimizerRule(_ => graft.plans.SelfJoinElimination)
+
     // planner strategy: the native backward as-of join (custom logical
     // node → sort-merge AsOfJoinExec; graft.operators.AsOf also
     // self-registers it per-session for extension-less sessions)

@@ -2911,7 +2911,54 @@ object CrossQueries {
       |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // x76_selfjoin_elim — REDUNDANT SELF-JOIN ELIMINATION driven end to
+  // end through plain `spark.sql`: a per-customer metric view joined
+  // to ITSELF on its grouping key (the accidental/generated-SQL shape
+  // — BI tools and ORMs emit it routinely), with symmetric cross-side
+  // residual conjuncts. [[graft.plans.SelfJoinElimination]] proves the
+  // key unique on the view (its Aggregate grouping key), proves both
+  // join inputs canonically identical (after column pruning both sides
+  // reference the same columns — the rule peels attribute-only
+  // Projects), and collapses the join to ONE copy: one scan, ONE
+  // aggregate, zero join exchanges, with the residuals substituted
+  // onto the single row they would have compared. At 100 TB this
+  // removes half the I/O and a full shuffle — the largest plan win
+  // available without touching data. Plan pinned by
+  // SelfJoinEliminationSpec + PlanRegressionSpec: the optimized plan
+  // contains NO Join node and exactly one Aggregate. The oracle
+  // executes the self-join literally — elimination must be
+  // result-invisible.
+  def x76(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.SelfJoin.enable(spark)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .createOrReplaceTempView("graft_x76_m")
+    spark.sql(
+      """SELECT a.o_custkey AS custkey, a.n + b.n AS n2,
+        |  a.cents + b.cents AS cents2
+        |FROM graft_x76_m a JOIN graft_x76_m b
+        |  ON a.o_custkey = b.o_custkey
+        | AND b.cents >= a.n AND a.cents >= b.n
+        |ORDER BY custkey""".stripMargin)
+  }
+
+  private val x76Sql =
+    """WITH m AS (
+      |  SELECT o_custkey, COUNT(*) AS n,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT a.o_custkey AS custkey, a.n + b.n AS n2,
+      |  a.cents + b.cents AS cents2
+      |FROM m a JOIN m b
+      |  ON a.o_custkey = b.o_custkey
+      | AND b.cents >= a.n AND a.cents >= b.n
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_selfjoin_elim" -> (x76 _),
     "x75_match_recognize" -> (x75 _),
     "x74_rrf_fusion" -> (x74 _),
     "x69_strict_ts_sql" -> (x69 _),
@@ -2967,6 +3014,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x76_selfjoin_elim" -> x76Sql,
     "x75_match_recognize" -> x75Sql,
     "x74_rrf_fusion" -> x74Sql,
     "x57_cohort_ltv" -> x57Sql,

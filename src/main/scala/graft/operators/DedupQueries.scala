@@ -1546,7 +1546,119 @@ object DedupQueries {
       |FROM p WHERE inter * 20 >= uni * 19
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d27_record_linkage — probabilistic record linkage in the
+  // Fellegi–Sunter decision framework (Fellegi & Sunter, JASA 1969;
+  // the Winkler/Census lineage): two record sources are blocked into
+  // candidate pairs, each pair gets a per-field AGREEMENT VECTOR, the
+  // vector is scored by field log-odds weights (agree ⇒ log m/u > 0,
+  // disagree ⇒ log (1−m)/(1−u) < 0, missing ⇒ 0), and the summed
+  // score is thresholded into match / possible / nonmatch. The second
+  // source is derived from `customer` with deterministic corruptions
+  // (typo'd name, nulled segment, shifted nation, ±1-cent balance,
+  // dropped records) so the linkage problem is real: no single field
+  // is reliable, yet the weighted evidence separates true pairs.
+  // Weights are integer literals (offline-estimated m/u log-odds,
+  // rounded ×8 — EM re-estimation is a separate batch job, out of
+  // scope), so scoring is exact integer arithmetic end to end.
+  // Scale shape: TWO blocking passes, each an equi-join on a
+  // bounded-cardinality block key — (nation, $100 balance bucket)
+  // catches name-corrupted pairs, (segment, exact name) catches
+  // nation-corrupted pairs — unioned and deduped; the pair-bearing
+  // exchanges carry block-collision groups only, never a cross
+  // product, and the comparison vector is a join-projection
+  // expression (no UDF). The balance bucket offsets cents by +10^6
+  // before the integral divide so truncating division (Spark `div`)
+  // and floor division (DuckDB `//`) agree on negative balances.
+  def d27(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), col("c_name").as("name"),
+      col("c_nationkey").cast("int").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal"))
+    val a = cust.select(col("key").as("a_key"), col("name").as("a_name"),
+      col("nat").as("a_nat"), col("seg").as("a_seg"), col("bal").as("a_bal"))
+    // the dirty feed: 1/13 of records absent, 1/7 names lose their
+    // last character, 1/5 segments arrive NULL, 1/11 nation codes are
+    // off by one, balances jitter ±1 cent — all keyed off custkey so
+    // both engines derive the identical corpus
+    val b = cust.filter(col("key") % 13 =!= 0).select(
+      (col("key") + lit(1000000L)).as("b_key"),
+      expr("CASE WHEN key % 7 = 0 THEN substring(name, 1, length(name) - 1) " +
+        "ELSE name END").as("b_name"),
+      expr("CASE WHEN key % 11 = 0 THEN CAST((nat + 1) % 25 AS INT) " +
+        "ELSE nat END").as("b_nat"),
+      expr("CASE WHEN key % 5 = 0 THEN CAST(NULL AS STRING) ELSE seg END")
+        .as("b_seg"),
+      (col("bal") + col("key") % 3 - lit(1L)).as("b_bal"))
+    val p1 = a.join(b,
+      col("a_nat") === col("b_nat") &&
+        expr("(a_bal + 1000000) div 10000") === expr("(b_bal + 1000000) div 10000"))
+    val p2 = a.join(b,
+      col("a_seg") === col("b_seg") && col("a_name") === col("b_name"))
+    p1.unionByName(p2)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("a_nat"), col("b_nat"), col("a_seg"), col("b_seg"),
+        col("a_bal"), col("b_bal"))
+      .distinct()
+      .withColumn("score",
+        expr("CASE WHEN a_name = b_name THEN 24 ELSE -8 END") +
+          expr("CASE WHEN a_nat = b_nat THEN 16 ELSE -16 END") +
+          expr("CASE WHEN b_seg IS NULL THEN 0 " +
+            "WHEN a_seg = b_seg THEN 8 ELSE -24 END") +
+          expr("CASE WHEN abs(a_bal - b_bal) <= 2 THEN 20 ELSE -12 END"))
+      .withColumn("class", expr(
+        "CASE WHEN score >= 48 THEN 'match' " +
+          "WHEN score >= 16 THEN 'possible' ELSE 'nonmatch' END"))
+      .select(col("a_key"), col("b_key"), col("score").cast("int").as("score"),
+        col("class"), (col("b_key") - lit(1000000L) === col("a_key")).as("is_true"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  private val d27Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey AS key, c_name AS name,
+      |    CAST(c_nationkey AS INT) AS nat, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |a AS (SELECT key AS a_key, name AS a_name, nat AS a_nat,
+      |        seg AS a_seg, bal AS a_bal FROM cust),
+      |b AS (
+      |  SELECT key + 1000000 AS b_key,
+      |    CASE WHEN key % 7 = 0 THEN substr(name, 1, length(name) - 1)
+      |         ELSE name END AS b_name,
+      |    CASE WHEN key % 11 = 0 THEN CAST((nat + 1) % 25 AS INT)
+      |         ELSE nat END AS b_nat,
+      |    CASE WHEN key % 5 = 0 THEN NULL ELSE seg END AS b_seg,
+      |    bal + key % 3 - 1 AS b_bal
+      |  FROM cust WHERE key % 13 <> 0),
+      |cand AS (
+      |  SELECT DISTINCT a_key, b_key, a_name, b_name, a_nat, b_nat,
+      |    a_seg, b_seg, a_bal, b_bal
+      |  FROM (
+      |    SELECT a.*, b.* FROM a JOIN b
+      |      ON a_nat = b_nat
+      |     AND (a_bal + 1000000) // 10000 = (b_bal + 1000000) // 10000
+      |    UNION ALL
+      |    SELECT a.*, b.* FROM a JOIN b
+      |      ON a_seg = b_seg AND a_name = b_name)),
+      |scored AS (
+      |  SELECT a_key, b_key,
+      |    CAST(CASE WHEN a_name = b_name THEN 24 ELSE -8 END
+      |       + CASE WHEN a_nat = b_nat THEN 16 ELSE -16 END
+      |       + CASE WHEN b_seg IS NULL THEN 0
+      |              WHEN a_seg = b_seg THEN 8 ELSE -24 END
+      |       + CASE WHEN abs(a_bal - b_bal) <= 2 THEN 20 ELSE -12 END
+      |       AS INT) AS score,
+      |    b_key - 1000000 = a_key AS is_true
+      |  FROM cand)
+      |SELECT a_key, b_key, score,
+      |  CASE WHEN score >= 48 THEN 'match'
+      |       WHEN score >= 16 THEN 'possible' ELSE 'nonmatch' END AS class,
+      |  is_true
+      |FROM scored ORDER BY a_key, b_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_record_linkage" -> (d27 _),
     "d26_prefix_filter" -> (d26 _),
     "d25_maximal_spans" -> (d25 _),
     "d24_contam_run" -> (d24 _),
@@ -1575,6 +1687,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d27_record_linkage" -> d27Sql,
     "d26_prefix_filter" -> d26Sql,
     "d25_maximal_spans" -> d25Sql,
     "d24_contam_run" -> d24Sql,

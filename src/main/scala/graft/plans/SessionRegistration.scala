@@ -24,6 +24,13 @@ object SessionRegistration {
     if (!spark.experimental.extraStrategies.contains(strategy))
       spark.experimental.extraStrategies =
         strategy +: spark.experimental.extraStrategies
+    ensureRules(spark, rules)
+  }
+
+  /** Rules-only registration for pure optimizer features (no custom
+    * planner strategy to install — e.g. [[SelfJoinElimination]]). */
+  def ensureRules(spark: SparkSession,
+      rules: Seq[Rule[LogicalPlan]]): Unit = synchronized {
     val missing =
       rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)

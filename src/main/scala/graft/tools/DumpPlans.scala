@@ -107,7 +107,11 @@ object DumpPlans {
     "x75_match_recognize",
     // round 8, closing session: the rewritten prefix-filter join
     // (bitset verify — its 178s-at-sf0.1 lesson lives in the plan)
-    "d26_prefix_filter")
+    "d26_prefix_filter",
+    // round 8, continued: the eliminated self-join (the plan — one
+    // aggregate, zero join exchanges — is the entire point) and the
+    // Fellegi–Sunter blocking joins
+    "x76_selfjoin_elim", "d27_record_linkage")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

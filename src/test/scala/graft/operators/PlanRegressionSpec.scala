@@ -237,9 +237,16 @@ class PlanRegressionSpec extends SparkSpec {
                                  // feeds them), never the corpus
     "s35_graph_beam" -> 1,       // final-beam rank over ≤8 rows (the
                                  // beam width), post-limit like x74's
-    "d26_prefix_filter" -> 1)    // dense-token-id rank over the
+    "d26_prefix_filter" -> 4)    // dense-token-id rank over the
                                  // VOCABULARY-sized df table (31 rows;
-                                 // dimension cardinality at any scale)
+                                 // dimension cardinality at any scale).
+                                 // The bitset-verify rewrite references
+                                 // the `ordered` subtree four times
+                                 // (prefix join a/b + verify joins a/b),
+                                 // so the ONE vocab window appears 4×
+                                 // in the logical tree; execution
+                                 // dedups via ReuseExchange and each
+                                 // instance still sees only the vocab.
 
   test("q69 keeps the rank-filter pushdown (WindowGroupLimit)") {
     // InferWindowGroupLimit turns `row_number() <= k` into a per-group
@@ -286,6 +293,19 @@ class PlanRegressionSpec extends SparkSpec {
     val t = countNodes(plans("x72_asof_tolerance_sql"),
       "AsOfJoin", "BroadcastAsOfJoin")
     assert(t >= 1, "x72_asof_tolerance_sql: no native as-of node in plan")
+  }
+
+  test("x76 keeps the self-join eliminated") {
+    // SelfJoinElimination is result-INVISIBLE by construction (the
+    // whole point is that the single copy computes the same rows), so
+    // the oracle can never catch the rule silently not firing — only
+    // this pin can. A regression re-plans the gate as two full
+    // aggregates plus a join exchange.
+    val joins = plans("x76_selfjoin_elim").collect {
+      case p if p.nodeName.contains("Join") => p
+    }
+    assert(joins.isEmpty,
+      s"x76_selfjoin_elim: self-join not eliminated:\n${joins.mkString("\n")}")
   }
 
   test("unpartitioned windows only ever run over the offset table") {
