@@ -2582,7 +2582,80 @@ object SimilarityQueries {
        |            AND u.cand_id = e.cand_id
        |GROUP BY n.np ORDER BY n.np""".stripMargin
 
+  // s37_pointer_doubling — POINTER JUMPING / list ranking (Wyllie
+  // 1979), the parallel-algorithms primitive the fixpoint family
+  // (s12/s16/q74: O(depth) frontier rounds) cannot express when the
+  // structure is a FUNCTIONAL GRAPH with Θ(n)-long paths: each node
+  // has exactly one out-edge f(v) = (v² + 7) mod n over the customer
+  // key space — Pollard's rho map, genuinely non-invertible, so the
+  // graph is tails flowing into cycles. Computing each node's terminal
+  // CYCLE (its rho's attractor) by walking f would take Θ(n) rounds;
+  // pointer doubling squares the jump length instead — state
+  // (v, f^(2^k)(v), min of the path so far), each round ONE equi-join
+  // of the state with itself — reaching f^(2^R)(v) with path-min in
+  // R = ⌈log₂ n⌉ rounds. With 2^R ≥ n every walk has entered its
+  // cycle AND lapped it, so: the image of f^(2^R) is EXACTLY the
+  // cycle-node set, the path-min at a cycle node is its cycle's min
+  // id (the canonical cycle label), and one more equi-join through
+  // F(v) labels every node's basin. Output: per cycle, its label,
+  // length, and basin size. The oracle walks the SAME n steps
+  // sequentially in DuckDB's recursive CTE — two encodings of f^n,
+  // one answer. Scale shape: O(log n) rounds × one n-row shuffle,
+  // lineage cut by an eager per-round localCheckpoint (the s12
+  // discipline); the driver sees only the two bounded scalars (n, R).
+  def s37(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("v"))
+    val n = nodes.count() // driver scalar: node count (bounded by design)
+    val rounds = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+    def f(c: org.apache.spark.sql.Column) = (c * c + lit(7L)) % lit(n)
+    var st = nodes
+      .select(col("v"), f(col("v")).as("next"), f(col("v")).as("mn"))
+      .localCheckpoint() // truncate before the doubling chain starts
+    for (_ <- 1 to rounds.toInt) {
+      val b = st.select(col("v").as("bv"), col("next").as("bnext"),
+        col("mn").as("bmn"))
+      st = st.join(b, col("next") === col("bv"))
+        .select(col("v"), col("bnext").as("next"),
+          least(col("mn"), col("bmn")).as("mn"))
+        .localCheckpoint() // eager: materialize the round, cut lineage
+    }
+    // cycle nodes = image of f^(2^R); each carries its cycle min as mn
+    val cyc = st.join(
+        st.select(col("next").as("img")).distinct(), col("v") === col("img"))
+      .select(col("v").as("c"), col("mn").as("cid"))
+    val basins = st.select(col("v"), col("next"))
+      .join(cyc, col("next") === col("c"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("basin_size"))
+    cyc.groupBy(col("cid")).agg(count(lit(1)).as("cycle_len"))
+      .join(basins, "cid")
+      .orderBy(col("cid"))
+  }
+
+  private val s37Sql =
+    """WITH RECURSIVE nodes AS (SELECT c_custkey AS v FROM customer),
+      |p AS (SELECT COUNT(*) AS n FROM nodes),
+      |walk(start, step, cur, mn, n) AS (
+      |  SELECT v, CAST(1 AS BIGINT), (v * v + 7) % n, (v * v + 7) % n, n
+      |  FROM nodes, p
+      |  UNION ALL
+      |  SELECT start, step + 1, (cur * cur + 7) % n,
+      |    least(mn, (cur * cur + 7) % n), n
+      |  FROM walk WHERE step < n),
+      |fin AS (SELECT start, cur AS f, mn AS m FROM walk, p
+      |        WHERE step = p.n),
+      |cyc AS (
+      |  SELECT fin.start AS c, fin.m AS cid
+      |  FROM fin JOIN (SELECT DISTINCT f FROM fin) i ON fin.start = i.f),
+      |basins AS (
+      |  SELECT cyc.cid, COUNT(*) AS basin_size
+      |  FROM fin JOIN cyc ON fin.f = cyc.c GROUP BY 1)
+      |SELECT cyc.cid AS cid, COUNT(*) AS cycle_len,
+      |  MIN(basins.basin_size) AS basin_size
+      |FROM cyc JOIN basins ON cyc.cid = basins.cid
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_pointer_doubling" -> (s37 _),
     "s36_nprobe_sweep" -> (s36 _),
     "s35_graph_beam" -> (s35 _),
     "s32_ivfpq" -> (s32 _),
@@ -2620,6 +2693,7 @@ object SimilarityQueries {
     "s9_pq_codes" -> (s9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "s37_pointer_doubling" -> s37Sql,
     "s36_nprobe_sweep" -> s36Sql,
     "s35_graph_beam" -> s35Sql,
     "s32_ivfpq" -> s32Sql,

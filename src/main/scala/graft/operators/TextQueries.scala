@@ -2802,7 +2802,113 @@ object TextQueries {
        |FROM lcs c JOIN pr p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  // t57_naive_bayes — multinomial naive Bayes text classification
+  // (predict `lang` from tokens), INTEGER-EXACT end to end by the
+  // equal-evidence construction: Laplace class-conditionals are
+  // (n_wc + 1) / (K + V) and the per-class DENOMINATORS are forced
+  // equal by training every class on EXACTLY K token occurrences
+  // (K = least(min class total, 2000), first-(doc_id, pos) order), so
+  // the argmax over classes reduces to comparing the NUMERATOR
+  // products Π (n_wc + 1) — pure BIGINT: test docs truncate to 5
+  // tokens and each factor is ≤ K + 1 = 2001, so a score is
+  // ≤ 2001⁵ ≈ 3.3e16 < 2⁶³ (the same headroom certificate discipline
+  // as t23/t52; priors are uniform by the same construction). Ties
+  // break to the lexicographically first class. 80/20 split on
+  // doc_id % 5; output is the test confusion matrix. (This corpus
+  // shares one 31-word vocabulary across all langs — `lang` is random
+  // metadata — so the matrix is near-uniform BY CONSTRUCTION of the
+  // test data; the gate pins the estimator's exact arithmetic and
+  // argmax mechanics, which is what transfers to a real corpus.)
+  // Scale shape:
+  // TRAINING is sample-bounded by design (the per-class equalization
+  // window partitions by class — a few sequential class scans over a
+  // sample-sized corpus, never the full-corpus path); INFERENCE is
+  // the 100 TB path and is map-side only — the (class, token) count
+  // table is vocabulary-bounded and broadcast, the class grid is a
+  // bounded-dimension broadcast, scores are per-row products, and the
+  // only data-keyed exchange is the per-doc argmax.
+  def t57(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val occ = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("lang").as("cls"), col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    val ranked = occ.withColumn("rn", row_number().over(
+      Window.partitionBy(col("cls")).orderBy(col("doc_id"), col("pos"))))
+    val kRow = ranked.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
+      .agg(least(min(col("tot")), lit(2000L)).as("k")) // 1-row ride-along
+    val counts = ranked.join(broadcast(kRow), col("rn") <= col("k"))
+      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("nwc"))
+    val classes = counts.select(col("cls")).distinct()
+    val test = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang").as("actual"),
+        posexplode(expr("slice(toks, 1, 5)")).as(Seq("pos", "tok")))
+    val scores = test.join(broadcast(classes), lit(true))
+      .join(broadcast(counts), Seq("cls", "tok"), "left")
+      .withColumn("f", coalesce(col("nwc"), lit(0L)) + lit(1L))
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg(expr(
+        """coalesce(max(CASE WHEN pos = 0 THEN f END), 1L)
+          | * coalesce(max(CASE WHEN pos = 1 THEN f END), 1L)
+          | * coalesce(max(CASE WHEN pos = 2 THEN f END), 1L)
+          | * coalesce(max(CASE WHEN pos = 3 THEN f END), 1L)
+          | * coalesce(max(CASE WHEN pos = 4 THEN f END), 1L)"""
+          .stripMargin.replace("\n", " ")).as("score"))
+    scores.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls"))))
+      .filter(col("rnk") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  private val t57Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |occ AS (
+      |  SELECT lang AS cls, doc_id,
+      |    unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+      |  FROM docs WHERE doc_id % 5 <> 4),
+      |ranked AS (
+      |  SELECT cls, tok, ROW_NUMBER() OVER (PARTITION BY cls
+      |    ORDER BY doc_id, pos) AS rn
+      |  FROM occ),
+      |k AS (SELECT least(MIN(tot), 2000) AS k
+      |      FROM (SELECT COUNT(*) AS tot FROM ranked GROUP BY cls)),
+      |counts AS (
+      |  SELECT cls, tok, COUNT(*) AS nwc
+      |  FROM ranked, k WHERE rn <= k.k GROUP BY 1, 2),
+      |classes AS (SELECT DISTINCT cls FROM counts),
+      |test AS (
+      |  SELECT doc_id, lang AS actual,
+      |    unnest(range(0, least(len(toks), 5))) AS pos,
+      |    unnest(toks[1:5]) AS tok
+      |  FROM docs WHERE doc_id % 5 = 4),
+      |scores AS (
+      |  SELECT t.doc_id, t.actual, c.cls,
+      |    coalesce(MAX(CASE WHEN t.pos = 0 THEN n.nwc + 1 END), 1)
+      |    * coalesce(MAX(CASE WHEN t.pos = 1 THEN n.nwc + 1 END), 1)
+      |    * coalesce(MAX(CASE WHEN t.pos = 2 THEN n.nwc + 1 END), 1)
+      |    * coalesce(MAX(CASE WHEN t.pos = 3 THEN n.nwc + 1 END), 1)
+      |    * coalesce(MAX(CASE WHEN t.pos = 4 THEN n.nwc + 1 END), 1)
+      |      AS score
+      |  FROM test t CROSS JOIN classes c
+      |  LEFT JOIN counts n ON n.cls = c.cls AND n.tok = t.tok
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, actual, cls AS predicted,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cls) AS rnk
+      |  FROM scores)
+      |SELECT actual, predicted, COUNT(*) AS n
+      |FROM pred WHERE rnk = 1
+      |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t57_naive_bayes" -> (t57 _),
     "t56_rouge_lcs" -> (t56 _),
     "t55_rake" -> (t55 _),
     "t54_ngram_precision" -> (t54 _),
@@ -2883,6 +2989,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t57_naive_bayes" -> t57Sql,
     "t56_rouge_lcs" -> t56Sql,
     "t55_rake" -> t55Sql,
     "t54_ngram_precision" -> t54Sql,

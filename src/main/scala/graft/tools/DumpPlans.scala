@@ -109,9 +109,11 @@ object DumpPlans {
     // (bitset verify — its 178s-at-sf0.1 lesson lives in the plan)
     "d26_prefix_filter",
     // round 8, continued: the eliminated self-join (the plan — one
-    // aggregate, zero join exchanges — is the entire point) and the
-    // Fellegi–Sunter blocking joins
-    "x76_selfjoin_elim", "d27_record_linkage")
+    // aggregate, zero join exchanges — is the entire point), the
+    // Fellegi–Sunter blocking joins, the pointer-doubling rounds, and
+    // the NB inference path (broadcast counts, map-side products)
+    "x76_selfjoin_elim", "d27_record_linkage", "s37_pointer_doubling",
+    "t57_naive_bayes")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

@@ -44,6 +44,11 @@ class PlanRegressionSpec extends SparkSpec {
     "sk9_kmv_setops" -> 2,    // 1-row frames: view-sketch × click-sketch
                               // × exact anchors (KMV set algebra)
     "t51_shard_manifest" -> 1, // 1-row corpus-total ride-along (shard div)
+    "t57_naive_bayes" -> 3,   // 1-row evidence-budget K scalar (the
+                              // counts subtree carrying it appears
+                              // twice: once under the class grid, once
+                              // under the scoring join) + the class
+                              // grid (#langs rows) broadcast
     "q29_equidepth_hist" -> 1, // 1-row corpus-count aggregate (bucket div)
     "s15_ann_recall" -> 2,    // composes s1 + s7, inherits their two
                               // whitelisted bounded broadcasts
