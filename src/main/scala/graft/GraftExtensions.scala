@@ -148,6 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // copy (conf-gated: spark.graft.selfJoin.eliminate)
     e.injectOptimizerRule(_ => graft.plans.SelfJoinElimination)
 
+    // optimizer rule: eager aggregation — a GROUP BY over an inner
+    // equi-join with a provably-unique far side pushes the whole
+    // aggregate below the join (conf-gated: spark.graft.eagerAggregation)
+    e.injectOptimizerRule(_ => graft.plans.AggregatePushThroughJoin)
+
     // planner strategy: the native backward as-of join (custom logical
     // node → sort-merge AsOfJoinExec; graft.operators.AsOf also
     // self-registers it per-session for extension-less sessions)

@@ -2957,7 +2957,56 @@ object CrossQueries {
       | AND b.cents >= a.n AND a.cents >= b.n
       |ORDER BY custkey""".stripMargin
 
+  // x77_eager_agg — EAGER AGGREGATION driven end to end through plain
+  // `spark.sql`: the per-order rollup (fact grouped by its join key
+  // plus dim attributes) that Spark plans as join-then-aggregate —
+  // shuffling EVERY lineitem row through the join — re-plans via
+  // [[graft.plans.AggregatePushThroughJoin]] into aggregate-then-join:
+  // the 4-per-order lineitem fact collapses to per-order partials
+  // BEFORE any join exchange (the q58 hand-rewrite as a reusable
+  // rule; the dim side is aggregated so its uniqueness on the join
+  // key is structurally provable, the same opt-in x68 uses). The
+  // outer priority rollup stays above — its grouping key is a
+  // dim attribute, so the rule correctly leaves it. Plan pinned by
+  // AggregatePushThroughJoinSpec + PlanRegressionSpec (TWO aggregates
+  // under the join: the dim build and the pushed fact partial); the
+  // oracle executes the same SQL literally — the rewrite must be
+  // result-invisible.
+  def x77(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.EagerAgg.enable(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_x77_l")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_x77_o")
+    spark.sql(
+      """WITH dim AS (
+        |  SELECT o_orderkey, MAX(o_orderpriority) AS pri
+        |  FROM graft_x77_o GROUP BY o_orderkey),
+        |per_order AS (
+        |  SELECT l.l_orderkey, d.pri,
+        |    SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+        |    COUNT(*) AS n_lines
+        |  FROM graft_x77_l l JOIN dim d ON l.l_orderkey = d.o_orderkey
+        |  GROUP BY l.l_orderkey, d.pri)
+        |SELECT pri, COUNT(*) AS n_orders, SUM(cents) AS cents,
+        |  SUM(n_lines) AS n_lines
+        |FROM per_order GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
+  private val x77Sql =
+    """WITH dim AS (
+      |  SELECT o_orderkey, MAX(o_orderpriority) AS pri
+      |  FROM orders GROUP BY o_orderkey),
+      |per_order AS (
+      |  SELECT l.l_orderkey, d.pri,
+      |    SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+      |    COUNT(*) AS n_lines
+      |  FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+      |  GROUP BY l.l_orderkey, d.pri)
+      |SELECT pri, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(SUM(n_lines) AS BIGINT) AS n_lines
+      |FROM per_order GROUP BY pri ORDER BY pri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x77_eager_agg" -> (x77 _),
     "x76_selfjoin_elim" -> (x76 _),
     "x75_match_recognize" -> (x75 _),
     "x74_rrf_fusion" -> (x74 _),
@@ -3014,6 +3063,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x77_eager_agg" -> x77Sql,
     "x76_selfjoin_elim" -> x76Sql,
     "x75_match_recognize" -> x75Sql,
     "x74_rrf_fusion" -> x74Sql,

@@ -113,7 +113,10 @@ object DumpPlans {
     // Fellegi–Sunter blocking joins, the pointer-doubling rounds, and
     // the NB inference path (broadcast counts, map-side products)
     "x76_selfjoin_elim", "d27_record_linkage", "s37_pointer_doubling",
-    "t57_naive_bayes")
+    "t57_naive_bayes",
+    // round 8, continued: eager aggregation (the fact partial under
+    // the join is the plan-level point)
+    "x77_eager_agg")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

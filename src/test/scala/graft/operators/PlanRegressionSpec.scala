@@ -300,6 +300,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(t >= 1, "x72_asof_tolerance_sql: no native as-of node in plan")
   }
 
+  test("x77 keeps the aggregate pushed below the join") {
+    // AggregatePushThroughJoin is result-invisible (the pushed partial
+    // computes the same groups), so only this pin catches the rule
+    // silently not firing — a regression re-plans x77 to shuffle every
+    // fact row through the join before aggregating. Pushed shape: TWO
+    // aggregates under the join (the dim build + the pushed fact
+    // partial); the plain plan has one (the dim build).
+    val aggsUnderJoin = plans("x77_eager_agg").collect {
+      case p if p.nodeName.contains("Join") =>
+        p.children.map(_.collect {
+          case h if h.nodeName.contains("HashAggregate") ||
+            h.nodeName.contains("SortAggregate") ||
+            h.nodeName.contains("ObjectHashAggregate") => h
+        }.size).sum
+    }.maxOption.getOrElse(0)
+    assert(aggsUnderJoin >= 2,
+      s"x77_eager_agg: fact aggregate not pushed below the join " +
+        s"($aggsUnderJoin aggregate nodes under the join)")
+  }
+
   test("x76 keeps the self-join eliminated") {
     // SelfJoinElimination is result-INVISIBLE by construction (the
     // whole point is that the single copy computes the same rows), so
