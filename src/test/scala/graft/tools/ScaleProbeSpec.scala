@@ -99,7 +99,15 @@ class ScaleProbeSpec extends SparkSpec {
     "t56_rouge_lcs" -> 12.0,
     // row-pattern recognition: regression mode = the run-compression
     // windows replaced by an event-level self-join pattern scan
-    "x75_match_recognize" -> 12.0)
+    "x75_match_recognize" -> 12.0,
+    // pointer doubling: regression mode = the log-round jump replaced
+    // by a per-step walk (Θ(n) join rounds — the wall explodes even
+    // before the round count does; at 10× nodes the doubling itself
+    // only adds ⌈log₂ 10⌉ ≈ 3 rounds, well inside the bound)
+    "s37_pointer_doubling" -> 12.0,
+    // record linkage: regression mode = a blocking pass lost (or its
+    // key degenerating) and candidate generation going all-pairs A×B
+    "d27_record_linkage" -> 12.0)
 
   test("10x wall ratios stay inside the recorded complexity bounds") {
     assume(enabled, "set GRAFT_SLOW=1 to run the 10x scale probes")
