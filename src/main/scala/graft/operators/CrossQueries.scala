@@ -3005,7 +3005,90 @@ object CrossQueries {
       |  CAST(SUM(n_lines) AS BIGINT) AS n_lines
       |FROM per_order GROUP BY pri ORDER BY pri""".stripMargin
 
+  // x78_bitemporal — BITEMPORAL point-in-time reads (Snodgrass; SQL:2011
+  // application-time + system-time periods), the two-dimensional
+  // completion of the single-dimension PIT family (x17 probes
+  // effective time only; x61/x7 manage SCD2 system time only): every
+  // order carries a VALID period [orderdate, orderdate+90d) and one or
+  // two SYSTEM versions — the original (superseded after 30 days for
+  // every third order) and its +5% price correction (open-ended). A
+  // probe grid of (valid V, known-at T) pairs then asks the canonical
+  // bitemporal question — "what did the data say about V, as the
+  // system knew it at T" — where T before the correction must read the
+  // ORIGINAL price for corrected orders and T after must read the
+  // corrected one, while V walks the validity window independently.
+  // Exactly one system version per order is visible at any T by
+  // construction (half-open tx periods abut), which the n_visible
+  // counts pin. Scale shape: the version derivation is one map-side
+  // projection + union (no join); the probe grid is a bounded 4-row
+  // broadcast ride-along; everything downstream is one partial
+  // aggregate per probe.
+  def x78(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("okey"),
+      col("o_orderdate").cast("date").as("vfrom"),
+      date_add(col("o_orderdate").cast("date"), 90).as("vto"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val v0 = base.select(col("okey"), col("vfrom"), col("vto"), col("cents"),
+      col("vfrom").as("tfrom"),
+      when(col("okey") % 3 === 0, date_add(col("vfrom"), 30))
+        .otherwise(lit(null)).cast("date").as("tto"))
+    val v1 = base.filter(col("okey") % 3 === 0).select(
+      col("okey"), col("vfrom"), col("vto"),
+      (col("cents") + expr("cents div 20")).as("cents"),
+      date_add(col("vfrom"), 30).as("tfrom"),
+      lit(null).cast("date").as("tto"))
+    val probes = spark.range(1).select(explode(array(
+      struct(lit(1).as("probe_id"), to_date(lit("1996-06-01")).as("v"),
+        to_date(lit("1996-06-10")).as("t")),
+      struct(lit(2).as("probe_id"), to_date(lit("1996-06-01")).as("v"),
+        to_date(lit("1999-01-01")).as("t")),
+      struct(lit(3).as("probe_id"), to_date(lit("1998-03-01")).as("v"),
+        to_date(lit("1998-03-15")).as("t")),
+      struct(lit(4).as("probe_id"), to_date(lit("1998-03-01")).as("v"),
+        to_date(lit("2002-01-01")).as("t")))).as("p"))
+      .select(col("p.probe_id"), col("p.v"), col("p.t"))
+    v0.unionByName(v1)
+      .join(broadcast(probes),
+        col("tfrom") <= col("t") && (col("tto").isNull || col("tto") > col("t")) &&
+          col("vfrom") <= col("v") && col("vto") > col("v"))
+      .groupBy(col("probe_id"),
+        date_format(col("v"), "yyyy-MM-dd").as("v"),
+        date_format(col("t"), "yyyy-MM-dd").as("t"))
+      .agg(count(lit(1)).as("n_visible"), sum(col("cents")).as("cents"))
+      .orderBy(col("probe_id"))
+  }
+
+  private val x78Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS vfrom,
+      |    CAST(o_orderdate AS DATE) + 90 AS vto,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |versions AS (
+      |  SELECT okey, vfrom, vto, cents, vfrom AS tfrom,
+      |    CASE WHEN okey % 3 = 0 THEN vfrom + 30 ELSE NULL END AS tto
+      |  FROM base
+      |  UNION ALL
+      |  SELECT okey, vfrom, vto, cents + cents // 20, vfrom + 30, NULL
+      |  FROM base WHERE okey % 3 = 0),
+      |probes AS (
+      |  SELECT * FROM (VALUES
+      |    (1, DATE '1996-06-01', DATE '1996-06-10'),
+      |    (2, DATE '1996-06-01', DATE '1999-01-01'),
+      |    (3, DATE '1998-03-01', DATE '1998-03-15'),
+      |    (4, DATE '1998-03-01', DATE '2002-01-01'))
+      |    AS t(probe_id, v, t))
+      |SELECT p.probe_id, strftime(p.v, '%Y-%m-%d') AS v,
+      |  strftime(p.t, '%Y-%m-%d') AS t, COUNT(*) AS n_visible,
+      |  CAST(SUM(x.cents) AS BIGINT) AS cents
+      |FROM versions x JOIN probes p
+      |  ON x.tfrom <= p.t AND (x.tto IS NULL OR x.tto > p.t)
+      | AND x.vfrom <= p.v AND x.vto > p.v
+      |GROUP BY 1, 2, 3 ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_bitemporal" -> (x78 _),
     "x77_eager_agg" -> (x77 _),
     "x76_selfjoin_elim" -> (x76 _),
     "x75_match_recognize" -> (x75 _),
@@ -3063,6 +3146,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x78_bitemporal" -> x78Sql,
     "x77_eager_agg" -> x77Sql,
     "x76_selfjoin_elim" -> x76Sql,
     "x75_match_recognize" -> x75Sql,

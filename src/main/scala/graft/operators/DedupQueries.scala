@@ -1657,7 +1657,69 @@ object DedupQueries {
       |  is_true
       |FROM scored ORDER BY a_key, b_key""".stripMargin
 
+  // d28_source_overlap — the SOURCE-PAIR duplication audit a curation
+  // pipeline runs before mixing corpora ("which of my 20 sources are
+  // near-copies of each other?"): d2's MinHash-LSH candidate pairs
+  // mapped onto their source pair, counted, and normalized by the pair
+  // population — same-source pairs against n·(n−1)/2, cross-source
+  // against n_lo·n_hi — in exact ppm. The answer ranks source pairs by
+  // shared near-duplicate density, which is what decides dedup ORDER
+  // and mixture weights upstream. Scale shape: the only pair-bearing
+  // exchange is d2's band-bucketed candidate join (LSH-bounded, never
+  // all-pairs); the doc→source attachments are doc-keyed equi-joins;
+  // the result is bounded by (#sources choose 2) — dimension-sized at
+  // any corpus scale.
+  def d28(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+    val src = docs.select(col("doc_id"), col("source"))
+    val nsrc = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(nsrc.select(col("source").as("src_lo"),
+        col("n_docs").as("n_lo"))), Seq("src_lo"))
+      .join(broadcast(nsrc.select(col("source").as("src_hi"),
+        col("n_docs").as("n_hi"))), Seq("src_hi"))
+      .withColumn("overlap_ppm", expr(
+        """n_pairs * 1000000 div
+          |  CASE WHEN src_lo = src_hi THEN n_lo * (n_lo - 1) div 2
+          |       ELSE n_lo * n_hi END""".stripMargin.replace("\n", " ")))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+        col("overlap_ppm"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  private val d28Sql =
+    s"""WITH $pairCtes,
+      |src AS (SELECT doc_id, source FROM documents),
+      |nsrc AS (SELECT source, COUNT(*) AS n_docs FROM src GROUP BY 1),
+      |sp AS (
+      |  SELECT least(a.source, b.source) AS src_lo,
+      |    greatest(a.source, b.source) AS src_hi
+      |  FROM pairs p
+      |  JOIN src a ON a.doc_id = p.doc_a
+      |  JOIN src b ON b.doc_id = p.doc_b),
+      |cnt AS (SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+      |        FROM sp GROUP BY 1, 2)
+      |SELECT c.src_lo, c.src_hi, c.n_pairs,
+      |  CAST(c.n_pairs * 1000000 //
+      |    CASE WHEN c.src_lo = c.src_hi THEN lo.n_docs * (lo.n_docs - 1) // 2
+      |         ELSE lo.n_docs * hi.n_docs END AS BIGINT) AS overlap_ppm
+      |FROM cnt c
+      |JOIN nsrc lo ON lo.source = c.src_lo
+      |JOIN nsrc hi ON hi.source = c.src_hi
+      |ORDER BY c.src_lo, c.src_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_source_overlap" -> (d28 _),
     "d27_record_linkage" -> (d27 _),
     "d26_prefix_filter" -> (d26 _),
     "d25_maximal_spans" -> (d25 _),
@@ -1687,6 +1749,7 @@ object DedupQueries {
     "d11_dedup_merge" -> (d11 _))
 
   val oracleSql: Map[String, String] = Map(
+    "d28_source_overlap" -> d28Sql,
     "d27_record_linkage" -> d27Sql,
     "d26_prefix_filter" -> d26Sql,
     "d25_maximal_spans" -> d25Sql,

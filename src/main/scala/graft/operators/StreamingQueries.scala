@@ -378,10 +378,17 @@ object StreamingQueries {
   // ---------------------------------------------------------------------
   // st14_tws_lastn — transformWithState LIST state (completing the
   // Value/Map/List state-type triple): bounded last-5 event ring + a
-  // lifetime ValueState counter per user, finalize-on-timer emission.
+  // lifetime ValueState counter per user, snapshot-on-timer emission.
+  // Under real micro-batch arrival an idle user's timer fires
+  // MID-stream and emits an intermediate snapshot (state kept — see
+  // RecentEventsProcessor's audit note); n_events is monotone, so the
+  // max-n_events row per user is the final answer under ANY slicing.
   // Oracle: batch window rank, newest-first, top-5 ids joined.
   def st14(spark: SparkSession, dir: String): DataFrame =
     Streaming.recentEventsTws(spark, dir, n = 5)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("recent"), col("n_events")).as("recent"))
       .orderBy(col("user_id"))
 
   private val st14Sql =

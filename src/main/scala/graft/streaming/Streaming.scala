@@ -675,15 +675,25 @@ object Streaming {
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for when built-in
     * session_window semantics don't fit. Emits per-user cumulative
-    * session counts; state carries (lastTs, counts) across
-    * micro-batches and is BOUNDED: the event-time timeout fires once
-    * the watermark passes `lastTs + gap`, emitting the final counts and
-    * removing the key (a user idle past the gap horizon costs nothing
-    * — the requirement for unbounded key cardinality on a real
-    * cluster). A user reappearing after expiry starts a fresh epoch;
-    * lifetime-total semantics and bounded state are mutually exclusive
-    * by construction. The timeout row repeats monotone counters, so
-    * max()-per-user downstream is batch-count-proof AND expiry-proof. */
+    * LIFETIME session counts; state carries (lastTs, counts) across
+    * micro-batches and is bounded by the USER REGISTRY (one small
+    * record per distinct user ever — st9/st34's bound class), not by
+    * arrivals. The event-time timeout only FLUSHES a row once the
+    * watermark passes `lastTs + gap`; the state is kept, and the next
+    * event re-opens a session off the persisted lastTs and re-arms.
+    *
+    * An earlier version REMOVED the state on timeout, claiming
+    * max()-per-user downstream was "expiry-proof" because the counters
+    * are monotone — false across epochs: a user idle past the gap
+    * mid-stream restarted at zero, and max() then picked the LARGEST
+    * EPOCH's counts, not the lifetime total the batch oracle computes.
+    * Invisible in a single AvailableNow drain (no mid-stream watermark
+    * advance, so timeouts never fired before the final flush); the
+    * chunked-replay slicing audit (STATE_SF01) caught it the first
+    * time st5 replayed as real micro-batches. Lifetime-total semantics
+    * genuinely require registry-bounded state — an operator that must
+    * expire idle keys cannot promise lifetime counters, and this
+    * kernel now states (and tests) the registry contract instead. */
   def sessionizeStreaming(
       events: Dataset[SessionEventW], gapMinutes: Int): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -694,7 +704,6 @@ object Streaming {
         case (uid, batch, state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
             UserSessions(uid, s.sessions, s.events)
           } else {
             val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
@@ -1200,11 +1209,21 @@ object Streaming {
 
     override def handleExpiredTimer(uid: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[UserRecent] = {
+      // SNAPSHOT, not finalize: state is kept. An earlier version
+      // cleared both states here — invisible in a single AvailableNow
+      // drain (the only timer fired at the end), but under real
+      // micro-batch arrival a mid-stream idle period wiped the
+      // LIFETIME total and the ring restarted, so the final row
+      // undercounted (the chunked-replay slicing audit caught it —
+      // same defect class as sessionizeStreaming's old timeout
+      // branch). Idle periods now emit an intermediate snapshot;
+      // n_events is monotone across snapshots, so the consuming gate
+      // reduces to the max-n_events row per user, and the next event
+      // re-arms the timer. State is bounded by the user registry.
       val ids = recent.get().toArray.sortBy(e => (-e.tsu, -e.event_id))
         .map(_.event_id).mkString(",")
-      val out = UserRecent(uid, if (total.exists()) total.get() else 0L, ids)
-      recent.clear(); total.clear()
-      Iterator.single(out)
+      Iterator.single(
+        UserRecent(uid, if (total.exists()) total.get() else 0L, ids))
     }
   }
 

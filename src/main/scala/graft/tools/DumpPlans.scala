@@ -115,8 +115,13 @@ object DumpPlans {
     "x76_selfjoin_elim", "d27_record_linkage", "s37_pointer_doubling",
     "t57_naive_bayes",
     // round 8, continued: eager aggregation (the fact partial under
-    // the join is the plan-level point)
-    "x77_eager_agg")
+    // the join is the plan-level point), the source-overlap audit
+    // (>1s: d2's band join + two doc-keyed attachments), and the
+    // bitemporal probe stab (bounded 4-row ride-along)
+    "x77_eager_agg", "d28_source_overlap", "x78_bitemporal",
+    // hovers at the 1s line (host-speed dependent) — pin it so the
+    // coverage check can't depend on the flap
+    "t54_ngram_precision")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted

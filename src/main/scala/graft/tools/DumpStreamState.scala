@@ -56,7 +56,29 @@ object DumpStreamState {
     // st21 hovers at the 2s line (streaming gates pay fixed per-batch
     // engine overhead, so suite medians flap either side of it across
     // runs) — pin its audit so coverage can't depend on the flap
-    "st21_stream_topk")
+    "st21_stream_topk",
+    // continued session: host-speed swings (~2x on the streaming tail,
+    // NOTES_r8) can push ANY streaming gate over the 2s line, so the
+    // audit now covers the complete st family — coverage no longer
+    // depends on the host being fast on bench day
+    "st2_sessions", "st3_stream_join", "st5_stateful_sessions",
+    "st6_session_flows", "st15_dedup_within_wm", "st20_stream_enrich",
+    "st22_stream_funnel", "st23_stream_kmv", "st28_session_enrich")
+
+  /** Gates whose multi-batch output legitimately differs from the
+    * single-drain output — the OPERATOR's contract is arrival-schedule-
+    * sensitive, so "false" here is the documented semantics, not an
+    * incremental-execution bug. Anything NOT in this map that reads
+    * false IS a bug (two such bugs — st5's counter reset on timeout,
+    * st14's state clear on timer — were found and fixed by exactly
+    * this check; see the kernels' scaladoc). */
+  private val expectedNonInvariant: Map[String, String] = Map(
+    "st15_dedup_within_wm" -> ("dropDuplicatesWithinWatermark evicts " +
+      "dedup state as the watermark advances — that eviction is the " +
+      "operator's bounded-state contract, so a duplicate arriving " +
+      "after its key expired re-emits in the replay; the single drain " +
+      "never advances the watermark mid-stream and equals plain " +
+      "DISTINCT, which is what the gate's oracle checks"))
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -124,7 +146,12 @@ object DumpStreamState {
       sb.append(f"\n## $gate\n\n")
       sb.append(f"chunked replay: $nBatches micro-batches in $tChunked%.2f s; ")
       sb.append(f"single-batch: $tSingle%.2f s; rows $nChunked vs $nSingle; ")
-      sb.append(s"**slicing-invariant: $same**\n")
+      expectedNonInvariant.get(gate) match {
+        case Some(reason) if !same =>
+          sb.append(s"**slicing-invariant: false — EXPECTED** ($reason)\n")
+        case _ =>
+          sb.append(s"**slicing-invariant: $same**\n")
+      }
 
       recs.foreach { r =>
         val withState = r.progress.exists(_.stateOperators.nonEmpty)

@@ -54,6 +54,8 @@ class PlanRegressionSpec extends SparkSpec {
                               // whitelisted bounded broadcasts
     "x17_pit_audit" -> 1,     // 6-row probe-date list broadcast into the
                               // non-equi as-of join (eff_from <= probe)
+    "x78_bitemporal" -> 1,    // 4-row (valid, known-at) probe grid
+                              // broadcast into the two-period stab
     "x11_gapfill" -> 1,       // distinct event_type dim: 5 rows
     "q34_frequent_pairs" -> 1, // 1-row basket-count aggregate (lift denom)
     "x4_skyline" -> 1,        // dominance anti-join over per-customer

@@ -55,6 +55,35 @@ class StreamSlicingSpec extends SparkSpec {
     assert(multi == single)
   }
 
+  test("lifetime session counters survive a mid-stream idle timeout " +
+      "(4 chunks == 1 chunk)") {
+    // regression pin for the r8 audit finding: sessionizeStreaming's
+    // timeout branch used to REMOVE the per-user state, so an idle
+    // period longer than the gap silently reset the lifetime counters
+    // and max()-per-user picked the largest EPOCH, not the total
+    val multi = canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
+      graft.operators.StreamingQueries.st5(spark, staged)
+    })
+    val single = canon(graft.operators.StreamingQueries.st5(spark, sf))
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
+  test("TWS last-N snapshots reduce to the final row under any slicing " +
+      "(4 chunks == 1 chunk)") {
+    // regression pin for the sibling r8 finding: RecentEventsProcessor
+    // cleared ring + lifetime total on its timer; mid-stream idle
+    // periods then both undercounted and duplicated users. State is
+    // now kept, snapshots are monotone in n_events, and the gate keeps
+    // the max-n_events row per user.
+    val multi = canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
+      graft.operators.StreamingQueries.st14(spark, staged)
+    })
+    val single = canon(graft.operators.StreamingQueries.st14(spark, sf))
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
   test("stream-stream interval join is slicing-invariant and audit-visible") {
     val recs = scala.collection.mutable.ArrayBuffer.empty[StreamAudit.QueryRecord]
     StreamAudit.enable(r => recs.synchronized { recs += r; () })
