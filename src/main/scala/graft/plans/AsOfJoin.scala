@@ -51,6 +51,17 @@ case class AsOfJoin(
     left.output ++ right.output
       .filterNot(a => rightKeys.exists(_.semanticEquals(a)))
       .map(_.withNullability(true))
+  // the as-of join is ROW-PRESERVING: exactly one output row per left
+  // row (backward/forward pick at most one match; misses null-extend),
+  // so left's row bound is exact and output bytes are at most both
+  // inputs together. Without this override the stats visitor falls to
+  // its default — the PRODUCT of child sizes — and a parent join above
+  // an as-of could never broadcast-plan the as-of result.
+  override def maxRows: Option[Long] = left.maxRows
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
