@@ -121,7 +121,18 @@ object DumpPlans {
     "x77_eager_agg", "d28_source_overlap", "x78_bitemporal",
     // hovers at the 1s line (host-speed dependent) — pin it so the
     // coverage check can't depend on the flap
-    "t54_ngram_precision")
+    "t54_ngram_precision",
+    // round 9: the r8 driver bench (one JVM, 352 gates, contention)
+    // pushed these ~0.6s gates over 1s — pin them, and the coverage
+    // spec now asserts with margin (everything >0.7s is covered, the
+    // live-bench assertion moves to 1.5s + a committed snapshot holds
+    // the 1.0s policy line) so bench-day host speed can never redden
+    // the suite again
+    "v4_final_records", "x38_holt_forecast",
+    "t19_df_score", "d25_maximal_spans", "x37_weighted_median",
+    "t25_outlier_docs", "x12_cogroup_reconcile", "v2_failed_groups",
+    "s15_ann_recall", "x7_scd2_history", "x30_abc_pareto",
+    "q63_volume_shipping", "x6_range_join", "x73_asof_rtfilter")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
