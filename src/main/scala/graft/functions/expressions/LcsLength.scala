@@ -45,15 +45,21 @@ case class LcsLength(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val m = y.numElements()
+    // null-element scan UP FRONT on both sides: inside the DP loops the
+    // checks are skipped whenever the opposite array is empty (n==0
+    // checks nothing; m==0 never reaches the right side) — exactly the
+    // degenerate cases where a silent null must not score 0 (ADVICE r8)
+    var k = 0
+    while (k < n) { if (x.isNullAt(k)) FloatDotProduct.nullElement(k); k += 1 }
+    k = 0
+    while (k < m) { if (y.isNullAt(k)) FloatDotProduct.nullElement(k); k += 1 }
     var prev = new Array[Long](m + 1)
     var curr = new Array[Long](m + 1)
     var i = 1
     while (i <= n) {
-      if (x.isNullAt(i - 1)) FloatDotProduct.nullElement(i - 1)
       val xi = x.getUTF8String(i - 1)
       var j = 1
       while (j <= m) {
-        if (y.isNullAt(j - 1)) FloatDotProduct.nullElement(j - 1)
         curr(j) =
           if (xi.equals(y.getUTF8String(j - 1))) prev(j - 1) + 1L
           else math.max(prev(j), curr(j - 1))
@@ -77,17 +83,22 @@ case class LcsLength(left: Expression, right: Expression)
       val tmp = ctx.freshName("tmp")
       val xi = ctx.freshName("xi")
       val v = ctx.freshName("v")
+      val k = ctx.freshName("k")
       val cls = FloatDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
+         |// up-front null scan: the DP loops skip the opposite side when
+         |// one array is empty (see nullSafeEval)
+         |for (int $k = 0; $k < $n; $k++)
+         |  if ($a.isNullAt($k)) $cls.nullElement($k);
+         |for (int $k = 0; $k < $m; $k++)
+         |  if ($b.isNullAt($k)) $cls.nullElement($k);
          |long[] $prev = new long[$m + 1];
          |long[] $curr = new long[$m + 1];
          |for (int $i = 1; $i <= $n; $i++) {
-         |  if ($a.isNullAt($i - 1)) $cls.nullElement($i - 1);
          |  org.apache.spark.unsafe.types.UTF8String $xi = $a.getUTF8String($i - 1);
          |  for (int $j = 1; $j <= $m; $j++) {
-         |    if ($b.isNullAt($j - 1)) $cls.nullElement($j - 1);
          |    long $v;
          |    if ($xi.equals($b.getUTF8String($j - 1))) $v = $prev[$j - 1] + 1L;
          |    else $v = Math.max($prev[$j], $curr[$j - 1]);

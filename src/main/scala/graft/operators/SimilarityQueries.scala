@@ -2438,7 +2438,14 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val e = knnEdges(spark, dir, k = 3)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    // one materialization each for the two tables every round re-joins
+    // (VERDICT r8 item 4): without the eager localCheckpoints the 3
+    // rounds + final + exact-truth joins would recompute the k-NN-graph
+    // build and the corpus-×-query scoring projection ~5× — linear not
+    // quadratic, but 4 wasted corpus passes at any scale. Checkpointed
+    // width is 2 ints (edges) / int+long (scores): the s12 discipline.
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"),
         Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
@@ -2448,6 +2455,7 @@ object SimilarityQueries {
       .withColumn("dot", Similarity.dotScaled(col("sv"), col("qsv")))
       .withColumn("skey", Similarity.surrogateCosKey("dot", "nrm"))
       .select(col("vec_id"), col("skey"))
+      .localCheckpoint()
     // multi-entry: one seed per LSH bucket (components are bucket-local)
     var beam = v.groupBy(col("bucket")).agg(min(col("vec_id")).as("id"))
       .select(col("id"))
@@ -2586,8 +2594,12 @@ object SimilarityQueries {
   // 1979), the parallel-algorithms primitive the fixpoint family
   // (s12/s16/q74: O(depth) frontier rounds) cannot express when the
   // structure is a FUNCTIONAL GRAPH with Θ(n)-long paths: each node
-  // has exactly one out-edge f(v) = (v² + 7) mod n over the customer
-  // key space — Pollard's rho map, genuinely non-invertible, so the
+  // has exactly one out-edge f(v) = (v² + 7) mod n + 1 over the
+  // customer key space 1..n (the +1 keeps the image INSIDE the node
+  // set — without it f(v)=0 would have no join partner and the
+  // doubling equi-join would silently drop that node while the
+  // arithmetic oracle kept walking; ADVICE r8) —
+  // Pollard's rho map, genuinely non-invertible, so the
   // graph is tails flowing into cycles. Computing each node's terminal
   // CYCLE (its rho's attractor) by walking f would take Θ(n) rounds;
   // pointer doubling squares the jump length instead — state
@@ -2607,7 +2619,7 @@ object SimilarityQueries {
     val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("v"))
     val n = nodes.count() // driver scalar: node count (bounded by design)
     val rounds = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
-    def f(c: org.apache.spark.sql.Column) = (c * c + lit(7L)) % lit(n)
+    def f(c: org.apache.spark.sql.Column) = (c * c + lit(7L)) % lit(n) + lit(1L)
     var st = nodes
       .select(col("v"), f(col("v")).as("next"), f(col("v")).as("mn"))
       .localCheckpoint() // truncate before the doubling chain starts
@@ -2635,11 +2647,11 @@ object SimilarityQueries {
     """WITH RECURSIVE nodes AS (SELECT c_custkey AS v FROM customer),
       |p AS (SELECT COUNT(*) AS n FROM nodes),
       |walk(start, step, cur, mn, n) AS (
-      |  SELECT v, CAST(1 AS BIGINT), (v * v + 7) % n, (v * v + 7) % n, n
+      |  SELECT v, CAST(1 AS BIGINT), (v * v + 7) % n + 1, (v * v + 7) % n + 1, n
       |  FROM nodes, p
       |  UNION ALL
-      |  SELECT start, step + 1, (cur * cur + 7) % n,
-      |    least(mn, (cur * cur + 7) % n), n
+      |  SELECT start, step + 1, (cur * cur + 7) % n + 1,
+      |    least(mn, (cur * cur + 7) % n + 1), n
       |  FROM walk WHERE step < n),
       |fin AS (SELECT start, cur AS f, mn AS m FROM walk, p
       |        WHERE step = p.n),

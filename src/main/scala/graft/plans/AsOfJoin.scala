@@ -53,15 +53,26 @@ case class AsOfJoin(
       .map(_.withNullability(true))
   // the as-of join is ROW-PRESERVING: exactly one output row per left
   // row (backward/forward pick at most one match; misses null-extend),
-  // so left's row bound is exact and output bytes are at most both
-  // inputs together. Without this override the stats visitor falls to
-  // its default — the PRODUCT of child sizes — and a parent join above
-  // an as-of could never broadcast-plan the as-of result.
+  // so left's row bound is exact. Output bytes = left rows × the FULL
+  // output width, i.e. left.sizeInBytes scaled by the output/left
+  // row-width ratio (the UnaryNode sizing convention) — NOT
+  // left+right: a narrow left against a wide right carries the right's
+  // payload on every output row, and summing input sizes would
+  // underestimate it and let a parent join wrongly broadcast the as-of
+  // result. (Without any override the stats visitor falls to its
+  // default — the PRODUCT of child sizes — and a parent join above an
+  // as-of could never broadcast-plan it.)
   override def maxRows: Option[Long] = left.maxRows
-  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val leftWidth = math.max(1L,
+      left.output.map(_.dataType.defaultSize.toLong).sum)
+    val outWidth = math.max(leftWidth,
+      output.map(_.dataType.defaultSize.toLong).sum)
     org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      sizeInBytes =
+        (left.stats.sizeInBytes * outWidth / leftWidth).max(BigInt(1)),
       rowCount = left.stats.rowCount)
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)

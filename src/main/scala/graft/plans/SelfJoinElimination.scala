@@ -43,7 +43,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the core is fully deterministic with no subquery expressions (two
   * executions of the same NONDETERMINISTIC plan produce different
   * rows — e.g. an inlined CTE with `rand()` keeps its seed but not its
-  * row order, so "same plan" does not mean "same values"); at least
+  * row order, so "same plan" does not mean "same values"); the core
+  * contains no execution-order-dependent node (unordered LIMIT /
+  * Offset / Tail / Sample — deterministic EXPRESSIONS over a row set
+  * that differs between executions, which the expression-purity guard
+  * cannot see); at least
   * one `l.a = r.b` equi conjunct where `a` and `b` map to the SAME
   * core attribute; and that key set is provably unique on the core.
   *
@@ -93,6 +97,25 @@ object SelfJoinElimination extends Rule[LogicalPlan] {
     p.exists(n => n.expressions.exists(e =>
       !e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]])))
 
+  /** True when any node's OUTPUT ROW SET is execution-order dependent
+    * even though every expression in it is deterministic: an unordered
+    * LIMIT picks whichever rows arrive first, Sample draws per-
+    * partition-ordered. Two executions of the same canonical plan can
+    * then return DIFFERENT bags, so collapsing the self-join to one
+    * copy would pick one possible world where the unrewritten join
+    * could legitimately produce another (exchange/subquery reuse does
+    * not guarantee the two sides share one execution). Expression
+    * purity ([[impure]]) cannot see this — it must be a node check. */
+  private def orderDependent(p: LogicalPlan): Boolean =
+    p.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Offset => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Tail => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case _ => false
+    }
+
   private def eliminate(j: Join): Option[LogicalPlan] = {
     val cond = j.condition.get
     val (lcore, lmap) = peel(j.left)
@@ -100,6 +123,7 @@ object SelfJoinElimination extends Rule[LogicalPlan] {
     if (!lcore.sameResult(rcore)) return None
     if (lcore.output.length != rcore.output.length) return None
     if (impure(lcore)) return None
+    if (orderDependent(lcore)) return None
     // canonical equality normalizes attributes positionally, so the
     // cores' outputs correspond index-by-index (the same contract
     // ReuseExchange / the cache manager build their output maps on)

@@ -80,4 +80,39 @@ class LcsLengthKernelSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("null element at index")),
       s"expected a null-element failure, got: $e")
   }
+
+  test("null elements fail fast even when the OPPOSITE array is empty") {
+    // Degenerate cases the in-loop checks could never reach (ADVICE
+    // r8): with n==0 the outer loop never runs (neither side checked);
+    // with m==0 the inner loop never runs (right side unchecked). The
+    // up-front scan must still raise on BOTH paths — interpreted and
+    // codegen.
+    import spark.implicits._
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: chain(x.getCause))
+    val cases = Seq(
+      (Seq(null.asInstanceOf[String]), Seq.empty[String]),   // m==0, left null
+      (Seq.empty[String], Seq(null.asInstanceOf[String])),   // n==0, right null
+      (Seq("a"), Seq(null.asInstanceOf[String])))            // m>0, right null
+    cases.foreach { case (a, b) =>
+      val e = intercept[Exception] {
+        Seq((a, b)).toDF("ta", "tb")
+          .withColumn("l", TextFunctions.lcsLength(col("ta"), col("tb")))
+          .collect()
+      }
+      assert(chain(e).exists(_.contains("null element at index")),
+        s"codegen: expected null-element failure for $a vs $b, got: $e")
+      val ei = intercept[Exception] {
+        import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        graft.functions.expressions.LcsLength(
+          Literal(convertToCatalyst(a.toArray), ArrayType(StringType)),
+          Literal(convertToCatalyst(b.toArray), ArrayType(StringType)))
+          .eval(null)
+      }
+      assert(chain(ei).exists(_.contains("null element at index")),
+        s"interpreted: expected null-element failure for $a vs $b, got: $ei")
+    }
+  }
 }

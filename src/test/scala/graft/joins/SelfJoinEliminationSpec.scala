@@ -148,6 +148,36 @@ class SelfJoinEliminationSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.selfJoin.eliminate")
   }
 
+  test("order-dependent cores (LIMIT / TABLESAMPLE) fall back") {
+    // Every EXPRESSION here is deterministic, so impure() alone would
+    // accept these cores — but an unordered LIMIT's (and Sample's)
+    // output ROW SET is execution-order dependent: two executions of
+    // the same canonical plan can return different rows, and the
+    // uniqueness tracer sees through GlobalLimit/LocalLimit/Sample.
+    // Collapsing would pick one possible world; the unrewritten join
+    // may produce another (exchange reuse does not dedup the sides).
+    // The node-level orderDependent() guard must refuse both shapes
+    // (ADVICE r8).
+    metricView()
+    SelfJoin.enable(spark)
+    val limited = spark.sql(
+      """SELECT a.k, a.n, b.n AS n2 FROM
+        |  (SELECT k, n FROM graft_sje_m LIMIT 3) a
+        |JOIN
+        |  (SELECT k, n FROM graft_sje_m LIMIT 3) b
+        |ON a.k = b.k""".stripMargin)
+    assert(joins(limited) > 0,
+      limited.queryExecution.optimizedPlan.toString)
+    val sampled = spark.sql(
+      """SELECT a.k, a.n, b.n AS n2 FROM
+        |  (SELECT k, n FROM graft_sje_m TABLESAMPLE (50 PERCENT)) a
+        |JOIN
+        |  (SELECT k, n FROM graft_sje_m TABLESAMPLE (50 PERCENT)) b
+        |ON a.k = b.k""".stripMargin)
+    assert(joins(sampled) > 0,
+      sampled.queryExecution.optimizedPlan.toString)
+  }
+
   test("outer self-joins are not touched") {
     metricView()
     SelfJoin.enable(spark)
