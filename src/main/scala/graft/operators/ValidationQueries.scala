@@ -933,7 +933,105 @@ object ValidationQueries {
        |  MIN(effective_date) AS min_eff, MAX(effective_date) AS max_eff
        |FROM final GROUP BY opco_id ORDER BY opco_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v30_pa_stream — the PA route under the same arriving-files cadence
+  // (VERDICT r8 item 5: v29 proved the price-zone pipeline one file per
+  // micro-batch; this closes the second reference route,
+  // `/root/reference/src/pa/pa_etl_script.py:224-317` driven at the
+  // trigger lambda's one-job-per-file cadence). Synthesized pipe-CSV
+  // exports (one file per opco, derived from lineitem exactly like v5)
+  // arrive one per micro-batch through
+  // [[graft.streaming.PipelineStream.runPaStream]]: transform →
+  // invalid-price count → broadcast cluster routing → per-cluster
+  // batch_id-scoped partitioned CSV (idempotent overwrite). The landed
+  // two-cluster layout is read back through partition discovery and
+  // aggregated per (cluster, opco); because routing is row-wise
+  // stateless, the multi-batch result must equal the global batch
+  // semantics the oracle states directly over lineitem. Dirs are cached
+  // per sf: re-invocations drain ZERO files off the same checkpoint and
+  // re-read the identical layout — v29's exactly-once rerun property.
+  private val v30Dirs =
+    scala.collection.mutable.Map.empty[String, (String, String, String)]
+
+  def v30(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir).select(
+      col("l_partkey").cast(StringType).as("ITEM_ID"),
+      concat(lpad((col("l_suppkey") % 12).cast(StringType), 3, "0"),
+        lit("-"), col("l_linenumber").cast(StringType)).as("PRICE_ZONE_ID"),
+      concat(col("l_shipdate").cast(StringType), lit(" 00:00:00"))
+        .as("EFFECTIVE_DATE"),
+      // integer cents rendered as string: float-rendering differences
+      // between engines can never reach the hash
+      floor(col("l_extendedprice") * 100).cast("long").cast(StringType)
+        .as("LOCAL_REFERENCE_PRICE"),
+      concat(col("l_shipdate").cast(StringType), lit(" 08:30:00"))
+        .as("EXPORT_DATE"),
+      col("l_returnflag").as("ITEM_ATTR_5_NM"),
+      lit("0").as("CURRENT_PRICE"), lit("NA").as("REASON"),
+      lit("0").as("NEW_PRICE"))
+    val (inDir, outDir, ckptDir) = v30Dirs.synchronized {
+      v30Dirs.getOrElseUpdate(dir, {
+        val in = graft.control.Scratch.dir("graft_v30_in")
+        val out = graft.control.Scratch.dir("graft_v30_out")
+        val ck = graft.control.Scratch.dir("graft_v30_ckpt")
+        (0 until 12).foreach { i =>
+          val o = f"$i%03d"
+          val tmp = graft.control.Scratch.dir("graft_v30_stage")
+          raw.filter(split(col("PRICE_ZONE_ID"), "-").getItem(0) === lit(o))
+            .coalesce(1)
+            .write.mode("overwrite").option("header", "true")
+            .option("sep", "|").csv(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".csv"))
+          part.foreach(f => java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"pa_export_$o.csv")))
+        }
+        (in, out, ck)
+      })
+    }
+    val mapping = spark.range(12).select(
+      lpad(col("id").cast(StringType), 3, "0").as("opco_id"),
+      when(col("id") % 2 === 0, lit("01")).otherwise(lit("02"))
+        .as("cluster_id"))
+    graft.streaming.PipelineStream.runPaStream(
+      spark, inDir, outDir, ckptDir, mapping, activeOpcos,
+      maxFilesPerTrigger = Some(1))
+    val back = spark.read.option("header", "true").csv(outDir)
+    back.groupBy(
+        lpad(col("cluster").cast(StringType), 2, "0").as("cluster_id"),
+        lpad(col("opco_id").cast(StringType), 3, "0").as("opco_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("supc")).as("n_supcs"),
+        countDistinct(col("price_zone_id")).as("n_zones"),
+        min(col("effective_date")).as("min_eff"),
+        max(col("effective_date")).as("max_eff"),
+        sum(col("price").cast("long")).as("price_cents"))
+      .orderBy(col("cluster_id"), col("opco_id"))
+  }
+
+  private val v30Sql =
+    s"""WITH pa AS (
+       |  SELECT CAST(l_partkey AS VARCHAR) AS supc,
+       |    lpad(CAST(l_suppkey % 12 AS VARCHAR), 3, '0') AS opco_id,
+       |    CAST(l_linenumber AS VARCHAR) AS price_zone_id,
+       |    strftime(l_shipdate, '%Y-%m-%d') AS effective_date,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+       |  FROM lineitem),
+       |mapping AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 3, '0') AS m_opco,
+       |    CASE WHEN i % 2 = 0 THEN '01' ELSE '02' END AS cluster_id
+       |  FROM range(12) t(i))
+       |SELECT m.cluster_id, p.opco_id, COUNT(*) AS n_records,
+       |  COUNT(DISTINCT p.supc) AS n_supcs,
+       |  COUNT(DISTINCT p.price_zone_id) AS n_zones,
+       |  MIN(p.effective_date) AS min_eff, MAX(p.effective_date) AS max_eff,
+       |  CAST(SUM(p.price_cents) AS BIGINT) AS price_cents
+       |FROM pa p JOIN mapping m ON p.opco_id = m.m_opco
+       |WHERE p.opco_id IN ($activeList)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v30_pa_stream" -> (v30 _),
     "v29_stream_pipeline" -> (v29 _),
     "v28_jdbc_roundtrip" -> (v28 _),
     "v17_ref_integrity" -> (v17 _),
@@ -955,6 +1053,7 @@ object ValidationQueries {
     "v6_roundtrip" -> (v6 _))
 
   val oracleSql: Map[String, String] = Map(
+    "v30_pa_stream" -> v30Sql,
     "v28_jdbc_roundtrip" -> v28Sql,
     "v29_stream_pipeline" -> v29Sql,
     "v17_ref_integrity" -> v17Sql,

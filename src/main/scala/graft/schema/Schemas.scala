@@ -31,10 +31,20 @@ object Schemas {
       export_date: Option[Long], catch_weight_indicator: String,
       price_zone_id: String, opco_id: String)
 
+  /** PA raw export contract (pre-transform, pipe CSV, all-string —
+    * the column set `PaTransform.transform` consumes/drops;
+    * `/root/reference/src/pa/pa_etl_script.py:243-264`). */
+  final case class PaRaw(
+      ITEM_ID: String, PRICE_ZONE_ID: String, EFFECTIVE_DATE: String,
+      LOCAL_REFERENCE_PRICE: String, EXPORT_DATE: String,
+      ITEM_ATTR_5_NM: String, CURRENT_PRICE: String, REASON: String,
+      NEW_PRICE: String)
+
   /** Opco→cluster dimension (`pa_etl_script.py:15`). */
   final case class OpcoCluster(opco_id: String, cluster_id: String)
 
   val priceZoneRaw: StructType = Encoders.product[PriceZoneRaw].schema
+  val paRaw: StructType = Encoders.product[PaRaw].schema
   val priceZoneRecord: StructType = Encoders.product[PriceZoneRecord].schema
   val paPriceRecord: StructType = Encoders.product[PaPriceRecord].schema
   val opcoCluster: StructType = Encoders.product[OpcoCluster].schema
