@@ -153,6 +153,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate below the join (conf-gated: spark.graft.eagerAggregation)
     e.injectOptimizerRule(_ => graft.plans.AggregatePushThroughJoin)
 
+    // optimizer rule: redundant-DISTINCT elimination — a grouping-only
+    // aggregate over a relation whose output provably contains a
+    // per-row-unique key collapses to a Project (conf-gated:
+    // spark.graft.distinct.eliminate)
+    e.injectOptimizerRule(_ => graft.plans.DistinctElimination)
+
     // planner strategy: the native backward as-of join (custom logical
     // node → sort-merge AsOfJoinExec; graft.operators.AsOf also
     // self-registers it per-session for extension-less sessions)

@@ -3087,7 +3087,57 @@ object CrossQueries {
       | AND x.vfrom <= p.v AND x.vto > p.v
       |GROUP BY 1, 2, 3 ORDER BY probe_id""".stripMargin
 
+  // x79_distinct_elim — REDUNDANT-DISTINCT ELIMINATION driven end to
+  // end (the round's optimizer-rule feature, x76/x77's sibling): each
+  // user's LAST click as-of-joined backward to their latest preceding
+  // purchase, then released through `SELECT DISTINCT`. The distinct is
+  // provably redundant — user_id is the left aggregate's grouping key
+  // and the NATIVE as-of join is row-preserving, so
+  // [[graft.plans.DistinctElimination]] traces the uniqueness THROUGH
+  // the custom node (via [[graft.plans.PartitionUniqueness]]'s AsOfJoin
+  // case) and collapses the dedup to a Project. Vanilla Spark
+  // structurally cannot: `distinctKeys` of an unknown LogicalPlan is
+  // empty, so without the rule the plan pays a full exchange plus
+  // hash-dedup of the whole result that removes nothing — at 100 TB,
+  // the most expensive no-op a query can run. Plan pinned by
+  // DistinctEliminationSpec + PlanRegressionSpec (exactly TWO
+  // aggregates: the two input rollups; none above the as-of). The
+  // oracle executes the DISTINCT literally over DuckDB's native ASOF —
+  // elimination must be result-invisible.
+  def x79(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.DistinctElim.enable(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        graft.streaming.Streaming.tsMicros(col("ts")).as("tsu"))
+    val lastClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(max(col("tsu")).as("tsu"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tsu").as("rtsu"))
+      .agg(max(col("value")).as("v"))
+    AsOf.joinBackward(lastClick, buys, Seq("user_id"), "tsu", "rtsu")
+      .select(col("user_id"), col("tsu"),
+        coalesce(floor(col("v") * 100).cast("long"), lit(-1L))
+          .as("last_cents"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  private val x79Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT user_id, MAX(tsu) AS tsu FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |r AS (SELECT user_id, tsu AS rtsu, MAX(value) AS v
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT DISTINCT l.user_id, l.tsu,
+      |  COALESCE(CAST(floor(r.v * 100) AS BIGINT), -1) AS last_cents
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.tsu >= r.rtsu
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_distinct_elim" -> (x79 _),
     "x78_bitemporal" -> (x78 _),
     "x77_eager_agg" -> (x77 _),
     "x76_selfjoin_elim" -> (x76 _),
@@ -3146,6 +3196,7 @@ object CrossQueries {
     "x9_scd2_merge" -> (x9 _))
 
   val oracleSql: Map[String, String] = Map(
+    "x79_distinct_elim" -> x79Sql,
     "x78_bitemporal" -> x78Sql,
     "x77_eager_agg" -> x77Sql,
     "x76_selfjoin_elim" -> x76Sql,

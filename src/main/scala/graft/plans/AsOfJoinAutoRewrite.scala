@@ -424,6 +424,16 @@ object PartitionUniqueness {
       // 1:1 row extension: prove on the pre-window columns
       case w: Window =>
         provablyUnique(keys -- w.windowOutputSet, w.child)
+      // the native as-of join is ROW-PRESERVING (exactly one output row
+      // per left row — see AsOfJoin.maxRows), so it transports the left
+      // side's uniqueness: restrict the keys to left-side attributes
+      // (dropping right-side keys is sound — uniqueness by a subset
+      // implies uniqueness by the set) and prove on the left child.
+      // This is what lets DistinctElimination see through the custom
+      // node where vanilla distinctKeys propagation cannot.
+      case aj: AsOfJoin =>
+        val lk = keys.filter(aj.left.outputSet.contains)
+        lk.nonEmpty && provablyUnique(AttributeSet(lk.toSeq), aj.left)
       case _ => false
     }
   }

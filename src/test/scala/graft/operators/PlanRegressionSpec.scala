@@ -335,6 +335,24 @@ class PlanRegressionSpec extends SparkSpec {
       s"x76_selfjoin_elim: self-join not eliminated:\n${joins.mkString("\n")}")
   }
 
+  test("x79 keeps the distinct eliminated above the as-of join") {
+    // DistinctElimination is result-INVISIBLE (the dedup removes
+    // nothing), so only this pin can catch the rule silently not
+    // firing. A regression re-plans the gate with a THIRD aggregate —
+    // a full exchange + hash-dedup of the as-of output.
+    val p = plans("x79_distinct_elim")
+    val aggs = p.collect {
+      case h if h.nodeName.contains("HashAggregate") ||
+        h.nodeName.contains("SortAggregate") ||
+        h.nodeName.contains("ObjectHashAggregate") => h
+    }
+    // partial+final pairs: 2 logical aggregates (the two input
+    // rollups) → at most 4 physical nodes; the distinct would add more
+    assert(aggs.size <= 4,
+      s"x79_distinct_elim: distinct not eliminated (${aggs.size} " +
+        s"aggregate nodes):\n$p")
+  }
+
   test("unpartitioned windows only ever run over the offset table") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       val ws = unpartitionedWindows(p)
