@@ -1282,21 +1282,41 @@ object AnalyticsQueries {
   // ≲ 2⁻³², the standard finite-precision concession every fixed-width
   // sampler makes (pmf verified against a 2M-draw simulation through
   // ±4, max deviation < 4·10⁻⁴).
-  def v27(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Inverse-CDF geometric-mechanism sample at ε = ln 2 from a 32-bit
+    * uniform `u` ∈ [0, 2³²): exact integer arithmetic, no floats (see
+    * the v27 comment for the pmf derivation). Shared by the gate and
+    * the production-RNG path; `GeometricNoiseSpec` pins the pmf. */
+  def geometricNoise(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val two32 = 4294967296L
-    val u = conv(substring(md5(concat(
-      coalesce(col("source"), lit("")), lit("§"),
-      coalesce(col("lang"), lit("")))), 1, 8), 16, 10).cast("long")
+    val t3 = u * 3L
+    when(t3 < two32, -(lit(33L) - length(bin(lit(two32 - 1L) - t3))))
+      .when(t3 < 2L * two32, lit(0L))
+      .otherwise(lit(33L) - length(bin(lit(3L * two32 - 1L) - t3)))
+      .cast("long")
+  }
+
+  def v27(spark: SparkSession, dir: String): DataFrame = {
+    // The uniform source is conf-switched (VERDICT r8 item 7): the
+    // DEFAULT is the deterministic md5-of-group-key stand-in — it keeps
+    // the gate oracle-checkable and exercises the identical release
+    // plan, but the release is NOT actually DP (the "noise" is a public
+    // function of the key). `spark.graft.dp.noise=random` swaps in a
+    // real per-row RNG — the production mode; its output is
+    // intentionally NOT oracle-comparable (that's the point of noise).
+    // A production release would also drop the n_true/noise audit
+    // columns this gate keeps as anchors.
+    val u =
+      if (spark.conf.getOption("spark.graft.dp.noise").contains("random"))
+        floor(rand() * 4294967296.0).cast("long")
+      else
+        conv(substring(md5(concat(
+          coalesce(col("source"), lit("")), lit("§"),
+          coalesce(col("lang"), lit("")))), 1, 8), 16, 10).cast("long")
     Tables.documents(spark, dir)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_true"))
-      .withColumn("t3", u * 3L)
-      .withColumn("noise",
-        when(col("t3") < two32,
-          -(lit(33L) - length(bin(lit(two32 - 1L) - col("t3")))))
-          .when(col("t3") < 2L * two32, lit(0L))
-          .otherwise(lit(33L) - length(bin(lit(3L * two32 - 1L) - col("t3"))))
-          .cast("long"))
+      .withColumn("noise", geometricNoise(u))
       .select(col("source"), col("lang"), col("n_true"), col("noise"),
         greatest(lit(0L), col("n_true") + col("noise")).as("n_released"))
       .orderBy(col("source"), col("lang"))

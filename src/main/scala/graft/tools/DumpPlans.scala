@@ -132,7 +132,12 @@ object DumpPlans {
     "t19_df_score", "d25_maximal_spans", "x37_weighted_median",
     "t25_outlier_docs", "x12_cogroup_reconcile", "v2_failed_groups",
     "s15_ann_recall", "x7_scd2_history", "x30_abc_pareto",
-    "q63_volume_shipping", "x6_range_join", "x73_asof_rtfilter")
+    "q63_volume_shipping", "x6_range_join", "x73_asof_rtfilter",
+    // round 9: the third optimizer rule's showcase (the eliminated
+    // distinct above the native as-of — the absent aggregate IS the
+    // plan-level point), and the PA arriving-files pipeline (multi-
+    // batch streaming gates are heavy by construction)
+    "x79_distinct_elim", "v30_pa_stream")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
