@@ -106,6 +106,17 @@ object TextFunctions {
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Total occurrences of every pattern in a text column (overlapping
+    * included) via one shared Aho–Corasick automaton — O(bytes) per
+    * row regardless of pattern count
+    * ([[graft.functions.expressions.MultiPatternCount]]). */
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.expressions.MultiPatternCount(
+        GraftColumnBridge.expression(text), patterns))
+  }
+
   /** The pre-kernel formulation of [[languageId]] — equivalence-spec
     * oracle only; do not use in query paths (codegen size). */
   private[graft] def languageIdReference(c: Column): Column = {

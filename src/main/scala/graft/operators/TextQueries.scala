@@ -2907,7 +2907,57 @@ object TextQueries {
       |FROM pred WHERE rnk = 1
       |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
 
+  // t58_multipattern — banned-phrase scanning via the AHO–CORASICK
+  // automaton kernel ([[graft.functions.expressions.MultiPatternCount]],
+  // Aho & Corasick 1975): every document scanned ONCE against the whole
+  // pattern set — O(bytes + matches) per doc versus the per-pattern
+  // `contains`/`replace` chain's O(bytes × patterns), which is the
+  // entire scaling story for term scrubbing at 100 TB (the pattern set
+  // only grows). Patterns are word AND phrase shaped (cross-token
+  // matches a tokenizer can't see), all BORDER-FREE (no pattern can
+  // overlap itself — `MultiPatternCountSpec` asserts it), so the
+  // kernel's overlapping-inclusive count equals the oracle's
+  // per-pattern non-overlapping length/replace restatement. Scale
+  // shape: the automaton is built once on the driver (KBs) and rides
+  // the closure; the scan is map-side inside the codegen span; one
+  // partial-aggregated exchange on `source`.
+  val t58Patterns: Seq[String] =
+    Seq("data", "stream", "scan", "fast table", "big vector", "spark win")
+
+  def t58(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions
+          .multiPatternCount(col("text"), t58Patterns).as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hits")).as("total_hits"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        max(col("hits")).as("max_hits"))
+      .orderBy(col("source"))
+
+  private val t58Sql = {
+    // one hits expression per pattern, summed — the oracle restates the
+    // automaton per pattern with the length/replace trick (exact for
+    // border-free patterns); patterns interpolated from the SAME list
+    val perPattern = t58Patterns.map { p =>
+      val lit = p.replace("'", "''")
+      s"(length(text) - length(replace(text, '$lit', ''))) // ${p.length}"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $perPattern AS hits
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+       |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_hit,
+       |  CAST(MAX(hits) AS BIGINT) AS max_hits
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t58_multipattern" -> (t58 _),
     "t57_naive_bayes" -> (t57 _),
     "t56_rouge_lcs" -> (t56 _),
     "t55_rake" -> (t55 _),
@@ -2989,6 +3039,7 @@ object TextQueries {
     "t26_extract_table" -> t26Sql,
     "t24_fuzzy_pairs" -> t24Sql,
     "t25_outlier_docs" -> t25Sql,
+    "t58_multipattern" -> t58Sql,
     "t57_naive_bayes" -> t57Sql,
     "t56_rouge_lcs" -> t56Sql,
     "t55_rake" -> t55Sql,
