@@ -574,7 +574,107 @@ object SketchQueries {
       |    AS BIGINT) AS jaccard_ppm
       |FROM t CROSS JOIN x""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sk10_ddsketch — RELATIVE-ERROR quantiles via the exponential-bucket
+  // sketch (DDSketch, Masson et al. VLDB 2019; exponential histograms
+  // generally): values map to bucket ⌊log_γ v⌋ and the q-quantile is
+  // answered from cumulative bucket counts with multiplicative error ≤
+  // (γ−1)/(γ+1) — the OTHER quantile-sketch guarantee next to sk1's KLL
+  // (rank error): KLL's rank bound degrades to huge VALUE error on
+  // heavy tails, DDSketch's value bound is scale-free. γ = √2 so the
+  // bucket index is INTEGER-EXACT in both engines — i = ⌊2·log₂ v⌋ =
+  // bitlength(v²) − 1 (the v27/t36 bin-length trick; v = integer
+  // cents) — no float log ever computed, so the sketch is
+  // deterministic and the gate hash-checks the estimates directly
+  // (like CMS/Bloom/KMV; unlike HLL/KLL's in-bounds anchors). The
+  // oracle rebuilds the identical sketch in SQL. Per quantile
+  // {50,90,99}: the sketch bucket, its count, the exact disc quantile
+  // (shared integer rank rule: smallest v with cum ≥ ⌈q·n/100⌉), and
+  // the guarantee booleans — exact value inside the bucket's
+  // [2^(i/2), 2^((i+1)/2)) range, stated as integer v² comparisons.
+  // Scale shape: the sketch IS groupBy(bucket).count() — map-side
+  // partial over ~64 buckets, one KB-scale exchange, mergeable by
+  // construction (bucket-count addition); the exact-quantile audit
+  // column aggregates distinct cents values (bounded by price domain).
+  def sk10(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val bucketed = cents
+      .select(col("v"),
+        (length(bin(col("v") * col("v"))) - 1).cast("long").as("b"))
+    val hist = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val n = cents.count() // driver scalar: row count (bounded by design)
+    val qs = spark.range(1).select(explode(array(
+      lit(50L), lit(90L), lit(99L))).as("q"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // sketch answer: first bucket whose cumulative count reaches the rank
+    val sk = qs.crossJoin(cum) // ≤64 buckets × 3 quantiles: broadcast-bounded
+      .withColumn("rank", ceil(col("q") * lit(n) / 100.0).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q"), col("rank"))
+      .agg(min(col("b")).as("sk_bucket"))
+    // exact disc quantile under the SAME rank rule, over value counts
+    val vals = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = qs.crossJoin(vals)
+      .withColumn("rank", ceil(col("q") * lit(n) / 100.0).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
+    sk.join(exact, Seq("q"))
+      .join(hist.select(col("b").as("sk_bucket"), col("cnt").as("bucket_n")),
+        Seq("sk_bucket"))
+      .select(col("q"), col("sk_bucket"), col("bucket_n"), col("exact_v"),
+        // guarantee: 2^sk_bucket <= exact_v^2 < 2^(sk_bucket+1), i.e.
+        // the exact quantile lies in the sketch bucket's value range
+        (length(bin(col("exact_v") * col("exact_v"))) - 1 === col("sk_bucket"))
+          .as("in_bucket"))
+      .orderBy(col("q"))
+  }
+
+  private val sk10Sql =
+    """WITH cents AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem WHERE floor(l_extendedprice * 100) > 0),
+      |p AS (SELECT COUNT(*) AS n FROM cents),
+      |hist AS (
+      |  SELECT length(bin(v * v)) - 1 AS b, COUNT(*) AS cnt
+      |  FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT b, cnt, SUM(cnt) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |qs(q) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+      |                 (CAST(99 AS BIGINT))),
+      |sk AS (
+      |  SELECT q, MIN(b) AS sk_bucket
+      |  FROM qs, cum, p
+      |  WHERE cum >= CAST(ceil(q * n / 100.0) AS BIGINT)
+      |  GROUP BY q),
+      |vals AS (
+      |  SELECT v, SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT v, COUNT(*) AS c FROM cents GROUP BY v)),
+      |ex AS (
+      |  SELECT q, MIN(v) AS exact_v
+      |  FROM qs, vals, p
+      |  WHERE cum >= CAST(ceil(q * n / 100.0) AS BIGINT)
+      |  GROUP BY q)
+      |SELECT sk.q, CAST(sk.sk_bucket AS BIGINT) AS sk_bucket,
+      |  CAST(h.cnt AS BIGINT) AS bucket_n, ex.exact_v,
+      |  (length(bin(ex.exact_v * ex.exact_v)) - 1 = sk.sk_bucket)
+      |    AS in_bucket
+      |FROM sk JOIN ex ON sk.q = ex.q
+      |JOIN hist h ON h.b = sk.sk_bucket
+      |ORDER BY sk.q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk10_ddsketch" -> (sk10 _),
     "sk9_kmv_setops" -> (sk9 _),
     "sk8_bitmap_distinct" -> (sk8 _),
     "sk7_kmv" -> (sk7 _),
@@ -588,6 +688,7 @@ object SketchQueries {
   /** Exact anchors hash-checked; sketch accuracy asserted via the
     * in-bounds booleans the oracle pins to TRUE. */
   val oracleSql: Map[String, String] = Map(
+    "sk10_ddsketch" -> sk10Sql,
     "sk9_kmv_setops" -> sk9Sql,
     "sk8_bitmap_distinct" -> sk8Sql,
     "sk7_kmv" -> sk7Sql,
