@@ -604,36 +604,55 @@ object SketchQueries {
       .select(col("v"),
         (length(bin(col("v") * col("v"))) - 1).cast("long").as("b"))
     val hist = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-    val n = cents.count() // driver scalar: row count (bounded by design)
-    val qs = spark.range(1).select(explode(array(
-      lit(50L), lit(90L), lit(99L))).as("q"))
-    import org.apache.spark.sql.expressions.Window
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // sketch answer: first bucket whose cumulative count reaches the rank
-    val sk = qs.crossJoin(cum) // ≤64 buckets × 3 quantiles: broadcast-bounded
-      .withColumn("rank", ceil(col("q") * lit(n) / 100.0).cast("long"))
-      .filter(col("cum") >= col("rank"))
-      .groupBy(col("q"), col("rank"))
-      .agg(min(col("b")).as("sk_bucket"))
-    // exact disc quantile under the SAME rank rule, over value counts
+    // The sketch IS the histogram, and the histogram is ≤127 rows BY
+    // CONSTRUCTION (b = bitlength(v²)−1 of a positive long < 127)
+    // whatever the data volume — that bound is DDSketch's whole point.
+    // Answering the 3 quantile probes is therefore a driver-side fold
+    // over the collected sketch (the CMS-anchor bounded-collect class),
+    // not a distributed plan: the earlier crossJoin(qs)+filter shape
+    // planned 2 BroadcastNestedLoopJoins and an unpartitioned window
+    // over data-sized frames. n rides the same collect (Σ bucket
+    // counts ≡ cents.count(), the post-filter frame has no nulls)
+    // instead of a second scan.
+    val histRows = hist.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = histRows.map(_._2).sum
+    val qs = Seq(50L, 90L, 99L)
+    val rank = qs.map(q => q -> math.ceil(q * n / 100.0).toLong).toMap
+    // first bucket whose cumulative count reaches the rank, + its count
+    val skb: Map[Long, (Long, Long)] = qs.flatMap { q =>
+      var cum = 0L
+      histRows.collectFirst {
+        case (b, cnt) if { cum += cnt; cum >= rank(q) } => q -> (b, cnt)
+      }
+    }.toMap
+    // exact disc quantile under the SAME rank rule, over value counts:
+    // distributed prefix sum (value cardinality grows with data — never
+    // a single-partition window), then one conditional-min aggregate —
+    // no per-quantile join against the data.
     val vals = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val exact = qs.crossJoin(vals)
-      .withColumn("rank", ceil(col("q") * lit(n) / 100.0).cast("long"))
-      .filter(col("cum") >= col("rank"))
-      .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
-    sk.join(exact, Seq("q"))
-      .join(hist.select(col("b").as("sk_bucket"), col("cnt").as("bucket_n")),
-        Seq("sk_bucket"))
-      .select(col("q"), col("sk_bucket"), col("bucket_n"), col("exact_v"),
+    val cumv = RelationalQueries.globalPrefixSum(
+      vals, Seq(col("v")), col("c"), "cum")
+    val qsHit = qs.filter(skb.contains)
+    val exactRow = cumv.agg(
+      min(when(col("cum") >= rank(qs.head), col("v"))).as(s"ev_${qs.head}"),
+      qs.tail.map(q =>
+        min(when(col("cum") >= rank(q), col("v"))).as(s"ev_$q")): _*)
+    if (qsHit.isEmpty) // empty input: same empty shape the join plan gave
+      exactRow.select(lit(0L).as("q"), lit(0L).as("sk_bucket"),
+        lit(0L).as("bucket_n"), lit(0L).as("exact_v"),
+        lit(false).as("in_bucket")).limit(0)
+    else exactRow.select(explode(array(qsHit.map { q =>
+        val (b, bn) = skb(q)
+        struct(lit(q).as("q"), lit(b).as("sk_bucket"), lit(bn).as("bucket_n"),
+          col(s"ev_$q").as("exact_v"))
+      }: _*)).as("r"))
+      .select(col("r.q").as("q"), col("r.sk_bucket").as("sk_bucket"),
+        col("r.bucket_n").as("bucket_n"), col("r.exact_v").as("exact_v"),
         // guarantee: 2^sk_bucket <= exact_v^2 < 2^(sk_bucket+1), i.e.
         // the exact quantile lies in the sketch bucket's value range
-        (length(bin(col("exact_v") * col("exact_v"))) - 1 === col("sk_bucket"))
-          .as("in_bucket"))
+        (length(bin(col("r.exact_v") * col("r.exact_v"))) - 1 ===
+          col("r.sk_bucket")).as("in_bucket"))
       .orderBy(col("q"))
   }
 
