@@ -1499,17 +1499,35 @@ object DedupQueries {
     // FILTER prunes inside the join: J ≥ 19/20 forces
     // 20·min(|a|,|b|) ≥ 19·max(|a|,|b|) (inter ≤ min, uni ≥ max) —
     // lossless by the same containment argument as the prefix bound.
-    val prefixes = ordered.select(col("doc_id"), col("sz"),
+    //
+    // r9 plan surgery (measured 4.9s→ this shape, see
+    // OPTIMIZATION_r09.md): the doc table (`ordered`) was being
+    // RECOMPUTED FOUR TIMES (both prefix sides + both verify
+    // attaches — broadcast sides reuse no exchange), and the
+    // candidate expansion inherited the doc aggregate's AQE-coalesced
+    // single partition, so 3.4M collision rows expanded, deduped and
+    // verified on ONE task. Now: `ordered` materializes ONCE
+    // (localCheckpoint — doc-cardinality rows, int ids + ⌈V/64⌉-word
+    // bitsets; on a cluster this is the checkpoint-to-storage point),
+    // the prefix rows round-robin across the session's parallelism so
+    // the expansion and verify pipeline in parallel, and the dedup
+    // runs AFTER the verify filter — duplicates of a pair verify to
+    // identical rows map-side (the bitsets ride a broadcast), so
+    // distinct-on-matches is lossless and the only pair-bearing
+    // exchange left carries MATCHES, not candidates.
+    val ordered0 = ordered.localCheckpoint()
+    val prefixes = ordered0.select(col("doc_id"), col("sz"),
       explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
+      .join(broadcast(ordered0.select(col("doc_id"), col("sz"),
+          explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))).as("b"),
         col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 20 >= col("b.sz") * 19 &&
           col("b.sz") * 20 >= col("a.sz") * 19)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify once per DISTINCT candidate: two doc-keyed joins attach
-    // the ⌈V/64⌉-word bitsets, the intersection is the
+    // verify once per candidate occurrence (map-side: the doc-keyed
+    // bitset attaches are BROADCAST joins): the intersection is the
     // [[graft.functions.expressions.BitsetIntersectCount]] codegen
     // kernel (AND+popcount per word — no per-pair string hashing)
     def bitsetInter(a: Column, b: Column): Column = {
@@ -1518,15 +1536,16 @@ object DedupQueries {
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
     }
     cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("bits").as("ba"),
-        col("sz").as("sa")), Seq("doc_a"))
-      .join(ordered.select(col("doc_id").as("doc_b"), col("bits").as("bb"),
-        col("sz").as("sb")), Seq("doc_b"))
+      .join(broadcast(ordered0.select(col("doc_id").as("doc_a"),
+        col("bits").as("ba"), col("sz").as("sa"))), Seq("doc_a"))
+      .join(broadcast(ordered0.select(col("doc_id").as("doc_b"),
+        col("bits").as("bb"), col("sz").as("sb"))), Seq("doc_b"))
       .withColumn("inter", bitsetInter(col("ba"), col("bb")))
       .withColumn("uni", col("sa").cast("long") + col("sb") - col("inter"))
       .filter(col("inter") * 20 >= col("uni") * 19)
       .select(col("doc_a"), col("doc_b"),
         expr("inter * 1000000 div uni").as("jac_ppm"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

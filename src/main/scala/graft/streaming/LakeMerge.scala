@@ -41,6 +41,11 @@ object LakeMerge {
 
   final case class Table(dir: String, nBuckets: Int)
 
+  /** Staged chunk-file inputs, cached per (sfDir, chunks) — input
+    * staging only, never merge output (see [[eventsLatestMerge]]). */
+  private val stagedInputs =
+    scala.collection.mutable.Map.empty[(String, Int), String]
+
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
   /** bucket → generation pointers; absent manifest = empty table. */
@@ -136,15 +141,24 @@ object LakeMerge {
       nBuckets: Int = 16, chunks: Int = 4): DataFrame = {
     // normalize BEFORE staging so the staged chunk files always carry the
     // internal BIGINT-nanos ts shape (Tables.normalizeTs) whatever the
-    // source dir's physical type, and the stream schema matches them
-    val staged = graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
-    val schema = staged.schema
-    val in = graft.control.Scratch.dir("graft_lake_in")
+    // source dir's physical type, and the stream schema matches them.
+    // The staged INPUT is immutable per (sfDir, chunks) and cached like
+    // [[Streaming.chunkedEventsDir]] (r9: bench reruns re-ran the
+    // range-repartition write every invocation); the TABLE and
+    // CHECKPOINT dirs stay fresh per call — every invocation replays
+    // all merge batches from an empty table.
+    val in = stagedInputs.synchronized {
+      stagedInputs.getOrElseUpdate((sfDir, chunks), {
+        val d = graft.control.Scratch.dir("graft_lake_in")
+        graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+          .repartitionByRange(chunks, col("ts"))
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+    }
+    val schema = spark.read.parquet(in).schema
     val tableDir = graft.control.Scratch.dir("graft_lake_table")
     val cp = graft.control.Scratch.dir("graft_lake_cp")
-    staged
-      .repartitionByRange(chunks, col("ts"))
-      .write.mode("overwrite").parquet(in)
     val t = Table(tableDir, nBuckets)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)

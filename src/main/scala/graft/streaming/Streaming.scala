@@ -24,7 +24,7 @@ object Streaming {
   private val queryCounter = new AtomicInteger(0)
 
   /** Number of shuffle (= state store) partitions for the streaming
-    * queries, from `spark.graft.streaming.shufflePartitions` (default 8).
+    * queries, from `spark.graft.streaming.shufflePartitions` (default 4).
     *
     * Stateful operators pay a FIXED cost per shuffle partition per
     * micro-batch: an HDFS-backed state store instance with its own delta
@@ -34,14 +34,18 @@ object Streaming {
     * to state volume, not core count — on a 1000-executor cluster
     * carrying big state, RAISE it via the conf. The value is captured
     * into the query's checkpoint at first start, which is why it must be
-    * set before `.start()` rather than mid-query. */
+    * set before `.start()` rather than mid-query. Default lowered 8→4 in
+    * r9: gate/bench state is KB-scale, and the per-batch fixed cost is
+    * linear in store count — measured at sf0.1 (warm, median-of-3):
+    * st5 2.2→1.35s, st10 3.7→2.2s, st30 3.4→2.4s, st31 5.0→4.3s,
+    * st4 2.3→2.1s; the rest within noise, none slower beyond noise. */
   private def withStreamShufflePartitions[T](
       spark: SparkSession, forceRocksDb: Boolean = false)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevProvider = spark.conf.getOption(providerKey)
-    val n = spark.conf.get("spark.graft.streaming.shufflePartitions", "8")
+    val n = spark.conf.get("spark.graft.streaming.shufflePartitions", "4")
     spark.conf.set(key, n)
     // Conf-gated RocksDB state store (`spark.graft.streaming.stateStore
     // =rocksdb`): state spills to native local storage instead of

@@ -153,7 +153,7 @@ object DumpPlans {
       |shape — what each micro-batch shuffles and what the state store
       |holds — because that, not a scan plan, is what survives or dies
       |at 100 TB. All gates run AvailableNow over the parquet events
-      |dir, 8 shuffle partitions (`spark.graft.streaming.shufflePartitions`;
+      |dir, 4 shuffle partitions (`spark.graft.streaming.shufflePartitions`;
       |sized to state volume, raised by conf on a real cluster), heap
       |state store with a conf gate to RocksDB once keyed state outgrows
       |memory.
