@@ -1145,10 +1145,17 @@ object CrossQueries {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     val all = Tables.orders(spark, dir)
+    // lazy localCheckpoints at the three fan-out points (hist2 ×2,
+    // batch ×2, openJ ×2 consumers): without them the gaps-and-islands
+    // pipelines re-ran per consumer — 12 scans of orders in the
+    // executed plan (r9 finding; these are the incremental-merge job's
+    // natural persist points — the history snapshot and the batch).
     val hist = scd2Islands(all.filter(year(col("o_orderdate")) <= 1998))
     val batch = scd2Islands(all.filter(year(col("o_orderdate")) >= 1999))
+      .localCheckpoint(eager = false)
     val wc = Window.partitionBy(col("o_custkey"))
     val hist2 = hist.withColumn("old_max", max(col("island")).over(wc))
+      .localCheckpoint(eager = false)
     val closedOld = hist2.filter(col("island") < col("old_max"))
       .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
         col("eff_from"), col("eff_to"), col("n_orders"), col("sum_dec"))
@@ -1167,6 +1174,7 @@ object CrossQueries {
       // documents NULL-status support, so the merge path must too
       .withColumn("merged",
         col("b_n").isNotNull && (col("b_status") <=> col("status")))
+      .localCheckpoint(eager = false)
     val openRows = openJ.select(col("o_custkey"), col("island").as("run_idx"),
       col("status"), col("eff_from"),
       when(col("merged"), col("b_to")).otherwise(col("eff_to")).as("eff_to"),

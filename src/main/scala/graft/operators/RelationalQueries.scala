@@ -749,8 +749,19 @@ object RelationalQueries {
     * Keys must form a strict total order (include a unique tie-breaker).
     */
   def globalRank(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
+    // lazy localCheckpoint: the offsets branch and the ranked branch
+    // both consume `parts`, but the offsets side feeds a
+    // BroadcastExchange, which never reuses the other side's shuffle
+    // stage — without the checkpoint every consumer re-computed the
+    // ENTIRE upstream (scan→…→range exchange) twice (r9 executed-plan
+    // finding, see OPTIMIZATION_r09.md). The first job (broadcast
+    // build) materializes and caches the range-partitioned rows; the
+    // main pass reuses them. On a cluster this is the standard
+    // persist-before-fanout point; it also pins spark_partition_id,
+    // making the offset/rank agreement immune to recomputation.
     val parts = df.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(
         sum(col("_n")).over(Window.orderBy(col("_pid"))
@@ -786,8 +797,13 @@ object RelationalQueries {
       vals: Seq[(Column, String)]): DataFrame = {
     val vs = vals.zipWithIndex.map { case ((c, out), i) => (s"_v$i", c, out) }
     val withVals = vs.foldLeft(df) { case (d, (n, c, _)) => d.withColumn(n, c) }
+    // lazy localCheckpoint — same double-computation fix as
+    // [[globalRank]] (the offsets branch rides a BroadcastExchange,
+    // which reuses no shuffle stage; without this the whole upstream
+    // ran twice per call).
     val parts = withVals.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val aggs = vs.map { case (n, _, _) => sum(col(n)).as(s"_s$n") }
     val offsets = vs.foldLeft(
         parts.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)) {
@@ -1008,12 +1024,20 @@ object RelationalQueries {
   // bit-for-bit. Top-100 by (support, pair) keeps the gate output
   // bounded at any sf via TakeOrderedAndProject, not a global sort.
   def q34(spark: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: four consumers (baskets→pairs, the order
+    // count, and the two support broadcasts) each re-ran the
+    // scan+distinct without it — broadcast builds reuse no exchange
+    // (r9, the d26/globalRank finding). The order count also reads the
+    // checkpointed items directly instead of re-running the basket
+    // collect_set a second time (same scalar: #distinct orderkeys).
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = false)
     val baskets = items
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
     val pairs = baskets
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->

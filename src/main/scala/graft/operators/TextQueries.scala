@@ -1691,13 +1691,21 @@ object TextQueries {
     val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // lazy localCheckpoints: the transition stream feeds both the type
+    // counts and the final per-doc join, and the type table feeds four
+    // consumers (ctx/nend/ntypes/probs) — broadcast builds reuse no
+    // exchange, so without the pins the scan+tokenize+explode pipeline
+    // executed 5× (r9 plan finding; at scale these are the two
+    // persist-before-fanout points).
     val docBigrams = toks
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(eager = false)
     val bgc = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(eager = false)
     val ctx = bgc.groupBy(col("w1"))
       .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1x"))
     val nend = bgc.groupBy(col("w2")).agg(count(lit(1)).as("nend"))
@@ -2271,11 +2279,23 @@ object TextQueries {
     def wt(c: Int) =
       (conv(substring(md5(concat(lit(s"c$c§"), col("token"))), 1, 15),
         16, 10).cast("long") % 2001L - 1000L).as(s"w$c")
-    val scores = Tables.documents(spark, dir)
+    // r9: the weights depend only on the TOKEN, so the 4 md5s are
+    // evaluated once per DISTINCT token (vocabulary cardinality) and
+    // broadcast-joined back onto the occurrence stream — identical
+    // integer sums, ~vocab/stream fewer hash evaluations (the serving
+    // shape with a real weight table; at vocabularies past broadcast
+    // size this join becomes a shuffle join, same plan class). The
+    // token stream lazily checkpoints: it feeds both the distinct and
+    // the join, and broadcast builds reuse no exchange.
+    val toks = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("token"))
-      .select(col("doc_id"), col("source"), wt(0), wt(1), wt(2), wt(3))
+      .localCheckpoint(eager = false)
+    val vocabW = toks.select(col("token")).distinct()
+      .select(col("token"), wt(0), wt(1), wt(2), wt(3))
+    val scores = toks
+      .join(broadcast(vocabW), Seq("token"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("w0")).as("s0"), sum(col("w1")).as("s1"),
         sum(col("w2")).as("s2"), sum(col("w3")).as("s3"))

@@ -137,7 +137,12 @@ object DumpPlans {
     // distinct above the native as-of — the absent aggregate IS the
     // plan-level point), and the PA arriving-files pipeline (multi-
     // batch streaming gates are heavy by construction)
-    "x79_distinct_elim", "v30_pa_stream")
+    "x79_distinct_elim", "v30_pa_stream",
+    // round 9 (optimization): the DDSketch gate crossed the live 1.5s
+    // coverage line on the r9 baseline bench; its plan (driver-side
+    // sketch fold + distributed exact-quantile audit) is also this
+    // round's fix showcase
+    "sk10_ddsketch")
 
   /** The streaming gates execute their query while the gate DataFrame
     * is being BUILT (AvailableNow drain into the sink), so a formatted
