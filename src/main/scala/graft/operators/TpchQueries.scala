@@ -805,6 +805,11 @@ object TpchQueries {
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("cost_milli"),
         col("s_name"), col("n_name"), col("acctbal_cents"), col("p_name"))
+      // lazy localCheckpoint: the min-joined-back decorrelation consumes
+      // this (part,supplier)-cardinality frame twice (min aggregate +
+      // the tie join) and re-ran the whole 5-table pipeline per consumer
+      // (20 scans in the executed plan; r9 finding)
+      .localCheckpoint(eager = false)
     val minCost = cost.groupBy(col("l_partkey").as("mk"))
       .agg(min(col("cost_milli")).as("mc"))
     cost.join(minCost, col("l_partkey") === col("mk") &&
