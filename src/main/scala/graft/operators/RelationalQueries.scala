@@ -749,19 +749,19 @@ object RelationalQueries {
     * Keys must form a strict total order (include a unique tie-breaker).
     */
   def globalRank(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
-    // lazy localCheckpoint: the offsets branch and the ranked branch
-    // both consume `parts`, but the offsets side feeds a
-    // BroadcastExchange, which never reuses the other side's shuffle
-    // stage — without the checkpoint every consumer re-computed the
-    // ENTIRE upstream (scan→…→range exchange) twice (r9 executed-plan
-    // finding, see OPTIMIZATION_r09.md). The first job (broadcast
-    // build) materializes and caches the range-partitioned rows; the
-    // main pass reuses them. On a cluster this is the standard
-    // persist-before-fanout point; it also pins spark_partition_id,
-    // making the offset/rank agreement immune to recomputation.
+    // NOTE (r9): a lazy localCheckpoint here (the globalPrefixSums
+    // fix — the offsets branch feeds a BroadcastExchange and reuses no
+    // shuffle stage, so the upstream computes twice) was TRIED and
+    // REVERTED: rank consumers carry the full ranked row through the
+    // helper, and the RDD-level object cache (deserialized rows, GC
+    // pressure) measured SLOWER than the duplicate compute on every
+    // rank consumer in a full suite A/B (q42 0.54→1.46 s, q40
+    // 2.16→2.89, v18 1.25→2.07; the narrow-row prefix-sum twin keeps
+    // its checkpoint, where the same A/B measured faster). The
+    // duplicate compute of the upstream stays — it is the cheaper
+    // evil at both tested scales.
     val parts = df.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(eager = false)
     val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(
         sum(col("_n")).over(Window.orderBy(col("_pid"))
