@@ -108,6 +108,13 @@ object BenchSupport {
         .foreach(t => spark.catalog.dropTempView(t.name))
       org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
       spark.catalog.clearCache()
+      // r9: gates now pin fan-out subtrees with lazy localCheckpoints,
+      // whose RDD blocks are otherwise released only when the
+      // ContextCleaner gets around to the dead RDDs — synchronous
+      // unpersist here keeps one gate's cache from pressuring the next
+      // gate's timing (the dropped DataFrames are never reused).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     } catch { case NonFatal(_) => () }
     System.gc()
   }

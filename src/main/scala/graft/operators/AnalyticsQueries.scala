@@ -195,11 +195,20 @@ object AnalyticsQueries {
       explode(Dedup.shingleHashesExpr(col("text"), 3)).as("sh"))
     val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // lazy localCheckpoint + explicit broadcast: the df-capped
+    // occurrence table feeds three consumers (both self-join sides +
+    // sizes) and recomputed per consumer — AQE already chose to
+    // broadcast one self-join side (259 k rows ≈ 4 MB at sf0.1), so the
+    // hint only pins the choice it made while the checkpoint stops the
+    // scan+explode+df-join pipeline running 3× (r9; a plain checkpoint
+    // WITHOUT the hint regressed — the checkpointed side lost its size
+    // estimate and re-planned as sort-merge).
     val rare = ds.join(dfreq, "sh").select(col("doc_id"), col("sh"))
       .repartition(col("sh"))
+      .localCheckpoint(eager = false)
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     val pairs = rare.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .join(broadcast(rare.select(col("doc_id").as("doc_b"), col("sh"))), "sh")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")

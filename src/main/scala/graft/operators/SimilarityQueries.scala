@@ -615,18 +615,19 @@ object SimilarityQueries {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // majority-with-tie-break as ONE aggregate: min_by over the
-      // struct (−count, label) ≡ the old row_number window ordered by
-      // (c DESC, nl ASC) — same winner, but the per-round plan drops
-      // the window's sort pass (r9; the vote-count exchange remains,
-      // it IS the round's data movement)
+      // NOTE (r9): rewriting the majority pick as one
+      // `min_by(nl, struct(-c, nl))` aggregate (dropping the window's
+      // sort) was TRIED and REVERTED — the struct ordering key is not
+      // a mutable fixed-width buffer type, so the aggregate falls off
+      // the codegen hash-agg fast path and the suite A/B measured the
+      // gate 3.5→4.2 s. The window form keeps whole-stage codegen.
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
       val next = edges
         .join(state.select(col("vec_id").as("nbr_id"), col("label").as("nl")),
           Seq("nbr_id"))
         .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("nl"),
-          struct((-col("c")).as("negc"), col("nl").as("nl"))).as("label"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nl").as("label"))
         .localCheckpoint(eager = false)
       val flips = next
         .join(state.withColumnRenamed("label", "prev"), Seq("vec_id"))
