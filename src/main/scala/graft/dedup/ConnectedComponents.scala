@@ -79,12 +79,12 @@ object ConnectedComponents {
     // lazy checkpoints: eager localCheckpoint() runs its own job, then
     // the convergence aggregate runs a second one — lazy lets the
     // aggregate action materialize the checkpoint, one job per round
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(eager = false)
+    var cur = graft.Pins.pinIterative(canonical(edges, srcCol, dstCol))
     var last: Option[(Long, Long)] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val next = graft.Pins.pinIterative(smallStar(largeStar(cur)))
       // stable (count, order-insensitive checksum) ⇒ the star transforms
       // are at fixpoint; xxhash64 is engine-internal only (never oracled).
       // bit_xor, not sum: xor never overflows (ANSI mode makes a long

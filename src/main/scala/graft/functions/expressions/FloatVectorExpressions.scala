@@ -290,3 +290,84 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BitsetIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Intersection cardinality of two SORTED `array<bigint>` SETS via a
+  * single merge pass — the verification primitive for similarity joins
+  * whose element universe is data-scale (d16's 3-gram shingle hashes),
+  * where d26's packed-bitset trick (⌈V/64⌉ words, V dimension-like)
+  * cannot apply. O(|a|+|b|) comparisons, zero allocation, fused inside
+  * WholeStageCodegen. Inputs must be duplicate-free and ascending
+  * (both sides of the d16 verify come from one `array_sort` over the
+  * per-doc distinct-shingle kernel output); null elements raise, as in
+  * the dot kernels — a silent skip would undercount the intersection
+  * and quietly drop matches.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var s = 0L
+    var i = 0
+    var j = 0
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) FloatDotProduct.nullElement(i)
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { s += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val s = ctx.freshName("s")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val cls = FloatDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |long $s = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) $cls.nullElement($i);
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $s++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Pins, Tables}
 import graft.dedup.Dedup
 
 /** Customer/corpus analytics gates: the standing BI-layer queries a
@@ -184,38 +184,83 @@ object AnalyticsQueries {
   // df-capping is part of the operator's contract, not an
   // approximation — the oracle applies the identical cap.
   //
-  // Scale shape: one shingle-hash explode (8-byte longs, d4's kernel —
-  // grams never shuffle), df aggregate, then a shingle-keyed self-join
-  // whose per-key fan-out is bounded by the df cap (≤ 20 docs → ≤ 380
-  // directed pairs per shingle). Both join sides read the SAME
-  // repartition subtree, so ReuseExchange scans + explodes once.
+  // Scale shape (r10 rework — d26's prefix-filter machinery, adapted
+  // to the ASYMMETRIC measure): one shingle-hash explode (8-byte
+  // longs, d4's kernel — grams never shuffle), df aggregate, per-doc
+  // shingle arrays, then candidates come from A's (1−t)-PREFIX joined
+  // against B's full occurrence list — lossless for containment by the
+  // standard prefix-bound argument: C(A→B) ≥ 3/5 ⟺ |A∩B| ≥ ⌈3·na/5⌉,
+  // and if A∩B avoided A's first na−⌈3·na/5⌉+1 shingles (any shared
+  // global order; rarest-first ⇒ smallest collision groups) then
+  // |A∩B| ≤ ⌈3·na/5⌉−1. The verify is one merge pass over the two
+  // docs' SORTED hash arrays ([[SortedIntersectCount]] — the shingle
+  // universe is data-scale, so d26's V-bounded bitsets cannot apply),
+  // attached map-side via size-gated broadcasts; dedup runs AFTER the
+  // verify (duplicates of a pair verify to identical rows), so the
+  // only pair-bearing exchange carries MATCHES, not candidates —
+  // r9's shape shuffled 2.5 M (doc_a, doc_b) rows into the
+  // shared-count aggregate.
   def d16(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 20
     val ds = Tables.documents(spark, dir).select(col("doc_id"),
       explode(Dedup.shingleHashesExpr(col("text"), 3)).as("sh"))
     val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    // lazy localCheckpoint + explicit broadcast: the df-capped
-    // occurrence table feeds three consumers (both self-join sides +
-    // sizes) and recomputed per consumer — AQE already chose to
-    // broadcast one self-join side (259 k rows ≈ 4 MB at sf0.1), so the
-    // hint only pins the choice it made while the checkpoint stops the
-    // scan+explode+df-join pipeline running 3× (r9; a plain checkpoint
-    // WITHOUT the hint regressed — the checkpointed side lost its size
-    // estimate and re-planned as sort-merge).
-    val rare = ds.join(dfreq, "sh").select(col("doc_id"), col("sh"))
-      .repartition(col("sh"))
-      .localCheckpoint(eager = false)
-    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-    val pairs = rare.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(broadcast(rare.select(col("doc_id").as("doc_b"), col("sh"))), "sh")
+    // occurrence table: feeds the per-doc aggregate AND the candidate
+    // join's b-side (broadcast builds reuse no exchange — pin it)
+    val rare = Pins.pinForFanout(ds.join(dfreq, "sh")
+      .select(col("doc_id"), col("sh"), col("df")))
+    // per-doc frame: prefix slice in rarest-first (df, sh) order, the
+    // full set re-sorted by hash for the merge-intersect, na = |A|
+    // (shingle kernel output is distinct per doc). Three consumers
+    // (prefix explode + both verify attaches) — pin.
+    val docs = Pins.pinForFanout(rare
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.sh)").as("psh"),
+        expr("array_sort(transform(ord, x -> x.sh))").as("tids"),
+        size(col("ord")).cast("long").as("na"))
+      .withColumn("plen", (col("na") - expr("(3 * na + 4) div 5") + 1)
+        .cast("int")))
+    val prefixes = docs.select(col("doc_id").as("doc_a"), col("na"),
+        explode(slice(col("psh"), lit(1), col("plen"))).as("sh"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    // candidate generation: a-prefix × b-occurrences on the shingle
+    // hash; |A∩B| ≤ min(na, nb) makes 5·nb ≥ 3·na a lossless in-join
+    // prune. Broadcasts are size-gated (Pins.broadcastIfSmall): at
+    // bench SF these are MB-scale and the BHJ plan is pinned; past the
+    // conf ceiling the joins fall back to the planner's shuffle
+    // strategy instead of OOMing a forced broadcast.
+    // one count per PINNED frame: each doubles as the lazy pin's
+    // materialization pass, and the doc count gates BOTH verify
+    // attaches (they select off the same pinned table)
+    val nRare = rare.count()
+    val nDocs = docs.count()
+    val bOcc = Pins.broadcastIfSmall(rare.select(col("doc_id").as("doc_b"),
+      col("sh")), nRare)
+    val bDocs = Pins.broadcastIfSmall(docs.select(col("doc_id").as("doc_b"),
+      col("tids").as("tb"), col("na").as("nb")), nDocs)
+    val aDocs = Pins.broadcastIfSmall(docs.select(col("doc_id").as("doc_a"),
+      col("tids").as("ta")), nDocs)
+    def sortedInter(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.expressions.SortedIntersectCount(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    }
+    prefixes
+      .join(bOcc, Seq("sh"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-    pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("na"))
+      .join(bDocs, Seq("doc_b"))
+      .filter(col("nb") * 5 >= col("na") * 3)
+      .join(aDocs, Seq("doc_a"))
+      .withColumn("shared", sortedInter(col("ta"), col("tb")))
       .withColumn("containment_ppm", expr("(shared * 1000000) div na"))
       .filter(col("containment_ppm") >= 600000)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("na"),
         col("containment_ppm"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

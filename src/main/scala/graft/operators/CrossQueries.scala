@@ -1152,10 +1152,10 @@ object CrossQueries {
     // natural persist points — the history snapshot and the batch).
     val hist = scd2Islands(all.filter(year(col("o_orderdate")) <= 1998))
     val batch = scd2Islands(all.filter(year(col("o_orderdate")) >= 1999))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val wc = Window.partitionBy(col("o_custkey"))
     val hist2 = hist.withColumn("old_max", max(col("island")).over(wc))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val closedOld = hist2.filter(col("island") < col("old_max"))
       .select(col("o_custkey"), col("island").as("run_idx"), col("status"),
         col("eff_from"), col("eff_to"), col("n_orders"), col("sum_dec"))
@@ -1174,7 +1174,7 @@ object CrossQueries {
       // documents NULL-status support, so the merge path must too
       .withColumn("merged",
         col("b_n").isNotNull && (col("b_status") <=> col("status")))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val openRows = openJ.select(col("o_custkey"), col("island").as("run_idx"),
       col("status"), col("eff_from"),
       when(col("merged"), col("b_to")).otherwise(col("eff_to")).as("eff_to"),
@@ -2724,7 +2724,7 @@ object CrossQueries {
     val joined =
       try AsOf.joinBackward(vipBuys, clicks, Seq("user_id"), "tsu", "rtsu")
         .select(col("user_id"), col("tsu"), col("rtsu"))
-        .localCheckpoint() // executes the pruned plan INSIDE the conf scope
+        .transform(graft.Pins.pinForFanout(_, eager = true)) // executes the pruned plan INSIDE the conf scope
       finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

@@ -1095,16 +1095,15 @@ object DedupQueries {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), Dedup.shingleHashesExpr(col("text"), 3).as("sh"))
     // one MinHash kernel pass for all four (config × join-side) uses
-    val sig = docs.select(col("doc_id"),
-        Dedup.minhashSigExpr(col("text"), 3, 8).as("_sig"))
-      .localCheckpoint(eager = false)
+    val sig = graft.Pins.pinForFanout(docs.select(col("doc_id"),
+      Dedup.minhashSigExpr(col("text"), 3, 8).as("_sig")))
     val truth = Dedup.minhashCandidatePairsFromSig(sig, "doc_id", 8, 1)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .filter(expr("10 * inter >= 3 * (size(sha) + size(shb) - inter)"))
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = false) // scored once, probed by all 3 configs
+      .transform(graft.Pins.pinForFanout(_)) // scored once, probed by all 3 configs
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     Seq(2, 4, 8).map { b =>
       Dedup.minhashCandidatePairsFromSig(sig, "doc_id", b, 8 / b)
@@ -1515,13 +1514,22 @@ object DedupQueries {
     // identical rows map-side (the bitsets ride a broadcast), so
     // distinct-on-matches is lossless and the only pair-bearing
     // exchange left carries MATCHES, not candidates.
-    val ordered0 = ordered.localCheckpoint()
+    val ordered0 = graft.Pins.pinForFanout(ordered, eager = true)
+    // broadcast-gate cardinalities off the pinned doc table in ONE
+    // cached-scan aggregate: nd gates the two verify attaches
+    // (doc-cardinality), np = Σ plen gates the prefix b-side — counting
+    // that side directly would MATERIALIZE the explode, a full pass
+    // that cost ~0.5 s/run at sf0.1 (r10 A/B, d26 1.5→2.4 s)
+    val (nd, np) = {
+      val r = ordered0.agg(count(lit(1)), sum(col("plen"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val prefixes = ordered0.select(col("doc_id"), col("sz"),
       explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
       .repartition(spark.sparkContext.defaultParallelism)
     val cand = prefixes.as("a")
-      .join(broadcast(ordered0.select(col("doc_id"), col("sz"),
-          explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))).as("b"),
+      .join(graft.Pins.broadcastIfSmall(ordered0.select(col("doc_id"), col("sz"),
+          explode(slice(col("tids"), lit(1), col("plen"))).as("tid")), np).as("b"),
         col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 20 >= col("b.sz") * 19 &&
           col("b.sz") * 20 >= col("a.sz") * 19)
@@ -1536,10 +1544,10 @@ object DedupQueries {
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
     }
     cand
-      .join(broadcast(ordered0.select(col("doc_id").as("doc_a"),
-        col("bits").as("ba"), col("sz").as("sa"))), Seq("doc_a"))
-      .join(broadcast(ordered0.select(col("doc_id").as("doc_b"),
-        col("bits").as("bb"), col("sz").as("sb"))), Seq("doc_b"))
+      .join(graft.Pins.broadcastIfSmall(ordered0.select(col("doc_id").as("doc_a"),
+        col("bits").as("ba"), col("sz").as("sa")), nd), Seq("doc_a"))
+      .join(graft.Pins.broadcastIfSmall(ordered0.select(col("doc_id").as("doc_b"),
+        col("bits").as("bb"), col("sz").as("sb")), nd), Seq("doc_b"))
       .withColumn("inter", bitsetInter(col("ba"), col("bb")))
       .withColumn("uni", col("sa").cast("long") + col("sb") - col("inter"))
       .filter(col("inter") * 20 >= col("uni") * 19)

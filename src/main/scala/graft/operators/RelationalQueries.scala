@@ -797,13 +797,11 @@ object RelationalQueries {
       vals: Seq[(Column, String)]): DataFrame = {
     val vs = vals.zipWithIndex.map { case ((c, out), i) => (s"_v$i", c, out) }
     val withVals = vs.foldLeft(df) { case (d, (n, c, _)) => d.withColumn(n, c) }
-    // lazy localCheckpoint — same double-computation fix as
-    // [[globalRank]] (the offsets branch rides a BroadcastExchange,
-    // which reuses no shuffle stage; without this the whole upstream
-    // ran twice per call).
-    val parts = withVals.repartitionByRange(keys: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+    // fan-out pin — same double-computation fix as [[globalRank]] (the
+    // offsets branch rides a BroadcastExchange, which reuses no shuffle
+    // stage; without this the whole upstream ran twice per call).
+    val parts = graft.Pins.pinForFanout(withVals.repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id()))
     val aggs = vs.map { case (n, _, _) => sum(col(n)).as(s"_s$n") }
     val offsets = vs.foldLeft(
         parts.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)) {
@@ -1030,9 +1028,8 @@ object RelationalQueries {
     // (r9, the d26/globalRank finding). The order count also reads the
     // checkpointed items directly instead of re-running the basket
     // collect_set a second time (same scalar: #distinct orderkeys).
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint(eager = false)
+    val items = graft.Pins.pinForFanout(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
     val baskets = items
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))

@@ -458,7 +458,7 @@ object SimilarityQueries {
     * un-pinned form so its partial_topk plan shape remains visible to
     * PlanAuditSpec. */
   private def knnEdgesShared(spark: SparkSession, dir: String, k: Int): DataFrame =
-    knnEdges(spark, dir, k).localCheckpoint(eager = false)
+    knnEdges(spark, dir, k).transform(graft.Pins.pinForFanout(_))
 
   def s10(spark: SparkSession, dir: String): DataFrame =
     knnEdges(spark, dir, k = 3).orderBy(col("vec_id"), col("rnk"))
@@ -538,17 +538,22 @@ object SimilarityQueries {
   // loop over this same plan (as with d5's CC rounds); the gate pins one
   // round exactly.
   def s11(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val g = knnEdgesShared(spark, dir, k = 3).select(col("vec_id"), col("nbr_id"))
     val nb = g.join(
       lbl.select(col("vec_id").as("nbr_id"), col("label").as("nl")), Seq("nbr_id"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
+    // packed-long majority (s12's r10 form): max(c·2³² + (2³¹−1 − nl))
+    // = max count then min label, decoded back to (nl, c) — two codegen
+    // hash aggregates, no WindowExec sort; labels are int32
     val maj = nb.groupBy(col("vec_id"), col("nl"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nl"), col("c"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("c") * lit(4294967296L) +
+        (lit(2147483647L) - col("nl").cast("long"))).as("pk"))
+      .select(col("vec_id"),
+        (lit(2147483647L) - (col("pk") % lit(4294967296L)))
+          .cast(lbl.schema("label").dataType).as("nl"),
+        expr("pk div 4294967296").as("c"))
     lbl.join(maj, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label").as("old_label"),
         coalesce(col("nl"), col("label")).as("new_label"),
@@ -610,25 +615,46 @@ object SimilarityQueries {
       .join(knn.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vec_id").as("nbr_id"))
     val edges = knn.select(col("vec_id"), col("nbr_id")).unionAll(iso)
-      .localCheckpoint(eager = false)
-    var state = lbl.localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
+    // r10 (verdict item 4): for INTEGER labels (the gate — embeddings
+    // .label is int32) the per-round majority is two codegen hash
+    // aggregates over a packed LONG key instead of a window sort:
+    // max(c·2³² + (2³¹−1 − label)) picks max count then min label —
+    // identical winner, no WindowExec, no sort. r9 had measured
+    // `min_by(nl, struct(-c, nl))` SLOWER (struct ordering keys fall
+    // off the codegen hash-agg fast path); the packed key is
+    // fixed-width, so it stays on it. Non-integral labels (spec
+    // fixtures propagate strings) keep the window form — both paths
+    // are fixture-pinned in LabelPropFixpointSpec.
+    val packable = lbl.schema("label").dataType match {
+      case org.apache.spark.sql.types.IntegerType => true
+      case org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val labelType = lbl.schema("label").dataType
+    def majority(votes: DataFrame): DataFrame =
+      if (packable)
+        votes
+          .groupBy(col("vec_id"))
+          .agg(max(col("c") * lit(4294967296L) +
+            (lit(2147483647L) - col("nl").cast("long"))).as("pk"))
+          .select(col("vec_id"),
+            (lit(2147483647L) - (col("pk") % lit(4294967296L)))
+              .cast(labelType).as("label"))
+      else {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("nl").as("label"))
+      }
+    var state = lbl.transform(graft.Pins.pinIterative(_))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // NOTE (r9): rewriting the majority pick as one
-      // `min_by(nl, struct(-c, nl))` aggregate (dropping the window's
-      // sort) was TRIED and REVERTED — the struct ordering key is not
-      // a mutable fixed-width buffer type, so the aggregate falls off
-      // the codegen hash-agg fast path and the suite A/B measured the
-      // gate 3.5→4.2 s. The window form keeps whole-stage codegen.
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
-      val next = edges
+      val next = majority(edges
         .join(state.select(col("vec_id").as("nbr_id"), col("label").as("nl")),
           Seq("nbr_id"))
-        .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("nl").as("label"))
-        .localCheckpoint(eager = false)
+        .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c")))
+        .transform(graft.Pins.pinIterative(_))
       val flips = next
         .join(state.withColumnRenamed("label", "prev"), Seq("vec_id"))
         .filter(col("label") =!= col("prev")).count()
@@ -724,7 +750,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("vec_id").as("nbr_id"))
     val edges = knn.select(col("vec_id"), col("nbr_id")).unionAll(iso)
     val deg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, Seq("vec_id")).localCheckpoint(eager = false)
+    val ed = edges.join(deg, Seq("vec_id")).transform(graft.Pins.pinForFanout(_))
     val base = 15L * S / (100L * nv)
     var rank = nodeIds.select(col("vec_id"), lit(S / nv).as("rank"))
     for (_ <- 1 to iters) {
@@ -735,7 +761,7 @@ object SimilarityQueries {
         .join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(base) + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     rank.select(col("vec_id"), col("rank").as("rank_scaled"))
   }
@@ -808,7 +834,7 @@ object SimilarityQueries {
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val deg = ecan.select(col("u").as("x")).unionAll(ecan.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): apex -> other
@@ -931,17 +957,17 @@ object SimilarityQueries {
     val sym = edges.select(col("vec_id"), col("nbr_id"))
       .unionAll(edges.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     var state = nodes.filter(seed)
       .select(col("vec_id"), lit(0L).as("dist"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     for (_ <- 1 to rounds) {
       state = sym
         .join(state.select(col("vec_id"), col("dist")), Seq("vec_id"))
         .select(col("nbr_id").as("vec_id"), (col("dist") + 1L).as("dist"))
         .unionAll(state)
         .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     nodes.select(col("vec_id"))
       .join(state, Seq("vec_id"), "left")
@@ -1001,18 +1027,18 @@ object SimilarityQueries {
         (least(col("vec_id"), col("nbr_id")) % 67108864) * lit(2654435761L) +
           (greatest(col("vec_id"), col("nbr_id")) % 67108864) * lit(40503L),
         lit(9L)))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     var state = Tables.embeddings(spark, dir)
       .select(col("vec_id")).filter(col("vec_id") % 97 === 0)
       .select(col("vec_id"), lit(0L).as("dist"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     for (_ <- 1 to 6) {
       state = sym
         .join(state.select(col("vec_id"), col("dist")), Seq("vec_id"))
         .select(col("nbr_id").as("vec_id"), (col("dist") + col("w")).as("dist"))
         .unionAll(state)
         .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(state, Seq("vec_id"), "left")
@@ -1068,11 +1094,11 @@ object SimilarityQueries {
       .unionAll(base.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .distinct()
       .withColumn("d", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
     val seeds = nodes.filter(col("vec_id") % 97 === 0)
     var state = seeds.select(col("vec_id"), lit(1000000L).as("mass"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     for (_ <- 1 to 4) {
       val spread = symd.join(state, Seq("vec_id"))
         .select(col("nbr_id").as("vec_id"),
@@ -1081,7 +1107,7 @@ object SimilarityQueries {
         .unionAll(seeds.select(col("vec_id"), lit(250000L).as("m")))
         .groupBy(col("vec_id")).agg(sum(col("m")).as("mass"))
         .filter(col("mass") > 0)
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     nodes.join(state, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("mass"), lit(0L)).as("mass_ppm"))
@@ -1145,11 +1171,11 @@ object SimilarityQueries {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         slice(Similarity.scaled(col("embedding")), 1, dims).as("sv"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val off = 10000000L
     var cents = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     def assign(c: DataFrame): DataFrame = vecs
       .crossJoin(broadcast(c))
       .withColumn("dist", aggregate(
@@ -1161,7 +1187,7 @@ object SimilarityQueries {
         col("best.dist").as("dist"), col("best.cid").as("cid"))
     var assigned: DataFrame = null
     for (_ <- 1 to 3) {
-      assigned = assign(cents).localCheckpoint(eager = false)
+      assigned = assign(cents).transform(graft.Pins.pinIterative(_))
       cents = assigned
         .select(col("cid"), posexplode(col("sv")).as(Seq("dim", "comp")))
         .groupBy(col("cid"), col("dim"))
@@ -1170,7 +1196,7 @@ object SimilarityQueries {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("comp")))).as("a"))
         .select(col("cid"), transform(col("a"), s => s.getField("comp")).as("cv"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
@@ -1235,7 +1261,7 @@ object SimilarityQueries {
       least(col("vec_id"), col("nbr_id")).as("a"),
       greatest(col("vec_id"), col("nbr_id")).as("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val m = und.agg(count(lit(1)).as("m"))
     val lab = und
@@ -1322,9 +1348,9 @@ object SimilarityQueries {
   private[operators] def kcoreOf(nodes: DataFrame, e: DataFrame,
       kCore: Int, maxRounds: Int): DataFrame = {
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     var surv = und.select(col("a").as("node")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -1333,7 +1359,7 @@ object SimilarityQueries {
         .join(surv.select(col("node").as("b")), Seq("b"))
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= kCore).select(col("node"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
       val removed = surv.count() - next.count() // 1 driver scalar per round
       surv = next
       rounds += 1
@@ -1414,26 +1440,34 @@ object SimilarityQueries {
     * takes ALL authority and zero hub). */
   private[operators] def hitsOf(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
-    val e = edges.localCheckpoint(eager = false)
+    val e = edges.transform(graft.Pins.pinForFanout(_))
     val renorm = "cast((raw * cast(1000000000000 AS DECIMAL(38,0))) div s AS BIGINT)"
     var hub = nodes
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
       .select(col("vec_id"), expr("1000000000000 div nn").as("w"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinIterative(_))
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
+      // r10: ar/hr each feed TWO consumers — the node left-join AND the
+      // 1-row renorm aggregate, which rides a BroadcastExchange and so
+      // reuses no stage: unpinned, the edge-scale join + groupBy ran
+      // twice per side per round (the r9 recompute disease, 12 extra
+      // subtree runs over 3 rounds). Node-cardinality (vec_id, raw)
+      // rows — cheap to pin.
       val ar = e.join(hub.select(col("vec_id").as("src"), col("w")), Seq("src"))
         .groupBy(col("dst").as("vec_id")).agg(sum(col("w")).as("raw"))
+        .transform(graft.Pins.pinForFanout(_))
       auth = nodes.join(ar, Seq("vec_id"), "left")
         .crossJoin(broadcast(ar.agg(sum(col("raw")).as("s"))))
         .select(col("vec_id"), coalesce(expr(renorm), lit(0L)).as("w"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
       val hr = e.join(auth.select(col("vec_id").as("dst"), col("w").as("aw")), Seq("dst"))
         .groupBy(col("src").as("vec_id")).agg(sum(col("aw")).as("raw"))
+        .transform(graft.Pins.pinForFanout(_))
       hub = nodes.join(hr, Seq("vec_id"), "left")
         .crossJoin(broadcast(hr.agg(sum(col("raw")).as("s"))))
         .select(col("vec_id"), coalesce(expr(renorm), lit(0L)).as("w"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Pins.pinIterative(_))
     }
     hub.select(col("vec_id"), col("w").as("hub_scaled"))
       .join(auth.select(col("vec_id"), col("w").as("auth_scaled")), Seq("vec_id"))
@@ -2462,7 +2496,7 @@ object SimilarityQueries {
     // quadratic, but 4 wasted corpus passes at any scale. Checkpointed
     // width is 2 ints (edges) / int+long (scores): the s12 discipline.
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint()
+      .transform(graft.Pins.pinForFanout(_, eager = true))
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.scaled(col("embedding")).as("sv"),
         Similarity.signBucket(col("embedding"), adaptiveBits(spark, dir)).as("bucket"))
@@ -2472,7 +2506,7 @@ object SimilarityQueries {
       .withColumn("dot", Similarity.dotScaled(col("sv"), col("qsv")))
       .withColumn("skey", Similarity.surrogateCosKey("dot", "nrm"))
       .select(col("vec_id"), col("skey"))
-      .localCheckpoint()
+      .transform(graft.Pins.pinForFanout(_, eager = true))
     // multi-entry: one seed per LSH bucket (components are bucket-local)
     var beam = v.groupBy(col("bucket")).agg(min(col("vec_id")).as("id"))
       .select(col("id"))

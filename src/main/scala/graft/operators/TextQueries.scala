@@ -1702,10 +1702,10 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val bgc = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val ctx = bgc.groupBy(col("w1"))
       .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1x"))
     val nend = bgc.groupBy(col("w2")).agg(count(lit(1)).as("nend"))
@@ -2283,19 +2283,20 @@ object TextQueries {
     // evaluated once per DISTINCT token (vocabulary cardinality) and
     // broadcast-joined back onto the occurrence stream — identical
     // integer sums, ~vocab/stream fewer hash evaluations (the serving
-    // shape with a real weight table; at vocabularies past broadcast
-    // size this join becomes a shuffle join, same plan class). The
-    // token stream lazily checkpoints: it feeds both the distinct and
-    // the join, and broadcast builds reuse no exchange.
-    val toks = Tables.documents(spark, dir)
+    // shape with a real weight table). The token stream pins: it feeds
+    // both the distinct and the join, and broadcast builds reuse no
+    // exchange. r10: the weight-table broadcast is SIZE-GATED
+    // (Pins.broadcastIfSmall) — vocabulary is data-cardinality, so at
+    // corpora past the conf ceiling the attach falls back to the
+    // planner's shuffle join instead of a forced unbounded broadcast.
+    val toks = graft.Pins.pinForFanout(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
-        explode(tokens(col("text"))).as("token"))
-      .localCheckpoint(eager = false)
-    val vocabW = toks.select(col("token")).distinct()
-      .select(col("token"), wt(0), wt(1), wt(2), wt(3))
+        explode(tokens(col("text"))).as("token")))
+    val vocabW = graft.Pins.pinForFanout(toks.select(col("token")).distinct()
+      .select(col("token"), wt(0), wt(1), wt(2), wt(3)))
     val scores = toks
-      .join(broadcast(vocabW), Seq("token"))
+      .join(graft.Pins.broadcastIfSmall(vocabW), Seq("token"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("w0")).as("s0"), sum(col("w1")).as("s1"),
         sum(col("w2")).as("s2"), sum(col("w3")).as("s3"))

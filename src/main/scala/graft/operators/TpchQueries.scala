@@ -475,7 +475,7 @@ object TpchQueries {
     val base = rn.crossJoin(broadcast(tot)) // 1-row scalar ride-along
       .select(col("rn"),
         expr("cast(n AS DECIMAL(38,0)) * cents - s").as("dev"))
-      .localCheckpoint(eager = false) // day-cardinality; reused 11×
+      .transform(graft.Pins.pinForFanout(_)) // day-cardinality; reused 11×
     val den = base.agg(sum(expr("dev * dev")).as("den"))
     Seq(1, 2, 3, 7, 30).map { k =>
       base.select(col("rn"), col("dev"))
@@ -805,11 +805,11 @@ object TpchQueries {
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("cost_milli"),
         col("s_name"), col("n_name"), col("acctbal_cents"), col("p_name"))
-      // lazy localCheckpoint: the min-joined-back decorrelation consumes
-      // this (part,supplier)-cardinality frame twice (min aggregate +
-      // the tie join) and re-ran the whole 5-table pipeline per consumer
+      // fan-out pin: the min-joined-back decorrelation consumes this
+      // (part,supplier)-cardinality frame twice (min aggregate + the
+      // tie join) and re-ran the whole 5-table pipeline per consumer
       // (20 scans in the executed plan; r9 finding)
-      .localCheckpoint(eager = false)
+      .transform(graft.Pins.pinForFanout(_))
     val minCost = cost.groupBy(col("l_partkey").as("mk"))
       .agg(min(col("cost_milli")).as("mc"))
     cost.join(minCost, col("l_partkey") === col("mk") &&
@@ -1041,7 +1041,7 @@ object TpchQueries {
         expr("p_partkey div 10").as("parent"),
         expr("CAST((p_size % 5) + 1 AS BIGINT)").as("qty"))
       .filter(col("child") >= 1 && col("parent") >= 1)
-      .localCheckpoint(eager = false) // reused every round — truncate lineage once
+      .transform(graft.Pins.pinForFanout(_)) // reused every round — truncate lineage once
     var frontier = edges.select(col("child"), col("parent").as("anc"),
       col("qty").as("pq"), lit(1L).as("depth"))
     val slices = scala.collection.mutable.ArrayBuffer(frontier)
@@ -1052,7 +1052,7 @@ object TpchQueries {
       val next = frontier.join(up, frontier("anc") === col("jc"))
         .select(col("child"), col("jp").as("anc"),
           (col("pq") * col("jq")).as("pq"), (col("depth") + 1L).as("depth"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+        .transform(graft.Pins.pinIterative(_, eager = true)) // materializes the round, truncates lineage
       if (next.isEmpty) open = false
       else { slices += next; frontier = next }
     }

@@ -36,6 +36,13 @@ object BenchIsolated {
           fn(spark, sfDir).count()
           times += (System.nanoTime() - t0) / 1e9
         } catch { case NonFatal(_) => failed = true }
+        // between-run pin-block hygiene, mirroring the suite bench (the
+        // two must measure identically or suite-vs-isolated stops
+        // meaning "contention"); blocking, so removal work cannot leak
+        // into the next timed run
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        catch { case NonFatal(_) => () }
         i += 1
       }
       if (times.nonEmpty) out(name) = times.toSeq

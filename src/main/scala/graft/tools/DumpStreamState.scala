@@ -127,15 +127,21 @@ object DumpStreamState {
       val (nSingle, hSingle) = resultHash(fn(spark, sfDir))
       val tSingle = (System.nanoTime() - t0) / 1e9
 
-      // chunked replay
+      // chunked replay — one file per micro-batch for the per-batch
+      // state captures (gates that stage their own chunked replay read
+      // replayFilesPerTrigger, default 2; the audit pins both to 1)
       records.clear()
       spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+      spark.conf.set("spark.graft.streaming.replayFilesPerTrigger", "1")
       val (nChunked, hChunked, tChunked) =
         try {
           val t1 = System.nanoTime()
           val (n, h) = resultHash(fn(spark, chunkedDir))
           (n, h, (System.nanoTime() - t1) / 1e9)
-        } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+        } finally {
+          spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+          spark.conf.unset("spark.graft.streaming.replayFilesPerTrigger")
+        }
       val recs = {
         import scala.jdk.CollectionConverters._
         records.asScala.toVector

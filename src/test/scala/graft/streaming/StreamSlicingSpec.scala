@@ -43,6 +43,18 @@ class StreamSlicingSpec extends SparkSpec {
     assert(multi == single)
   }
 
+  test("replay admission width is slicing-invariant (2 files/batch == 1)") {
+    // the r10 bench default (replayFilesPerTrigger=2) must see the same
+    // result as the strictest slicing — pairs of contiguous ts-range
+    // chunks are themselves contiguous ranges, so no late data appears
+    val two = canon(Streaming.hourlyClosedWindows(spark, sf, chunks = 4))
+    spark.conf.set("spark.graft.streaming.replayFilesPerTrigger", "1")
+    val one = try canon(Streaming.hourlyClosedWindows(spark, sf, chunks = 4))
+      finally spark.conf.unset("spark.graft.streaming.replayFilesPerTrigger")
+    assert(two.nonEmpty)
+    assert(two == one)
+  }
+
   test("online CUSUM fold is slicing-invariant (4 chunks == 1 chunk)") {
     // the max-n_events recovery rule must absorb mid-replay Update
     // emissions: every micro-batch re-emits cumulative counters, the
@@ -88,9 +100,12 @@ class StreamSlicingSpec extends SparkSpec {
     val recs = scala.collection.mutable.ArrayBuffer.empty[StreamAudit.QueryRecord]
     StreamAudit.enable(r => recs.synchronized { recs += r; () })
     try {
-      val multi = canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
+      // pin 1 file/micro-batch so the ≥4-batch assertion below stays
+      // strong (the bench default is replayFilesPerTrigger=2)
+      spark.conf.set("spark.graft.streaming.replayFilesPerTrigger", "1")
+      val multi = try canon(Streaming.withChunkedReplay(spark, sf, 4) { staged =>
         Streaming.viewPurchaseJoin(spark, staged)
-      })
+      }) finally spark.conf.unset("spark.graft.streaming.replayFilesPerTrigger")
       val single = canon(Streaming.viewPurchaseJoin(spark, sf))
       assert(multi.nonEmpty)
       assert(multi == single)
