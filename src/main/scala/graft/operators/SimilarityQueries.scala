@@ -598,9 +598,10 @@ object SimilarityQueries {
   // after that — per round only (vec_id, label) pairs move), each
   // round's state lazily localCheckpoints (truncating lineage — on a
   // cluster this is checkpoint-to-storage), and the driver sees ONE
-  // scalar per round (the flip count, which is also the convergence
-  // test). Output pins the whole trajectory: per-vector initial +
-  // fixpoint label and the converged round count.
+  // scalar pair per round (the CC-style (count, checksum) fixpoint
+  // test — no flip-count join against the previous state). Output pins
+  // the whole trajectory: per-vector initial + fixpoint label and the
+  // converged round count.
   /** The propagation loop behind s12, reusable on any (labels, edges)
     * pair — specs drive it on fixtures with known diameter. `labels` =
     * (vec_id, label); `edges` = directed (vec_id, nbr_id). Returns
@@ -647,6 +648,21 @@ object SimilarityQueries {
           .select(col("vec_id"), col("nl").as("label"))
       }
     var state = lbl.transform(graft.Pins.pinIterative(_))
+    // r10: convergence via the CC discipline — stable (count,
+    // order-insensitive checksum) over `next` ⇔ zero flips (every
+    // vec_id labels every round: iso self-edges guarantee it, so the
+    // multiset of (vec_id, label) rows is equal iff no label moved).
+    // One aggregate over node-cardinality rows replaces the per-round
+    // next⋈state flip-count join (a second state scan + shuffle per
+    // round); same n_rounds by construction. xxhash64 is
+    // engine-internal only (never oracled); bit_xor never overflows.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("label"))), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = checksum(state)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -655,13 +671,12 @@ object SimilarityQueries {
           Seq("nbr_id"))
         .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c")))
         .transform(graft.Pins.pinIterative(_))
-      val flips = next
-        .join(state.withColumnRenamed("label", "prev"), Seq("vec_id"))
-        .filter(col("label") =!= col("prev")).count()
+      val chk = checksum(next) // also materializes next's pin
       state.unpersist()
       state = next
       rounds += 1
-      converged = flips == 0
+      converged = chk == last
+      last = chk
     }
     lbl.select(col("vec_id"), col("label").as("init_label"))
       .join(state.select(col("vec_id"), col("label").as("final_label")), Seq("vec_id"))
@@ -1351,6 +1366,11 @@ object SimilarityQueries {
       .transform(graft.Pins.pinForFanout(_))
     var surv = und.select(col("a").as("node")).distinct()
       .transform(graft.Pins.pinIterative(_))
+    // carry the survivor count forward: the old `surv.count() -
+    // next.count()` re-counted the PREVIOUS round's frame every round
+    // (an extra job + cached scan) when that number is exactly what
+    // last round's next.count() returned
+    var survN = surv.count() // materializes the seed pin
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -1360,10 +1380,12 @@ object SimilarityQueries {
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= kCore).select(col("node"))
         .transform(graft.Pins.pinIterative(_))
-      val removed = surv.count() - next.count() // 1 driver scalar per round
+      val nextN = next.count() // 1 driver scalar per round
+      surv.unpersist()
       surv = next
       rounds += 1
-      converged = removed == 0
+      converged = nextN == survN
+      survN = nextN
     }
     val coreDeg = und
       .join(surv.select(col("node").as("a")), Seq("a"))
