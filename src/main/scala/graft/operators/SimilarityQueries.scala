@@ -2529,9 +2529,17 @@ object SimilarityQueries {
       .withColumn("skey", Similarity.surrogateCosKey("dot", "nrm"))
       .select(col("vec_id"), col("skey"))
       .transform(graft.Pins.pinForFanout(_, eager = true))
-    // multi-entry: one seed per LSH bucket (components are bucket-local)
+    // multi-entry: one seed per LSH bucket (components are bucket-local).
+    // r10: the beam itself must pin per round (the s12 discipline the
+    // r9 comment above applied to und/scored but missed here) — each
+    // round consumes `beam` twice, once through a BroadcastExchange,
+    // which reuses no stage, so the unpinned seed subtree (embeddings
+    // scan + bucket aggregate) re-executed once per consumer per round:
+    // 8 duplicate parquet scans in the executed plan. Beam width ≤
+    // max(#buckets, 8) rows — the cheapest pin in the engine.
     var beam = v.groupBy(col("bucket")).agg(min(col("vec_id")).as("id"))
       .select(col("id"))
+      .transform(graft.Pins.pinIterative(_))
     for (_ <- 1 to 3) {
       val cand = beam
         .unionAll(und.join(broadcast(beam), col("a") === col("id"))
@@ -2541,6 +2549,7 @@ object SimilarityQueries {
         .join(scored, col("id") === col("vec_id"))
         .orderBy(col("skey").desc, col("id")).limit(8)
         .select(col("id"))
+        .transform(graft.Pins.pinIterative(_))
     }
     val fin = beam.join(scored, col("id") === col("vec_id"))
       .select(col("id"), col("skey"))
